@@ -1,0 +1,154 @@
+"""Jit-compiled train / eval steps.
+
+One fused step replaces the reference's per-batch Python work
+(``Trainer.py:537-601``): image-adapter forward, text-adapter applied to the
+HBM-cached prompt bank, cosine scoring of all classes in one einsum, masked
+BCE, backward, optimizer update, and (optionally) the myCL weight reset —
+all inside a single XLA computation.  Class subsets (class-incremental /
+MORE_LABELS) and ragged final batches are handled with dynamic *masks* over
+static shapes, so each regime compiles exactly once.
+
+Steps are built per static configuration and jitted with donated state; they
+run unchanged under ``pjit`` when inputs carry a batch sharding (parameters
+and the bank are replicated, XLA inserts the gradient all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from incremental_multimodal_medical_learning_ii_tpu.engine.cl import weight_reset
+from incremental_multimodal_medical_learning_ii_tpu.models.adapters import AdapterPair
+from incremental_multimodal_medical_learning_ii_tpu.objectives.losses import (
+    bce_with_logits,
+    change_labels,
+)
+from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import (
+    PromptBank,
+    apply_text_adapter_to_bank,
+    score_embeddings,
+)
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    ExperimentConfig,
+    PromptMode,
+)
+
+Params = Any
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    """Adam / SGD with torch-default hyperparameters (Trainer.py:172-186)."""
+    if cfg.optim.value == "adam":
+        return optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.sgd(cfg.lr)
+
+
+def init_train_state(pair: AdapterPair, params: Params, cfg: ExperimentConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
+
+
+def _forward(
+    pair: AdapterPair,
+    params: Params,
+    embs: jnp.ndarray,
+    bank: PromptBank,
+    cfg: ExperimentConfig,
+):
+    image_embs = pair.apply_image(params, embs)
+    adapted_bank = (
+        apply_text_adapter_to_bank(pair.apply_text, params, bank) if pair.use_text else bank
+    )
+    return score_embeddings(
+        image_embs,
+        adapted_bank,
+        cfg.prompt_mode,
+        cfg.train_logit_diff,
+        cfg.pred_logit_diff,
+    )
+
+
+def build_train_step(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+) -> Callable:
+    """Returns step(state, embs, labels, elem_mask, class_mask, bank, threshold)
+    -> (state, metrics dict)."""
+    use_cl = cfg.continual_learning is not None and cfg.continual_learning.value == "myCL"
+    # SHARED mode: the reference resets the aliased module twice
+    # (Trainer.py:1558-1587); reproduce the double application.
+    applications = 2 if cfg.shared else 1
+
+    def step(state: TrainState, embs, labels, elem_mask, class_mask, bank, threshold):
+        snapshot = state.params
+
+        def loss_fn(params):
+            out = _forward(pair, params, embs, bank, cfg)
+            lbl = change_labels(labels) if cfg.change_labels else labels
+            mask = elem_mask[:, None] * class_mask[None, :]
+            loss = bce_with_logits(out.logits, lbl, mask)
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics: Dict[str, jnp.ndarray] = {"loss": loss}
+        if use_cl:
+            params, n_reset, n_updated = weight_reset(
+                params, snapshot, threshold, applications=applications
+            )
+            metrics["n_reset"] = n_reset
+            metrics["n_updated"] = n_updated
+        if out.max_mean_gap is not None:
+            denom = jnp.maximum(jnp.sum(class_mask), 1.0)
+            metrics["max_mean_gap_pos"] = jnp.sum(out.max_mean_gap[0] * class_mask) / denom
+            metrics["max_mean_gap_neg"] = jnp.sum(out.max_mean_gap[1] * class_mask) / denom
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def build_epoch_reset(cfg: ExperimentConfig) -> Callable:
+    """profCL per-epoch reset: (params, snapshot, threshold) -> (params, nr, nu)."""
+    applications = 2 if cfg.shared else 1
+    return jax.jit(
+        functools.partial(weight_reset, applications=applications),
+        donate_argnums=(0,),
+    )
+
+
+def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
+    """Returns step(params, embs, labels, elem_mask, bank) ->
+    (loss, scores, preds, logits); all five classes are always scored
+    (the reference evaluates the full label set in every regime,
+    ``Trainer.py:772-866``)."""
+
+    def step(params, embs, labels, elem_mask, bank):
+        out = _forward(pair, params, embs, bank, cfg)
+        lbl = change_labels(labels) if cfg.change_labels else labels
+        loss = bce_with_logits(out.logits, lbl, elem_mask[:, None] * jnp.ones((1, lbl.shape[1])))
+        return loss, out.scores, out.preds, out.logits
+
+    return jax.jit(step)
+
+
+def build_embed_fn(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
+    """(params, embs) -> adapted image embeddings (for t-SNE / analysis)."""
+
+    def fn(params, embs):
+        return pair.apply_image(params, embs)
+
+    return jax.jit(fn)

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set the XLA flags before jax initializes its backends, hence the
+environment mutation at import time (this file is imported by pytest before
+any test module).
+"""
+
+import os
+
+# Force-set (the machine profile exports JAX_PLATFORMS=axon for the TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(27)

@@ -1,0 +1,72 @@
+import jax.numpy as jnp
+import numpy as np
+from sklearn.metrics import f1_score, roc_auc_score
+
+from incremental_multimodal_medical_learning_ii_tpu.evaluation.metrics import (
+    auroc_device,
+    compute_metrics,
+    f1_device,
+    per_class_metrics,
+    subset_accuracy_device,
+)
+
+
+def _fake_eval(rng, n=200, c=5):
+    y_true = (rng.random((n, c)) < 0.4).astype(np.float32)
+    y_score = np.clip(0.5 * y_true + 0.3 * rng.random((n, c)), 0, 1)
+    y_pred = (y_score > 0.4).astype(np.float32)
+    return y_true, y_pred, y_score
+
+
+def test_compute_metrics_matches_sklearn(rng):
+    y_true, y_pred, y_score = _fake_eval(rng)
+    m = compute_metrics(y_true, y_pred, y_score)
+    assert m["auroc_macro"] == roc_auc_score(y_true, y_score, average="macro", multi_class="ovr")
+    assert m["f1_macro"] == f1_score(y_true, y_pred, average="macro")
+    assert 0 <= m["accuracy"] <= 1
+
+
+def test_per_class_metrics_shapes(rng):
+    y_true, y_pred, y_score = _fake_eval(rng)
+    pc = per_class_metrics(y_true, y_pred, y_score)
+    for k in ("f1", "auroc", "accuracy", "precision", "recall"):
+        assert pc[k].shape == (5,)
+    assert pc["auroc"][0] == roc_auc_score(y_true[:, 0], y_score[:, 0])
+
+
+def test_auroc_device_matches_sklearn(rng):
+    y_true, _, y_score = _fake_eval(rng, n=300)
+    mask = np.ones(300, np.float32)
+    got = np.asarray(auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask)))
+    for i in range(5):
+        expected = roc_auc_score(y_true[:, i], y_score[:, i])
+        np.testing.assert_allclose(got[i], expected, atol=1e-5)
+
+
+def test_auroc_device_with_ties_and_mask(rng):
+    n = 128
+    y_true = (rng.random((n, 1)) < 0.5).astype(np.float32)
+    y_score = np.round(rng.random((n, 1)) * 4) / 4  # heavy ties
+    mask = np.ones(n, np.float32)
+    mask[100:] = 0  # padded tail
+    got = float(
+        auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask))[0]
+    )
+    expected = roc_auc_score(y_true[:100, 0], y_score[:100, 0])
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_f1_device_matches_sklearn(rng):
+    y_true, y_pred, _ = _fake_eval(rng)
+    mask = np.ones(len(y_true), np.float32)
+    got = np.asarray(f1_device(jnp.asarray(y_pred), jnp.asarray(y_true), jnp.asarray(mask)))
+    for i in range(5):
+        np.testing.assert_allclose(got[i], f1_score(y_true[:, i], y_pred[:, i]), atol=1e-6)
+
+
+def test_subset_accuracy_device(rng):
+    y_true, y_pred, _ = _fake_eval(rng)
+    mask = np.ones(len(y_true), np.float32)
+    got = float(subset_accuracy_device(jnp.asarray(y_pred), jnp.asarray(y_true), jnp.asarray(mask)))
+    expected = np.mean(np.all(y_pred == y_true, axis=1))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
