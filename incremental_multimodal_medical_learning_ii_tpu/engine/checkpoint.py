@@ -1,0 +1,39 @@
+"""Checkpointing with orbax.
+
+The reference only ever saves whole adapter modules with ``torch.save``
+(``Trainer.py:1643-1648``) and its ``load`` is broken (calls ``torch.save``,
+``Trainer.py:1655``); no optimizer state or resume exists.  Here checkpoints
+carry the full :class:`TrainState` (adapter params + optax state + step) and
+restore is implemented and tested.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.engine.steps import TrainState
+
+
+def save_checkpoint(directory: str | Path, state: TrainState) -> Path:
+    import orbax.checkpoint as ocp
+
+    path = Path(directory).absolute() / "train_state"
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state))
+    return path
+
+
+def restore_checkpoint(directory: str | Path, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    path = Path(directory).absolute() / "train_state"
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, jax.device_get(template))
+    return jax.tree_util.tree_map(np.asarray, restored)

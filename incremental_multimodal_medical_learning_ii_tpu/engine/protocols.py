@@ -1,0 +1,202 @@
+"""The three experiment protocols as library functions.
+
+These mirror the reference's driver ``__main__`` blocks:
+
+* :func:`run_zero_joint`        — ``ZERO_JOINT_BOUNDS.py:16-72``
+* :func:`run_data_incremental`  — ``DATA_INCREMENTAL.py:44-97``
+* :func:`run_class_incremental` — ``CLASS_INCREMENTAL.py:32-97``
+
+including threshold scheduling (``threshold += adder`` before every epoch),
+profCL snapshot/reset hooks, per-part loader freeing (irrelevant here: parts
+are index views), and the end-of-run checkpoint save.  Exceptions propagate
+(the reference's bare ``except`` that silently swallows training errors,
+``DATA_INCREMENTAL.py:91-92``, is intentionally not reproduced), but the
+checkpoint save still runs in a ``finally``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+    EmbeddingDataset,
+    filter_multiclass,
+    filter_sani_malati,
+    split_by_label,
+    split_contiguous,
+)
+from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import save_checkpoint
+from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+from incremental_multimodal_medical_learning_ii_tpu.evaluation.tb import TBWriter
+from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    ContinualLearning,
+    ExperimentConfig,
+)
+
+
+@dataclasses.dataclass
+class DataBundle:
+    train: EmbeddingDataset
+    val: EmbeddingDataset
+    test: EmbeddingDataset
+    tsne_multiclass: Optional[EmbeddingDataset] = None
+    tsne_sani_malati: Optional[EmbeddingDataset] = None
+
+    def with_tsne_subsets(self) -> "DataBundle":
+        """The t-SNE subsets the reference extracts from the train set
+        (Trainer.py:249-250)."""
+        return dataclasses.replace(
+            self,
+            tsne_multiclass=filter_multiclass(self.train),
+            tsne_sani_malati=filter_sani_malati(self.train),
+        )
+
+    @property
+    def tsne_datasets(self):
+        if self.tsne_multiclass is None or self.tsne_sani_malati is None:
+            return None
+        return (self.tsne_multiclass, self.tsne_sani_malati)
+
+
+def _make_writer(cfg: ExperimentConfig, log_dir: Optional[str]) -> TBWriter:
+    if log_dir is None:
+        return TBWriter(None)
+    return TBWriter(str(Path(log_dir) / cfg.run_name()))
+
+
+def _save_final(trainer: Trainer, writer: TBWriter) -> None:
+    if trainer.cfg.trains_anything and writer.log_dir is not None:
+        save_checkpoint(writer.log_dir, trainer.state)
+
+
+def run_zero_joint(
+    cfg: ExperimentConfig,
+    data: DataBundle,
+    bank: PromptBank,
+    log_dir: Optional[str] = None,
+    mesh=None,
+) -> Dict[str, Dict[str, float]]:
+    """Zero-shot (epochs=0) or joint-train upper bound."""
+    writer = _make_writer(cfg, log_dir)
+    trainer = Trainer(cfg, bank, writer, mesh)
+    results: Dict[str, Dict[str, float]] = {}
+    threshold = cfg.threshold
+    try:
+        if cfg.epochs > 0:
+            for epoch in range(1, cfg.epochs + 1):
+                trainer.train(data.train, epoch, threshold=threshold, actual_task=epoch)
+                results[f"val_ep{epoch}"] = trainer.validate(
+                    data.val, epoch, cfg.epochs, mode="joint"
+                )
+                results[f"test_ep{epoch}"] = trainer.test(
+                    data.test, epoch, cfg.epochs, mode="joint",
+                    tsne_datasets=data.tsne_datasets,
+                )
+        else:
+            results["val_zero"] = trainer.validate(data.val, 0, 0, mode="zero")
+            results["test_zero"] = trainer.test(
+                data.test, 0, 0, mode="zero", tsne_datasets=data.tsne_datasets
+            )
+    finally:
+        _save_final(trainer, writer)
+        writer.close()
+    results["trainer"] = trainer  # type: ignore[assignment]
+    return results
+
+
+def run_data_incremental(
+    cfg: ExperimentConfig,
+    data: DataBundle,
+    bank: PromptBank,
+    log_dir: Optional[str] = None,
+    mesh=None,
+) -> Dict[str, Dict[str, float]]:
+    writer = _make_writer(cfg, log_dir)
+    trainer = Trainer(cfg, bank, writer, mesh)
+    parts = split_contiguous(data.train, cfg.parts)
+    results: Dict[str, Dict[str, float]] = {}
+    threshold = cfg.threshold
+    count = 0
+    try:
+        for part in range(1, cfg.parts + 1):
+            for epoch in range(1, cfg.epochs + 1):
+                count += 1
+                threshold += cfg.adder  # DATA_INCREMENTAL.py:78
+                if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                    writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                if cfg.continual_learning == ContinualLearning.PROF_CL:
+                    trainer.model_copy()
+                trainer.train(
+                    parts[part - 1], epoch, threshold=threshold,
+                    part=part, epochs=cfg.epochs, actual_task=part,
+                )
+                if cfg.continual_learning == ContinualLearning.PROF_CL:
+                    trainer.prof_incremental(epoch, cfg.epochs, part, threshold)
+            results[f"val_part{part}"] = trainer.validate(
+                data.val, part, cfg.parts, mode="data-inc", tasks_order=part
+            )
+            results[f"test_part{part}"] = trainer.test(
+                data.test, part, cfg.parts, mode="data-inc", tasks_order=part,
+                tsne_datasets=data.tsne_datasets,
+            )
+    finally:
+        _save_final(trainer, writer)
+        writer.close()
+    results["trainer"] = trainer  # type: ignore[assignment]
+    return results
+
+
+def run_class_incremental(
+    cfg: ExperimentConfig,
+    data: DataBundle,
+    bank: PromptBank,
+    log_dir: Optional[str] = None,
+    mesh=None,
+    n_tasks: int = 5,
+) -> Dict[str, Dict[str, float]]:
+    writer = _make_writer(cfg, log_dir)
+    trainer = Trainer(cfg, bank, writer, mesh)
+    if cfg.mode == "class-pos-neg":
+        tasks = split_contiguous(data.train, 5)  # Trainer.py:350-351
+    elif cfg.mode == "class-pos":
+        tasks = split_by_label(data.train)  # Trainer.py:353-354
+    else:
+        raise ValueError(f"not a class-incremental mode: {cfg.mode}")
+
+    tasks_order = list(cfg.tasks_order)
+    results: Dict[str, Dict[str, float]] = {}
+    threshold = cfg.threshold
+    last_batch = 0
+    count = 0
+    try:
+        for actual_task in range(1, n_tasks + 1):
+            for epoch in range(1, cfg.epochs + 1):
+                count += 1
+                threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
+                if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                    writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                    trainer.model_copy()
+                last_batch = trainer.train_class_incremental(
+                    tasks[actual_task - 1], epoch,
+                    current_task=tasks_order[actual_task - 1],
+                    last_batch=last_batch, threshold=threshold,
+                    actual_task=actual_task, more_labels=cfg.more_labels,
+                )
+                if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                    trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
+            results[f"val_task{actual_task}"] = trainer.validate(
+                data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order
+            )
+            results[f"test_task{actual_task}"] = trainer.test(
+                data.test, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
+                tsne_datasets=data.tsne_datasets,
+            )
+    finally:
+        _save_final(trainer, writer)
+        writer.close()
+    results["trainer"] = trainer  # type: ignore[assignment]
+    return results

@@ -1,0 +1,87 @@
+"""Build the on-device :class:`PromptBank` from a prompt dictionary.
+
+The reference re-encodes every prompt list through full CXR-BERT for every
+class, every batch, every epoch (``Trainer.py:566`` -> ``:1657-1680``), even
+though BERT runs under ``@torch.no_grad`` and its output never changes.
+Here every prompt is encoded exactly once (one batched BERT forward over
+the flattened bank) and cached in HBM, padded to a static
+``(C, P_max, 128)`` layout; the trainable text adapter is applied to the
+cached raw embeddings inside the jitted step.
+
+When ``train_logit_diff`` is False, the negative side mirrors the positive
+prompts — the reference's "trick per non riscrivere il codice"
+(``Trainer.py:563-564``) — so pos-neg differences vanish identically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
+from incremental_multimodal_medical_learning_ii_tpu.text.prompts import Prompts
+
+EncodeFn = Callable[[List[str]], np.ndarray]  # texts -> (len(texts), D) raw embeddings
+
+
+def build_prompt_bank(
+    encode_fn: EncodeFn,
+    prompts: Prompts,
+    class_names: Sequence[str],
+    train_logit_diff: bool = True,
+    emb_dim: int = 128,
+) -> PromptBank:
+    pos_lists: List[List[str]] = []
+    neg_lists: List[List[str]] = []
+    for c in class_names:
+        pos_lists.append(list(prompts[c]["positive"]))
+        if train_logit_diff:
+            neg_lists.append(list(prompts[c]["negative"]))
+        else:
+            neg_lists.append(list(prompts[c]["positive"]))
+
+    # One batched encoder call for the whole bank.
+    flat: List[str] = [t for lst in pos_lists + neg_lists for t in lst]
+    embs = np.asarray(encode_fn(flat), dtype=np.float32)
+    if embs.shape != (len(flat), emb_dim):
+        raise ValueError(f"encode_fn returned {embs.shape}, expected {(len(flat), emb_dim)}")
+
+    c = len(class_names)
+    p_max = max(len(lst) for lst in pos_lists + neg_lists)
+    pos = np.zeros((c, p_max, emb_dim), np.float32)
+    neg = np.zeros((c, p_max, emb_dim), np.float32)
+    pos_count = np.zeros(c, np.int32)
+    neg_count = np.zeros(c, np.int32)
+
+    offset = 0
+    for i, lst in enumerate(pos_lists):
+        pos[i, : len(lst)] = embs[offset : offset + len(lst)]
+        pos_count[i] = len(lst)
+        offset += len(lst)
+    for i, lst in enumerate(neg_lists):
+        neg[i, : len(lst)] = embs[offset : offset + len(lst)]
+        neg_count[i] = len(lst)
+        offset += len(lst)
+
+    return PromptBank(
+        pos=jnp.asarray(pos),
+        neg=jnp.asarray(neg),
+        pos_count=jnp.asarray(pos_count),
+        neg_count=jnp.asarray(neg_count),
+    )
+
+
+def synthetic_encode_fn(seed: int = 0, emb_dim: int = 128) -> EncodeFn:
+    """Deterministic text-hash encoder for tests/CI (no BERT weights needed):
+    each distinct prompt string maps to a fixed pseudo-random embedding."""
+
+    def encode(texts: List[str]) -> np.ndarray:
+        out = np.empty((len(texts), emb_dim), np.float32)
+        for i, t in enumerate(texts):
+            h = abs(hash((seed, t))) % (2**32)
+            out[i] = np.random.default_rng(h).normal(size=emb_dim)
+        return out
+
+    return encode

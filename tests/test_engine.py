@@ -1,0 +1,203 @@
+"""End-to-end tests of the three protocols on learnable synthetic data."""
+
+import numpy as np
+import pytest
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+    EmbeddingDataset,
+    synthetic_dataset,
+)
+from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
+    DataBundle,
+    run_class_incremental,
+    run_data_incremental,
+    run_zero_joint,
+)
+from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
+from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+    build_prompt_bank,
+    synthetic_encode_fn,
+)
+from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    CHEXPERT_COMPETITION_TASKS,
+    class_incremental_config,
+    data_incremental_config,
+    joint_config,
+    zero_shot_config,
+)
+
+import jax.numpy as jnp
+
+
+def _directions(seed=7, c=5, d=128):
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(c, d)).astype(np.float32)
+    return dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+
+
+def _bundle(n_train=1024, n_eval=512, seed=7):
+    dirs = _directions(seed)
+    return DataBundle(
+        train=synthetic_dataset(n_train, seed=1, class_directions=dirs),
+        val=synthetic_dataset(n_eval, seed=2, class_directions=dirs),
+        test=synthetic_dataset(n_eval, seed=3, class_directions=dirs),
+    )
+
+
+def _aligned_bank(seed=7, p=4):
+    """Prompt bank whose positives point along the class directions and
+    negatives against them -> zero-shot is already informative."""
+    dirs = _directions(seed)
+    rng = np.random.default_rng(11)
+    c, d = dirs.shape
+    pos = dirs[:, None, :] + 0.1 * rng.normal(size=(c, p, d)).astype(np.float32)
+    neg = -dirs[:, None, :] + 0.1 * rng.normal(size=(c, p, d)).astype(np.float32)
+    counts = np.full(c, p, np.int32)
+    return PromptBank(
+        pos=jnp.asarray(pos), neg=jnp.asarray(neg),
+        pos_count=jnp.asarray(counts), neg_count=jnp.asarray(counts),
+    )
+
+
+def _random_bank():
+    prompts = create_prompts(CHEXPERT_COMPETITION_TASKS)
+    return build_prompt_bank(
+        synthetic_encode_fn(), prompts, CHEXPERT_COMPETITION_TASKS, train_logit_diff=True
+    )
+
+
+def test_zero_shot_with_aligned_bank_beats_chance():
+    cfg = zero_shot_config(eval_batch_size=128)
+    results = run_zero_joint(cfg, _bundle(), _aligned_bank())
+    assert results["test_zero"]["auroc_macro"] > 0.8
+
+
+def test_joint_training_learns():
+    cfg = joint_config(batch_size=128, eval_batch_size=128, epochs=3, lr=1e-3)
+    results = run_zero_joint(cfg, _bundle(), _random_bank())
+    # random prompt bank: untrained is chance; adapters must learn alignment
+    assert results["test_ep3"]["auroc_macro"] > 0.75
+    assert results["test_ep3"]["auroc_macro"] > results["test_ep1"]["auroc_macro"] - 0.02
+
+
+def test_joint_training_max_prompt_mode():
+    cfg = joint_config(
+        batch_size=128, eval_batch_size=128, epochs=2, lr=1e-3, prompt_mode="max"
+    )
+    results = run_zero_joint(cfg, _bundle(512, 256), _random_bank())
+    assert results["test_ep2"]["auroc_macro"] > 0.6
+
+
+def test_data_incremental_with_mycl():
+    cfg = data_incremental_config(
+        batch_size=128, eval_batch_size=128, epochs=2, parts=3, lr=1e-3,
+        continual_learning="myCL", threshold=0.2, xrays_position="frontal",
+    )
+    results = run_data_incremental(cfg, _bundle(), _random_bank())
+    assert results["test_part3"]["auroc_macro"] > 0.7
+
+
+def test_data_incremental_with_profcl():
+    cfg = data_incremental_config(
+        batch_size=128, eval_batch_size=128, epochs=2, parts=2, lr=1e-3,
+        continual_learning="profCL", threshold=0.1,
+    )
+    results = run_data_incremental(cfg, _bundle(512, 256), _random_bank())
+    assert "test_part2" in results
+
+
+def test_class_incremental_pos_neg_more_labels():
+    cfg = class_incremental_config(
+        batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3, more_labels=True
+    )
+    results = run_class_incremental(cfg, _bundle(512, 256), _random_bank())
+    assert "test_task5" in results
+
+
+def test_class_incremental_pos_single_class():
+    cfg = class_incremental_config(
+        batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3,
+        mode="class-pos", more_labels=False,
+    )
+    bundle = _bundle(512, 256)
+    results = run_class_incremental(cfg, bundle, _random_bank())
+    assert "test_task5" in results
+
+
+def test_shared_adapter_joint():
+    cfg = joint_config(
+        batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3, shared=True
+    )
+    results = run_zero_joint(cfg, _bundle(256, 256), _random_bank())
+    assert "test_ep1" in results
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+
+    cfg = joint_config(batch_size=64, epochs=1)
+    trainer = Trainer(cfg, _random_bank())
+    trainer.train(synthetic_dataset(128), epoch=1)
+    save_checkpoint(tmp_path, trainer.state)
+
+    trainer2 = Trainer(cfg, _random_bank())
+    restored = restore_checkpoint(tmp_path, trainer2.state)
+    a = np.asarray(trainer.state.params["image"]["dense1"]["kernel"])
+    b = np.asarray(restored.params["image"]["dense1"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+    assert int(restored.step) == int(trainer.state.step)
+
+
+def test_multichip_matches_single_device():
+    """The pjit data-parallel path must be numerically equivalent to the
+    single-device path (same batches, same updates)."""
+    import jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.mesh import create_mesh
+
+    cfg = joint_config(batch_size=64, eval_batch_size=64, epochs=1, lr=1e-3)
+    bank = _random_bank()
+    bundle = _bundle(256, 128)
+
+    t1 = Trainer(cfg, bank)
+    t1.train(bundle.train, epoch=1)
+    m1 = t1.validate(bundle.val, 1, 1)
+
+    mesh = create_mesh(8)
+    t2 = Trainer(cfg, bank, mesh=mesh)
+    t2.train(bundle.train, epoch=1)
+    m2 = t2.validate(bundle.val, 1, 1)
+
+    assert m1["auroc_macro"] == pytest.approx(m2["auroc_macro"], abs=2e-3)
+    k1 = np.asarray(t1.state.params["image"]["dense1"]["kernel"])
+    k2 = np.asarray(jax.device_get(t2.state.params["image"]["dense1"]["kernel"]))
+    np.testing.assert_allclose(k1, k2, atol=1e-4)
+
+
+def test_tensorboard_run_dir_and_tags(tmp_path):
+    cfg = joint_config(batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3)
+    run_zero_joint(cfg, _bundle(256, 128), _random_bank(), log_dir=str(tmp_path))
+    run_dir = tmp_path / cfg.run_name()
+    assert run_dir.exists()
+    event_files = list(run_dir.glob("events.out.tfevents.*"))
+    assert event_files, "no TB event file written"
+
+    from tensorboard.backend.event_processing.event_accumulator import EventAccumulator
+
+    acc = EventAccumulator(str(run_dir))
+    acc.Reload()
+    tags = acc.Tags()["scalars"]
+    for tag in (
+        "train/Loss", "val/Loss", "test/Accuracy", "test/F1-macro score",
+        "test/F1-weighted score", "test/AUROC-macro", "test/AUROC-weighted",
+        "val/AUROC-macro",
+    ):
+        assert tag in tags, f"missing reference tag {tag}"
+    # checkpoint saved into the run dir
+    assert (run_dir / "train_state").exists()
