@@ -1,0 +1,192 @@
+"""CheXpert embedding extraction at scale — the throughput headline.
+
+Reference: ``chexpert-get-embedding.py:34-113`` — a batch-size-1 Python loop
+over 191k JPEGs through frozen BioViL ResNet-50 with CPU PIL preprocessing,
+checkpointing a torch shard every 5000 images.
+
+TPU rebuild:
+* static-shape batches through one jitted program that fuses preprocessing
+  (PIL-parity matmul resize + crop + /255 + 3ch, ops/preprocess.py) with the
+  ResNet-50 + projector forward;
+* bfloat16 conv compute by default (fp32 statistics/accumulations);
+* a host prefetch thread decodes/plans batch N+1 while the device runs
+  batch N (double buffering across the host/device boundary);
+* batch-sharded ``pjit`` over the data mesh when one is provided;
+* crash-safe shard checkpoints in the same 5000-image cadence.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+    EmbeddingDataset,
+    ShardedEmbeddingStore,
+)
+from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+    biovil_image_forward,
+)
+from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+    DevicePreprocessPlan,
+    preprocess_device,
+    preprocess_host,
+)
+from incremental_multimodal_medical_learning_ii_tpu.parallel import mesh as mesh_lib
+
+ImageLabel = Tuple[np.ndarray, np.ndarray]  # (H, W) uint8, (5,) float32
+
+
+def make_encode_preprocessed_fn(params, dtype=jnp.bfloat16):
+    """jitted (B, S, S, 3) float images -> (B, 128) embeddings."""
+
+    def fn(p, images):
+        return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
+
+    return jax.jit(fn)
+
+
+def make_encode_raw_fn(params, dtype=jnp.bfloat16):
+    """jitted (raw u8 (B,P,P), w_h, w_w) -> (B, 128); preprocessing fused in."""
+
+    def fn(p, raw, w_h, w_w):
+        images = preprocess_device(raw, w_h, w_w)
+        return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
+
+    return jax.jit(fn)
+
+
+def _batched(it: Iterator[ImageLabel], batch_size: int) -> Iterator[Tuple[list, np.ndarray, int]]:
+    """Group into fixed-size batches; the final batch is padded by repeating
+    its last image (static shapes) and carries the true count."""
+    batch: list = []
+    labels: list = []
+    for img, lbl in it:
+        batch.append(img)
+        labels.append(lbl)
+        if len(batch) == batch_size:
+            yield batch, np.stack(labels), batch_size
+            batch, labels = [], []
+    if batch:
+        n = len(batch)
+        while len(batch) < batch_size:
+            batch.append(batch[-1])
+            labels.append(labels[-1])
+        yield batch, np.stack(labels), n
+
+
+def _prefetch(gen, depth: int = 2):
+    """Run a generator in a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def extract_embeddings(
+    images: Iterable[ImageLabel],
+    params,
+    store: Optional[ShardedEmbeddingStore] = None,
+    *,
+    batch_size: int = 64,
+    size: int = 512,
+    crop: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    checkpoint_interval: int = 5000,  # images, like the reference's 5000 batches of 1
+    device_preprocess: bool = True,
+    pad_to: int = 1024,
+    mesh=None,
+    prefetch_depth: int = 2,
+) -> EmbeddingDataset:
+    """Run the full extraction pass; returns the (N, 128) dataset and writes
+    shard checkpoints along the way when ``store`` is given."""
+    crop = crop or size
+    if mesh is not None:
+        params = mesh_lib.replicate(mesh, params)
+
+    if device_preprocess:
+        plan = DevicePreprocessPlan(size=size, crop=crop, pad_to=pad_to)
+        encode = make_encode_raw_fn(params, dtype=dtype)
+
+        def prepare(batch_imgs):
+            raw, w_h, w_w = plan.prepare(batch_imgs)
+            return (raw, w_h, w_w)
+
+        def run(prepared):
+            raw, w_h, w_w = prepared
+            if mesh is not None:
+                raw, w_h, w_w = mesh_lib.shard_batch(mesh, (raw, w_h, w_w))
+            return encode(params, raw, w_h, w_w)
+
+    else:
+        encode_pre = make_encode_preprocessed_fn(params, dtype=dtype)
+
+        def prepare(batch_imgs):
+            return np.stack([preprocess_host(im, size=size, crop=crop) for im in batch_imgs])
+
+        def run(prepared):
+            if mesh is not None:
+                prepared = mesh_lib.shard_batch(mesh, prepared)
+            return encode_pre(params, prepared)
+
+    def prepared_batches():
+        for batch_imgs, labels, n in _batched(iter(images), batch_size):
+            yield prepare(batch_imgs), labels, n
+
+    all_embs: list = []
+    all_labels: list = []
+    pending_embs: list = []
+    pending_labels: list = []
+    written = 0
+    seen = 0
+    for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
+        embs = np.asarray(run(prepared), dtype=np.float32)[:n]
+        labels = labels[:n]
+        seen += n
+        all_embs.append(embs)
+        all_labels.append(labels)
+        if store is not None:
+            pending_embs.append(embs)
+            pending_labels.append(labels)
+            if seen - written >= checkpoint_interval:
+                store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
+                written = seen
+                pending_embs, pending_labels = [], []
+    if store is not None and pending_embs:
+        store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
+    return EmbeddingDataset(np.concatenate(all_embs), np.concatenate(all_labels))
+
+
+def manifest_image_iterator(manifest, loader: Optional[Callable] = None) -> Iterator[ImageLabel]:
+    """Iterate (raw grayscale uint8, label) pairs from a ChexpertManifest."""
+    from incremental_multimodal_medical_learning_ii_tpu.data.images import (
+        load_image_raw_uint8,
+    )
+
+    loader = loader or load_image_raw_uint8
+    labels = manifest.labels()
+    for idx, path in enumerate(manifest.image_paths()):
+        yield loader(path), labels[idx]

@@ -1,0 +1,93 @@
+"""BioViL image model: ResNet-50 trunk + 1x1-conv MLP projector.
+
+Parity target: ``health_multimodal/image/model/model.py:141-154`` — the
+trunk's x4 feature map goes through a 1x1-conv projector (Conv2d 2048->128
+no-bias, BatchNorm2d(128), ReLU, Conv2d 128->128 with bias,
+``modules.py:30-49``) giving per-patch 128-d embeddings; the global
+embedding is the mean over the patch grid, NOT L2-normalised (the cached
+CheXpert embeddings are raw, ``chexpert-get-embedding.py:80-82``).
+
+Also exposes the patch-wise embeddings used by the VLP phrase-grounding
+engine (``model.py:160-174``: optional channel-dim L2 normalisation, grid
+layout preserved).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+    Params,
+    batch_norm_inference,
+    conv2d,
+    init_resnet50,
+    resnet50_forward,
+    _init_bn,
+    _init_conv,
+)
+
+JOINT_FEATURE_SIZE = 128
+TRUNK_FEATURES = 2048
+
+
+class ImageModelOutput(NamedTuple):
+    projected_global_embedding: jnp.ndarray  # (B, 128), raw (not normalised)
+    projected_patch_embeddings: jnp.ndarray  # (B, h, w, 128)
+    img_embedding: jnp.ndarray  # (B, 2048) avg-pooled trunk features
+
+
+def init_biovil_image_model(key: jax.Array) -> Params:
+    k_trunk, k_p1, k_p2 = jax.random.split(key, 3)
+    proj2 = _init_conv(k_p2, 1, 1, JOINT_FEATURE_SIZE, JOINT_FEATURE_SIZE)
+    proj2["bias"] = jnp.zeros(JOINT_FEATURE_SIZE, jnp.float32)
+    return {
+        "encoder": init_resnet50(k_trunk),
+        "projector": {
+            "conv1": _init_conv(k_p1, 1, 1, TRUNK_FEATURES, JOINT_FEATURE_SIZE),
+            "bn": _init_bn(JOINT_FEATURE_SIZE),
+            "conv2": proj2,
+        },
+    }
+
+
+def _projector_forward(proj: Params, patches: jnp.ndarray) -> jnp.ndarray:
+    h = conv2d(patches, proj["conv1"]["kernel"], 1, 0)
+    h = jax.nn.relu(batch_norm_inference(h, proj["bn"]))
+    h = conv2d(h, proj["conv2"]["kernel"], 1, 0) + proj["conv2"]["bias"].astype(h.dtype)
+    return h
+
+
+def biovil_image_forward(
+    params: Params,
+    images_nhwc: jnp.ndarray,
+    dtype: jnp.dtype = jnp.float32,
+) -> ImageModelOutput:
+    """(B, H, W, 3) float images (the reference pipeline's [0,1] tensors)
+    -> global + patch embeddings.  Mean/pool accumulations run in fp32 even
+    under bfloat16 conv compute."""
+    patches = resnet50_forward(params["encoder"], images_nhwc, dtype=dtype)
+    projected = _projector_forward(params["projector"], patches)
+    projected32 = projected.astype(jnp.float32)
+    global_emb = jnp.mean(projected32, axis=(1, 2))  # model.py:154 mean over grid
+    pooled = jnp.mean(patches.astype(jnp.float32), axis=(1, 2))  # adaptive_avg_pool2d
+    return ImageModelOutput(
+        projected_global_embedding=global_emb,
+        projected_patch_embeddings=projected32,
+        img_embedding=pooled,
+    )
+
+
+def get_patchwise_projected_embeddings(
+    params: Params, images_nhwc: jnp.ndarray, normalize: bool, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(B, h, w, 128) patch embeddings, optionally L2-normalised over the
+    feature dim (``model.py:160-174``; already BHWD here — NHWC native)."""
+    out = biovil_image_forward(params, images_nhwc, dtype=dtype)
+    patches = out.projected_patch_embeddings
+    if normalize:
+        norm = jnp.linalg.norm(patches, axis=-1, keepdims=True)
+        patches = patches / jnp.maximum(norm, 1e-12)
+    return patches

@@ -1,0 +1,187 @@
+"""torch -> JAX weight converters for the two BioViL towers.
+
+* :func:`convert_biovil_image_state_dict` consumes the reference image
+  checkpoint layout (``biovil_image_resnet50_proj_size_128.pt`` loaded into
+  ``ImageModel``, keys ``encoder.encoder.*`` for the ResNet trunk and
+  ``projector.model.*`` for the 1x1-conv MLP,
+  ``health_multimodal/image/model/model.py:95-118``).
+* :func:`convert_cxr_bert_state_dict` consumes a HuggingFace
+  ``BertForMaskedLM`` state dict plus the CXR-BERT ``cls_projection_head``
+  (``modelling_cxrbert.py:64-68``).
+
+Transpositions: torch conv OIHW -> HWIO; torch Linear (out,in) -> (in,out).
+Inputs are ``state_dict()``-style mappings of numpy arrays or torch tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import BertDims
+from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+    RESNET50_LAYERS,
+)
+
+Params = Dict[str, Any]
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv(sd: Mapping, key: str) -> Params:
+    return {"kernel": _np(sd[key]).transpose(2, 3, 1, 0)}  # OIHW -> HWIO
+
+
+def _bn(sd: Mapping, prefix: str) -> Params:
+    return {
+        "scale": _np(sd[prefix + ".weight"]),
+        "bias": _np(sd[prefix + ".bias"]),
+        "mean": _np(sd[prefix + ".running_mean"]),
+        "var": _np(sd[prefix + ".running_var"]),
+    }
+
+
+def _linear(sd: Mapping, prefix: str) -> Params:
+    return {
+        "kernel": _np(sd[prefix + ".weight"]).T,  # (out,in) -> (in,out)
+        "bias": _np(sd[prefix + ".bias"]),
+    }
+
+
+def _ln(sd: Mapping, prefix: str) -> Params:
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+# ----------------------------------------------------------------------
+# BioViL image model
+# ----------------------------------------------------------------------
+def convert_resnet50_state_dict(sd: Mapping, prefix: str = "") -> Params:
+    """torchvision ResNet-50 state dict (optionally under ``prefix``)."""
+    p = prefix
+    params: Params = {"conv1": _conv(sd, p + "conv1.weight"), "bn1": _bn(sd, p + "bn1")}
+    for li, blocks in enumerate(RESNET50_LAYERS, start=1):
+        layer = []
+        for bi in range(blocks):
+            bp = f"{p}layer{li}.{bi}."
+            block: Params = {
+                "conv1": _conv(sd, bp + "conv1.weight"),
+                "bn1": _bn(sd, bp + "bn1"),
+                "conv2": _conv(sd, bp + "conv2.weight"),
+                "bn2": _bn(sd, bp + "bn2"),
+                "conv3": _conv(sd, bp + "conv3.weight"),
+                "bn3": _bn(sd, bp + "bn3"),
+            }
+            if bp + "downsample.0.weight" in sd:
+                block["downsample_conv"] = _conv(sd, bp + "downsample.0.weight")
+                block["downsample_bn"] = _bn(sd, bp + "downsample.1")
+            layer.append(block)
+        params[f"layer{li}"] = layer
+    return params
+
+
+def convert_biovil_image_state_dict(sd: Mapping) -> Params:
+    """Full ImageModel: trunk under ``encoder.encoder.``, projector under
+    ``projector.model.{0,1,3}`` (Sequential conv,bn,relu,conv)."""
+    proj2 = _conv(sd, "projector.model.3.weight")
+    proj2["bias"] = _np(sd["projector.model.3.bias"])
+    return {
+        "encoder": convert_resnet50_state_dict(sd, prefix="encoder.encoder."),
+        "projector": {
+            "conv1": _conv(sd, "projector.model.0.weight"),
+            "bn": _bn(sd, "projector.model.1"),
+            "conv2": proj2,
+        },
+    }
+
+
+def load_biovil_image_checkpoint(path: str) -> Params:
+    """Load the reference's ``biovil_image_resnet50_proj_size_128.pt``."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_biovil_image_state_dict(sd)
+
+
+# ----------------------------------------------------------------------
+# CXR-BERT
+# ----------------------------------------------------------------------
+def infer_bert_dims(sd: Mapping, projection_size: int = 128) -> BertDims:
+    word = _np(sd["bert.embeddings.word_embeddings.weight"])
+    pos = _np(sd["bert.embeddings.position_embeddings.weight"])
+    tt = _np(sd["bert.embeddings.token_type_embeddings.weight"])
+    inter = _np(sd["bert.encoder.layer.0.intermediate.dense.weight"])
+    n_layers = 0
+    while f"bert.encoder.layer.{n_layers}.attention.self.query.weight" in sd:
+        n_layers += 1
+    hidden = word.shape[1]
+    # heads: standard BERT uses head_dim 64
+    num_heads = max(1, hidden // 64)
+    if "cls_projection_head.dense_to_hidden.weight" in sd:
+        projection_size = _np(sd["cls_projection_head.dense_to_hidden.weight"]).shape[0]
+    return BertDims(
+        vocab_size=word.shape[0],
+        hidden_size=hidden,
+        num_layers=n_layers,
+        num_heads=num_heads,
+        intermediate_size=inter.shape[0],
+        max_position_embeddings=pos.shape[0],
+        type_vocab_size=tt.shape[0],
+        projection_size=projection_size,
+    )
+
+
+def convert_cxr_bert_state_dict(sd: Mapping, num_heads: int | None = None) -> tuple[Params, BertDims]:
+    dims = infer_bert_dims(sd)
+    if num_heads is not None:
+        dims = BertDims(**{**dims.__dict__, "num_heads": num_heads})
+    params: Params = {
+        "embeddings": {
+            "word": _np(sd["bert.embeddings.word_embeddings.weight"]),
+            "position": _np(sd["bert.embeddings.position_embeddings.weight"]),
+            "token_type": _np(sd["bert.embeddings.token_type_embeddings.weight"]),
+            "ln": _ln(sd, "bert.embeddings.LayerNorm"),
+        },
+        "layers": [],
+    }
+    for li in range(dims.num_layers):
+        lp = f"bert.encoder.layer.{li}."
+        params["layers"].append(
+            {
+                "q": _linear(sd, lp + "attention.self.query"),
+                "k": _linear(sd, lp + "attention.self.key"),
+                "v": _linear(sd, lp + "attention.self.value"),
+                "attn_out": _linear(sd, lp + "attention.output.dense"),
+                "attn_ln": _ln(sd, lp + "attention.output.LayerNorm"),
+                "ffn_in": _linear(sd, lp + "intermediate.dense"),
+                "ffn_out": _linear(sd, lp + "output.dense"),
+                "ffn_ln": _ln(sd, lp + "output.LayerNorm"),
+            }
+        )
+    decoder_bias_key = (
+        "cls.predictions.decoder.bias" if "cls.predictions.decoder.bias" in sd else "cls.predictions.bias"
+    )
+    params["mlm_head"] = {
+        "transform_dense": _linear(sd, "cls.predictions.transform.dense"),
+        "transform_ln": _ln(sd, "cls.predictions.transform.LayerNorm"),
+        "decoder_bias": _np(sd[decoder_bias_key]),
+    }
+    if "cls_projection_head.dense_to_hidden.weight" in sd:
+        params["cls_projection"] = {
+            "dense_to_hidden": _linear(sd, "cls_projection_head.dense_to_hidden"),
+            "ln": _ln(sd, "cls_projection_head.LayerNorm"),
+            "dense_to_output": _linear(sd, "cls_projection_head.dense_to_output"),
+        }
+    return params, dims
+
+
+def load_cxr_bert_checkpoint(path_or_name: str, num_heads: int | None = None):
+    """Load CXR-BERT weights from a local HF checkpoint directory / file."""
+    import torch
+
+    sd = torch.load(path_or_name, map_location="cpu", weights_only=True)
+    return convert_cxr_bert_state_dict(sd, num_heads=num_heads)

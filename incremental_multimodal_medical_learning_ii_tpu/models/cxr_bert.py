@@ -1,0 +1,203 @@
+"""CXR-BERT text encoder, TPU-native.
+
+Parity target: the vendored ``CXRBertModel``
+(``health_multimodal/text/model/modelling_cxrbert.py:52-141``) — a
+HuggingFace ``BertForMaskedLM`` whose *last hidden state* [CLS] vector is
+passed through a projection head (Linear hidden->128, GELU, LayerNorm
+eps=1e-12, Linear 128->128, ``modelling_cxrbert.py:36-49``) to produce the
+128-d joint-space text embedding (NOT normalised on the training path,
+``Trainer.py:1660`` calls with normalize=False).
+
+The implementation is a plain functional BERT encoder over pytree params:
+static shapes (callers pad to 'longest' within a bank, see text/engine.py),
+exact GELU, fp32 attention softmax.  The MLM head is included for
+``predict_masked_tokens`` capability parity
+(``text/inference_engine.py:84-119``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+LN_EPS = 1e-12
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class BertDims:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    projection_size: int = 128
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def tiny_bert_dims(**kw) -> BertDims:
+    """Small dims for tests."""
+    defaults = dict(
+        vocab_size=99, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, projection_size=16,
+    )
+    defaults.update(kw)
+    return BertDims(**defaults)
+
+
+# ----------------------------------------------------------------------
+# Init (random; production weights come from the converter)
+# ----------------------------------------------------------------------
+def _init_linear(key, din, dout) -> Params:
+    k1, _ = jax.random.split(key)
+    return {
+        "kernel": jax.random.normal(k1, (din, dout), jnp.float32) * 0.02,
+        "bias": jnp.zeros(dout, jnp.float32),
+    }
+
+
+def _init_ln(d) -> Params:
+    return {"scale": jnp.ones(d, jnp.float32), "bias": jnp.zeros(d, jnp.float32)}
+
+
+def init_cxr_bert(key: jax.Array, dims: BertDims) -> Params:
+    keys = jax.random.split(key, dims.num_layers + 6)
+    h, i = dims.hidden_size, dims.intermediate_size
+    params: Params = {
+        "embeddings": {
+            "word": jax.random.normal(keys[0], (dims.vocab_size, h), jnp.float32) * 0.02,
+            "position": jax.random.normal(keys[1], (dims.max_position_embeddings, h), jnp.float32) * 0.02,
+            "token_type": jax.random.normal(keys[2], (dims.type_vocab_size, h), jnp.float32) * 0.02,
+            "ln": _init_ln(h),
+        },
+        "layers": [],
+        "mlm_head": {
+            "transform_dense": _init_linear(keys[3], h, h),
+            "transform_ln": _init_ln(h),
+            "decoder_bias": jnp.zeros(dims.vocab_size, jnp.float32),
+        },
+        "cls_projection": {
+            "dense_to_hidden": _init_linear(keys[4], h, dims.projection_size),
+            "ln": _init_ln(dims.projection_size),
+            "dense_to_output": _init_linear(keys[5], dims.projection_size, dims.projection_size),
+        },
+    }
+    for li in range(dims.num_layers):
+        lk = jax.random.split(keys[6 + li], 6)
+        layer = {
+            "q": _init_linear(lk[0], h, h),
+            "k": _init_linear(lk[1], h, h),
+            "v": _init_linear(lk[2], h, h),
+            "attn_out": _init_linear(lk[3], h, h),
+            "attn_ln": _init_ln(h),
+            "ffn_in": _init_linear(lk[4], h, i),
+            "ffn_out": _init_linear(lk[5], i, h),
+            "ffn_ln": _init_ln(h),
+        }
+        params["layers"].append(layer)
+    return params
+
+
+# ----------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(x, p["kernel"], precision=_HIGHEST) + p["bias"]
+
+
+def _layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) / jnp.sqrt(var + LN_EPS) * p["scale"] + p["bias"]
+
+
+def _self_attention(layer: Params, x: jnp.ndarray, mask_bias: jnp.ndarray, dims: BertDims) -> jnp.ndarray:
+    b, s, h = x.shape
+    nh, hd = dims.num_heads, dims.head_dim
+
+    def split_heads(t):
+        return t.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)  # (B, nh, S, hd)
+
+    q = split_heads(_linear(layer["q"], x))
+    k = split_heads(_linear(layer["k"], x))
+    v = split_heads(_linear(layer["v"], x))
+    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, precision=_HIGHEST) / np.sqrt(hd)
+    scores = scores + mask_bias  # (B, 1, 1, S) additive
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v, precision=_HIGHEST)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+    return _linear(layer["attn_out"], ctx)
+
+
+def bert_encode(
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    dims: BertDims,
+    token_type_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, S) ids + mask -> (B, S, H) last hidden state."""
+    b, s = input_ids.shape
+    emb = params["embeddings"]
+    x = emb["word"][input_ids] + emb["position"][None, :s]
+    tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
+    x = x + emb["token_type"][tt]
+    x = _layer_norm(emb["ln"], x)
+
+    # HF-style additive mask: 0 where attended, large negative where padded.
+    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * jnp.finfo(
+        jnp.float32
+    ).min
+
+    for layer in params["layers"]:
+        attn = _self_attention(layer, x, mask_bias, dims)
+        x = _layer_norm(layer["attn_ln"], x + attn)
+        ffn = _linear(layer["ffn_out"], jax.nn.gelu(_linear(layer["ffn_in"], x), approximate=False))
+        x = _layer_norm(layer["ffn_ln"], x + ffn)
+    return x
+
+
+def cls_projection(params: Params, cls_hidden: jnp.ndarray) -> jnp.ndarray:
+    """BertProjectionHead (modelling_cxrbert.py:36-49)."""
+    p = params["cls_projection"]
+    h = _linear(p["dense_to_hidden"], cls_hidden)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _layer_norm(p["ln"], h)
+    return _linear(p["dense_to_output"], h)
+
+
+def get_projected_text_embeddings(
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    dims: BertDims,
+    normalize: bool = False,
+) -> jnp.ndarray:
+    """(B, S) -> (B, projection_size); [CLS] of the last hidden state through
+    the projection head (modelling_cxrbert.py:117-141)."""
+    hidden = bert_encode(params, input_ids, attention_mask, dims)
+    proj = cls_projection(params, hidden[:, 0, :])
+    if normalize:
+        proj = proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12)
+    return proj
+
+
+def mlm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """BertForMaskedLM prediction head: transform + tied-embedding decoder."""
+    head = params["mlm_head"]
+    h = _linear(head["transform_dense"], hidden)
+    h = jax.nn.gelu(h, approximate=False)
+    h = _layer_norm(head["transform_ln"], h)
+    word = params["embeddings"]["word"]
+    return jnp.matmul(h, word.T, precision=_HIGHEST) + head["decoder_bias"]

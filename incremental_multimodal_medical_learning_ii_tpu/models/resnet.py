@@ -1,0 +1,162 @@
+"""ResNet-50 trunk (BioViL image encoder backbone), TPU-native.
+
+Architecture parity with the torchvision-v1 ResNet-50 the reference vendors
+(``health_multimodal/image/model/resnet.py:50-80``: Bottleneck [3,4,6,3],
+stride on the 3x3 conv, 1x1-conv downsample), re-expressed for TPU:
+
+* NHWC layout and HWIO kernels (XLA's native conv layout on TPU);
+* inference-mode batch norm folded to a single multiply-add (the encoder is
+  always frozen in this workload — the reference freezes it for extraction,
+  ``chexpert-get-embedding.py:41-42``, and never runs it during training);
+* a ``dtype`` knob for bfloat16 conv compute with fp32 parameters/statistics.
+
+Params are plain nested pytrees (dict/list), so the torch weight converter
+is a mechanical transpose and the whole forward jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+BN_EPS = 1e-5  # torch BatchNorm2d default
+RESNET50_LAYERS = (3, 4, 6, 3)
+RESNET50_WIDTHS = (64, 128, 256, 512)
+EXPANSION = 4
+
+
+# ----------------------------------------------------------------------
+# Primitives
+# ----------------------------------------------------------------------
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int, padding: int) -> jnp.ndarray:
+    # Precision is pinned: JAX's default conv precision truncates fp32
+    # operands (~1e-2 error vs torch).  Speed is controlled by the compute
+    # dtype instead — bfloat16 inputs use the bf16 MXU path regardless.
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def batch_norm_inference(x: jnp.ndarray, bn: Params) -> jnp.ndarray:
+    """Frozen BN: precomputable scale/shift, evaluated in fp32 statistics."""
+    scale = (bn["scale"] / jnp.sqrt(bn["var"] + BN_EPS)).astype(x.dtype)
+    shift = (bn["bias"] - bn["mean"] * bn["scale"] / jnp.sqrt(bn["var"] + BN_EPS)).astype(x.dtype)
+    return x * scale + shift
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+# ----------------------------------------------------------------------
+# Initialisation (random weights; production weights come from the converter)
+# ----------------------------------------------------------------------
+def _init_conv(key, kh, kw, cin, cout) -> Params:
+    # torch kaiming_normal_(fan_out, relu)
+    fan_out = kh * kw * cout
+    std = np.sqrt(2.0 / fan_out)
+    return {"kernel": jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std}
+
+
+def _init_bn(c) -> Params:
+    return {
+        "scale": jnp.ones(c, jnp.float32),
+        "bias": jnp.zeros(c, jnp.float32),
+        "mean": jnp.zeros(c, jnp.float32),
+        "var": jnp.ones(c, jnp.float32),
+    }
+
+
+def _init_bottleneck(key, cin, width, stride) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cout = width * EXPANSION
+    block: Params = {
+        "conv1": _init_conv(k1, 1, 1, cin, width),
+        "bn1": _init_bn(width),
+        "conv2": _init_conv(k2, 3, 3, width, width),
+        "bn2": _init_bn(width),
+        "conv3": _init_conv(k3, 1, 1, width, cout),
+        "bn3": _init_bn(cout),
+    }
+    if stride != 1 or cin != cout:
+        block["downsample_conv"] = _init_conv(k4, 1, 1, cin, cout)
+        block["downsample_bn"] = _init_bn(cout)
+    return block
+
+
+def init_resnet50(key: jax.Array) -> Params:
+    keys = jax.random.split(key, 1 + len(RESNET50_LAYERS))
+    params: Params = {
+        "conv1": _init_conv(keys[0], 7, 7, 3, 64),
+        "bn1": _init_bn(64),
+    }
+    cin = 64
+    for li, (blocks, width) in enumerate(zip(RESNET50_LAYERS, RESNET50_WIDTHS)):
+        stride = 1 if li == 0 else 2
+        bkeys = jax.random.split(keys[1 + li], blocks)
+        layer: List[Params] = []
+        for bi in range(blocks):
+            layer.append(_init_bottleneck(bkeys[bi], cin, width, stride if bi == 0 else 1))
+            cin = width * EXPANSION
+        params[f"layer{li + 1}"] = layer
+    return params
+
+
+# ----------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------
+def _bottleneck_forward(block: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    out = conv2d(x, block["conv1"]["kernel"], 1, 0)
+    out = jax.nn.relu(batch_norm_inference(out, block["bn1"]))
+    out = conv2d(out, block["conv2"]["kernel"], stride, 1)
+    out = jax.nn.relu(batch_norm_inference(out, block["bn2"]))
+    out = conv2d(out, block["conv3"]["kernel"], 1, 0)
+    out = batch_norm_inference(out, block["bn3"])
+    if "downsample_conv" in block:
+        identity = conv2d(x, block["downsample_conv"]["kernel"], stride, 0)
+        identity = batch_norm_inference(identity, block["downsample_bn"])
+    else:
+        identity = x
+    return jax.nn.relu(out + identity)
+
+
+def resnet50_forward(
+    params: Params,
+    x: jnp.ndarray,
+    dtype: jnp.dtype = jnp.float32,
+    return_intermediates: bool = False,
+):
+    """NHWC forward; returns x4 (B, H/32, W/32, 2048), or the x0..x4 tuple
+    (``ResNetHIML.forward``, resnet.py:25-47)."""
+    x = x.astype(dtype)
+    x0 = conv2d(x, params["conv1"]["kernel"], 2, 3)
+    x0 = jax.nn.relu(batch_norm_inference(x0, params["bn1"]))
+    x0 = max_pool_3x3_s2(x0)
+    feats = [x0]
+    out = x0
+    for li in range(4):
+        stride = 1 if li == 0 else 2
+        for bi, block in enumerate(params[f"layer{li + 1}"]):
+            out = _bottleneck_forward(block, out, stride if bi == 0 else 1)
+        feats.append(out)
+    if return_intermediates:
+        return tuple(feats)
+    return out

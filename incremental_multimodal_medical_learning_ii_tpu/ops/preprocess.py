@@ -1,0 +1,161 @@
+"""CXR preprocessing: the BioViL pipeline, host-parity and on-device forms.
+
+Reference pipeline (``DataRetrieval.py:175-180`` / ``get_bio_vil_pipeline``):
+ToPILImage -> Resize(size) -> CenterCrop(size) -> ToTensor (/255) ->
+ExpandChannels (1->3).  The vendored engine variant also percentile-remaps
+raw arrays to uint8 first (``health_multimodal/image/data/io.py:16-47``).
+
+Two implementations:
+
+* :func:`preprocess_host` — exact reference semantics via PIL, for parity
+  harnesses and single-image inference;
+* :func:`preprocess_device` — the TPU path: host supplies padded raw uint8
+  images + per-image PIL-parity resize matrices (see ops/resize.py); the
+  device does resize (2 MXU matmuls) + center crop + /255 + 3-channel
+  expansion in one fused XLA program, batched.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.ops.resize import (
+    batched_matmul_resize,
+    resize_matrix,
+    resize_shape_for_smaller_edge,
+)
+
+
+# ----------------------------------------------------------------------
+# Host reference path (PIL)
+# ----------------------------------------------------------------------
+def remap_to_uint8(array: np.ndarray, percentiles: Optional[Tuple[float, float]] = None) -> np.ndarray:
+    """Min-max (or percentile-clipped) remap to [0, 255] uint8
+    (``image/data/io.py:16-47``)."""
+    array = array.astype(float)
+    if percentiles is not None:
+        if len(percentiles) != 2:
+            raise ValueError(
+                "The value for percentiles should be a sequence of length 2,"
+                f" but has length {len(percentiles)}"
+            )
+        a, b = percentiles
+        if a >= b:
+            raise ValueError(f'Percentiles must be in ascending order, but a sequence "{percentiles}" was passed')
+        if a < 0 or b > 100:
+            raise ValueError(f'Percentiles must be in the range [0, 100], but a sequence "{percentiles}" was passed')
+        cutoff = np.percentile(array, percentiles)
+        array = np.clip(array, *cutoff)
+    array -= array.min()
+    mx = array.max()
+    if mx > 0:
+        array /= mx
+    array *= 255
+    return array.astype(np.uint8)
+
+
+def center_crop_bounds(h: int, w: int, crop: int) -> Tuple[int, int]:
+    """torchvision CenterCrop corner: int(round((dim - crop) / 2))."""
+    top = int(round((h - crop) / 2.0))
+    left = int(round((w - crop) / 2.0))
+    return top, left
+
+
+def preprocess_host(image_u8: np.ndarray, size: int = 512, crop: Optional[int] = None) -> np.ndarray:
+    """(H, W) uint8 -> (crop, crop, 3) float32 in [0,1]; exact reference
+    pipeline via PIL (Resize smaller edge -> CenterCrop -> /255 -> 3ch)."""
+    from PIL import Image
+
+    crop = crop or size
+    pil = Image.fromarray(image_u8, mode="L")
+    h, w = image_u8.shape
+    out_h, out_w = resize_shape_for_smaller_edge(h, w, size)
+    pil = pil.resize((out_w, out_h), Image.BILINEAR)
+    arr = np.asarray(pil)
+    top, left = center_crop_bounds(out_h, out_w, crop)
+    if top < 0 or left < 0 or out_h < crop or out_w < crop:  # pad if smaller
+        padded = np.zeros((max(out_h, crop), max(out_w, crop)), np.uint8)
+        py, px = (padded.shape[0] - out_h) // 2, (padded.shape[1] - out_w) // 2
+        padded[py : py + out_h, px : px + out_w] = arr
+        arr = padded
+        top, left = center_crop_bounds(arr.shape[0], arr.shape[1], crop)
+    arr = arr[top : top + crop, left : left + crop]
+    out = (arr.astype(np.float32) / 255.0)[..., None]
+    return np.repeat(out, 3, axis=-1)
+
+
+# ----------------------------------------------------------------------
+# Device path
+# ----------------------------------------------------------------------
+class DevicePreprocessPlan:
+    """Host-side plan for a batch of raw images with heterogeneous sizes.
+
+    Builds the static padded raw buffer and per-image PIL-parity resize
+    matrices targeting a (resize_max, resize_max) canvas whose central
+    (crop, crop) window is the reference's Resize+CenterCrop output.
+    """
+
+    def __init__(self, size: int = 512, crop: Optional[int] = None, pad_to: int = 1024):
+        self.size = size
+        self.crop = crop or size
+        self.pad_to = pad_to
+
+    def prepare(self, images: Sequence[np.ndarray]):
+        """images: list of (H, W) uint8 -> (raw (B,P,P) u8, w_h, w_w arrays).
+
+        Each image's resize target (out_h, out_w) differs; we build weight
+        matrices directly for the *cropped* window, fusing CenterCrop into
+        the resize matrices (rows/cols outside the crop are simply omitted),
+        so the device output is (B, crop, crop) straight away.
+        """
+        b = len(images)
+        p = self.pad_to
+        raw = np.zeros((b, p, p), np.uint8)
+        w_h = np.zeros((b, self.crop, p), np.float32)
+        w_w = np.zeros((b, self.crop, p), np.float32)
+        for i, img in enumerate(images):
+            h, w = img.shape
+            if h > p or w > p:
+                raise ValueError(f"image {i} ({h}x{w}) exceeds pad_to={p}")
+            raw[i, :h, :w] = img
+            out_h, out_w = resize_shape_for_smaller_edge(h, w, self.size)
+            top, left = center_crop_bounds(out_h, out_w, self.crop)
+            full_h = resize_matrix(h, out_h, padded_in=p)
+            full_w = resize_matrix(w, out_w, padded_in=p)
+            # fuse the center crop: keep only the crop window's rows/cols
+            w_h[i] = _crop_rows(full_h, top, self.crop)
+            w_w[i] = _crop_rows(full_w, left, self.crop)
+        return raw, w_h, w_w
+
+
+def _crop_rows(mat: np.ndarray, start: int, crop: int) -> np.ndarray:
+    """Rows [start, start+crop) of the resize matrix, zero-padded where the
+    crop extends past the resized image (CenterCrop pads with black)."""
+    out = np.zeros((crop, mat.shape[1]), mat.dtype)
+    src_lo = max(start, 0)
+    src_hi = min(start + crop, mat.shape[0])
+    dst_lo = src_lo - start
+    out[dst_lo : dst_lo + (src_hi - src_lo)] = mat[src_lo:src_hi]
+    return out
+
+
+def preprocess_device(raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray) -> jnp.ndarray:
+    """(B, P, P) u8 + per-image weights -> (B, crop, crop, 3) float32 [0,1].
+
+    One fused XLA program: 2 batched MXU matmuls (resize+crop), uint8
+    rounding parity, /255, 3-channel broadcast.
+    """
+    resized = batched_matmul_resize(raw, w_h, w_w, round_uint8=True)
+    out = (resized / 255.0)[..., None]
+    return jnp.broadcast_to(out, (*out.shape[:3], 3))
+
+
+def expand_channels(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 1) -> (..., 3) (``ExpandChannels``, DataRetrieval.py:27-40)."""
+    if x.shape[-1] != 1:
+        raise ValueError(f"Expected trailing channel dim 1, found {x.shape}")
+    return jnp.broadcast_to(x, (*x.shape[:-1], 3))

@@ -1,0 +1,94 @@
+"""PIL-parity antialiased bilinear resize, as MXU matmuls.
+
+The reference resizes every CXR with ``torchvision.transforms.Resize`` on a
+PIL image (``DataRetrieval.py:175-180``), i.e. PIL's antialiased bilinear
+(triangle) filter applied separably with uint8 rounding.  That is exactly a
+pair of sparse row/column weighting matrices — so on TPU we express the
+resize as two dense matmuls, ``W_h @ img @ W_w^T``, which XLA maps straight
+onto the MXU and fuses with the /255 normalisation and channel expansion.
+
+For dynamically-sized source images (each CheXpert file has its own H, W)
+the weight matrices are built on host per image (microseconds: a few
+hundred floats) into static padded buffers, so the device computation keeps
+one static shape for the whole extraction run.
+
+``resize_matrix`` reproduces PIL's filter placement bit-for-bit:
+support = max(1, in/out), centers at (i + 0.5) * in/out, triangle weights
+normalised to sum 1 (see Pillow ``ImagingResampleHorizontal``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def resize_support(in_size: int, out_size: int) -> int:
+    """Max number of taps any output pixel needs (PIL ksize)."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = filterscale  # bilinear filter support = 1.0, scaled
+    return int(np.ceil(support)) * 2 + 1
+
+
+def resize_matrix(in_size: int, out_size: int, padded_in: int | None = None) -> np.ndarray:
+    """(out_size, padded_in) dense PIL-bilinear weight matrix."""
+    padded_in = padded_in or in_size
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale  # triangle filter support
+    w = np.zeros((out_size, padded_in), np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        taps = np.arange(xmin, xmax)
+        x = (taps - center + 0.5) / filterscale
+        weights = np.clip(1.0 - np.abs(x), 0.0, None)  # triangle
+        ssum = weights.sum()
+        if ssum > 0:
+            weights = weights / ssum
+        w[i, xmin:xmax] = weights
+    return w.astype(np.float32)
+
+
+def resize_shape_for_smaller_edge(h: int, w: int, size: int) -> Tuple[int, int]:
+    """torchvision ``Resize(int)``: scale the smaller edge to ``size``."""
+    if h <= w:
+        return size, max(1, int(round(size * w / h)))
+    return max(1, int(round(size * h / w))), size
+
+
+def matmul_resize(
+    img: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray, round_uint8: bool = True
+) -> jnp.ndarray:
+    """(H, W) x (outH, H) x (outW, W) -> (outH, outW); two MXU matmuls.
+
+    ``round_uint8`` reproduces PIL's uint8 output rounding (the reference
+    resizes uint8 PIL images, so the rounding is part of the math).
+    """
+    x = img.astype(jnp.float32)
+    out = jnp.matmul(
+        jnp.matmul(w_h, x, precision=jax.lax.Precision.HIGHEST),
+        w_w.T,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if round_uint8:
+        out = jnp.clip(jnp.round(out), 0.0, 255.0)
+    return out
+
+
+def batched_matmul_resize(
+    imgs: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray, round_uint8: bool = True
+) -> jnp.ndarray:
+    """(B, Hp, Wp) images with per-image weight matrices (B, outH, Hp),
+    (B, outW, Wp) -> (B, outH, outW)."""
+    x = imgs.astype(jnp.float32)
+    out = jnp.einsum("boh,bhw->bow", w_h, x, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bow,bpw->bop", out, w_w, precision=jax.lax.Precision.HIGHEST)
+    if round_uint8:
+        out = jnp.clip(jnp.round(out), 0.0, 255.0)
+    return out

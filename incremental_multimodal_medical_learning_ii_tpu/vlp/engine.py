@@ -1,0 +1,158 @@
+"""Joint image-text (VLP) inference: similarity scores and phrase grounding.
+
+Capability parity with ``health_multimodal/vlp/inference_engine.py``:
+
+* :meth:`get_similarity_score_from_raw_data` (``:30-57``): cosine between
+  the image's global embedding (L2-normalised) and the mean text embedding
+  of the query prompts (mean of raw embeddings, then L2-normalised);
+* :meth:`get_similarity_map_from_raw_data` (``:59-91``): patch-embedding x
+  text-embedding similarity grid, gaussian-smoothed (sigma=1.5), resized
+  back to the original image geometry with NaN padding outside the crop
+  (``:94-155``).
+
+The gaussian smoothing runs on device as a small separable convolution; the
+final geometric re-mapping is host-side numpy (it produces a per-image
+visualisation, not a training tensor).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+    biovil_image_forward,
+    get_patchwise_projected_embeddings,
+)
+from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import preprocess_host
+
+
+def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage.gaussian_filter's kernel (radius = truncate*sigma)."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_smooth_2d(grid: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
+    """Separable 'reflect'-padded gaussian blur matching scipy's default."""
+    k = jnp.asarray(_gaussian_kernel_1d(sigma))
+    r = (len(k) - 1) // 2
+
+    def smooth_axis(x, axis):
+        x = jnp.moveaxis(x, axis, -1)
+        pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="reflect")
+        out = jax.vmap(lambda row: jnp.correlate(row, k, mode="valid"))(
+            pad.reshape(-1, pad.shape[-1])
+        ).reshape(x.shape)
+        return jnp.moveaxis(out, -1, axis)
+
+    return smooth_axis(smooth_axis(grid, 0), 1)
+
+
+class ImageTextInferenceEngine:
+    def __init__(self, image_params, text_engine, resize_size: int = 512, crop_size: int = 480):
+        """``text_engine``: a :class:`text.engine.TextInferenceEngine`.
+        Default geometry matches the vendored engine factory
+        (``image/utils.py:11-12``: resize 512 / crop 480)."""
+        self.image_params = image_params
+        self.text_engine = text_engine
+        self.resize_size = resize_size
+        self.crop_size = crop_size
+        self._global = jax.jit(
+            lambda p, img: biovil_image_forward(p, img).projected_global_embedding
+        )
+        self._patches = jax.jit(
+            lambda p, img: get_patchwise_projected_embeddings(p, img, normalize=True)
+        )
+
+    # ------------------------------------------------------------------
+    def _load(self, image_path) -> Tuple[np.ndarray, Tuple[int, int]]:
+        from incremental_multimodal_medical_learning_ii_tpu.data.images import load_image
+
+        raw = load_image(image_path)
+        pre = preprocess_host(raw, size=self.resize_size, crop=self.crop_size)
+        return pre[None], (raw.shape[1], raw.shape[0])  # (width, height)
+
+    def get_similarity_score_from_raw_data(
+        self, image_path, query_text: Union[str, List[str]]
+    ) -> float:
+        query = [query_text] if isinstance(query_text, str) else list(query_text)
+        img, _ = self._load(image_path)
+        img_emb = np.asarray(self._global(self.image_params, jnp.asarray(img)))[0]
+        img_emb = img_emb / max(np.linalg.norm(img_emb), 1e-12)
+        txt = self.text_engine.get_embeddings_from_prompt(query, normalize=False)
+        txt = txt.mean(axis=0)
+        txt = txt / max(np.linalg.norm(txt), 1e-12)
+        return float(img_emb @ txt)
+
+    def get_similarity_map_from_raw_data(
+        self, image_path, query_text: str, interpolation: str = "nearest"
+    ) -> np.ndarray:
+        assert isinstance(query_text, str)
+        img, (width, height) = self._load(image_path)
+        patches = self._patches(self.image_params, jnp.asarray(img))[0]  # (h, w, D)
+        txt = self.text_engine.get_embeddings_from_prompt([query_text], normalize=True)[0]
+        sim = jnp.einsum("hwd,d->hw", patches, jnp.asarray(txt))
+        smoothed = np.asarray(gaussian_smooth_2d(sim, sigma=1.5))
+        return convert_similarity_to_image_size(
+            smoothed, width, height, self.resize_size, self.crop_size, interpolation
+        )
+
+
+def convert_similarity_to_image_size(
+    similarity_map: np.ndarray,
+    width: int,
+    height: int,
+    resize_size: Optional[int],
+    crop_size: Optional[int],
+    interpolation: str = "nearest",
+) -> np.ndarray:
+    """Map the patch-grid similarity back onto the original image geometry,
+    NaN-padding the region outside the center crop (``vlp:121-155``)."""
+    smallest = min(width, height)
+    if crop_size is not None:
+        if resize_size is not None:
+            target = int(crop_size * smallest / resize_size)
+        else:
+            target = crop_size
+        upsized = _interpolate(similarity_map, (target, target), interpolation)
+        out = np.full((height, width), np.nan, np.float32)
+        margin_w, margin_h = width - target, height - target
+        top, left = math.floor(margin_h / 2), math.floor(margin_w / 2)
+        out[top : top + target, left : left + target] = upsized
+        return out
+    return _interpolate(similarity_map, (height, width), interpolation)
+
+
+def _interpolate(grid: np.ndarray, size: Tuple[int, int], mode: str) -> np.ndarray:
+    method = {"nearest": "nearest", "bilinear": "bilinear", "linear": "bilinear"}.get(mode)
+    if method is None:
+        raise ValueError(f"unsupported interpolation {mode!r}")
+    out = jax.image.resize(jnp.asarray(grid), size, method=method)
+    return np.asarray(out)
+
+
+def plot_phrase_grounding_similarity_map(image_path, similarity_map: np.ndarray):
+    """Overlay figure (``common/visualization.py:109-120``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.images import load_image
+
+    fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+    img = load_image(image_path)
+    for ax in axes:
+        ax.imshow(img, cmap="gray")
+        ax.axis("off")
+    masked = np.ma.masked_invalid(similarity_map)
+    im = axes[1].imshow(masked, cmap="RdBu_r", alpha=0.5, vmin=-1, vmax=1)
+    fig.colorbar(im, ax=axes[1])
+    return fig

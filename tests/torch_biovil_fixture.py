@@ -1,0 +1,102 @@
+"""Torch reference fixture: a minimal BioViL image model (torchvision-v1
+ResNet-50 semantics + 1x1-conv projector) used ONLY to validate the JAX
+implementation and weight converter against independently-written torch
+code.  State-dict keys mirror the reference checkpoint layout
+(``encoder.encoder.*``, ``projector.model.*``)."""
+
+import torch
+import torch.nn as nn
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or inplanes != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet50Trunk(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, 64, 3, 1)
+        self.layer2 = self._make_layer(256, 128, 4, 2)
+        self.layer3 = self._make_layer(512, 256, 6, 2)
+        self.layer4 = self._make_layer(1024, 512, 3, 2)
+
+    @staticmethod
+    def _make_layer(inplanes, planes, blocks, stride):
+        layers = [Bottleneck(inplanes, planes, stride)]
+        layers += [Bottleneck(planes * 4, planes) for _ in range(blocks - 1)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        return self.layer4(x)
+
+
+class EncoderWrapper(nn.Module):
+    """Matches the reference's ImageEncoder (.encoder is the trunk)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = ResNet50Trunk()
+
+
+class TorchBioViLImage(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = EncoderWrapper()
+        self.projector = nn.Module()
+        self.projector.model = nn.Sequential(
+            nn.Conv2d(2048, 128, 1, bias=False),
+            nn.BatchNorm2d(128),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(128, 128, 1, bias=True),
+        )
+
+    def forward(self, x):
+        patch = self.encoder.encoder(x)
+        projected = self.projector.model(patch)
+        return projected.mean(dim=(2, 3)), projected  # global, patch grid
+
+
+def randomize_bn_stats(model: nn.Module, seed: int = 0) -> None:
+    """Non-trivial running stats so conversion bugs can't hide behind
+    identity batch norms."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.weight.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
