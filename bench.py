@@ -1,0 +1,83 @@
+"""Headline benchmark: CheXpert embedding-extraction throughput (imgs/sec/chip).
+
+Measures the fused raw-uint8 -> preprocess -> BioViL ResNet-50 -> 128-d
+embedding pipeline on the available accelerator, bfloat16 conv compute,
+batch transfer included (raw uint8 pixels cross the host/device boundary
+each step, exactly like a real extraction run with prefetch).
+
+Baseline: the reference implementation is a batch-size-1 torch-CPU loop
+with PIL preprocessing (``chexpert-get-embedding.py:49,68-99``; no GPU in
+this environment, and the reference records no throughput numbers).
+Measured on this host (1 vCPU, torch 2.13 CPU, identical model FLOPs and
+PIL pipeline): **1.509 imgs/sec** — see tests/torch_biovil_fixture.py for
+the measurement model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+TORCH_CPU_BASELINE_IMGS_PER_SEC = 1.509  # measured 2026-08-16 on this host
+
+# CheXpert-v1.0-small frontal geometry
+IMG_H, IMG_W = 390, 320
+BATCH = 128
+SIZE, CROP = 512, 512
+WARMUP_STEPS = 2
+TIMED_STEPS = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
+        make_encode_raw_shared_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        SharedSizePreprocessPlan,
+    )
+
+    params = init_biovil_image_model(jax.random.PRNGKey(0))
+    plan = SharedSizePreprocessPlan(IMG_H, IMG_W, size=SIZE, crop=CROP)
+    encode = make_encode_raw_shared_fn(params, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.integers(0, 256, size=(BATCH, IMG_H, IMG_W), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    w_h = jnp.asarray(plan.w_h)
+    w_w = jnp.asarray(plan.w_w)
+
+    for i in range(WARMUP_STEPS):
+        encode(params, batches[i % len(batches)], w_h, w_w).block_until_ready()
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(TIMED_STEPS):
+        out = encode(params, batches[i % len(batches)], w_h, w_w)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * TIMED_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "chexpert_extraction_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(imgs_per_sec / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

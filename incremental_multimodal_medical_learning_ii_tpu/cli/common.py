@@ -1,0 +1,164 @@
+"""Shared CLI plumbing: dataset loading, prompt-bank construction, mesh.
+
+The reference's drivers hard-code every hyperparameter in ``__main__``
+blocks and persist configuration only in the run-dir name; these CLIs take
+argparse flags whose *defaults equal the reference's constants*, and a
+``--synthetic`` mode substitutes learnable fake data for smoke runs (the
+CheXpert data and BioViL weights are not redistributable).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+    EmbeddingDataset,
+    synthetic_dataset,
+)
+from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import DataBundle
+from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
+from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+    build_prompt_bank,
+    synthetic_encode_fn,
+)
+from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    CHEXPERT_COMPETITION_TASKS,
+    ExperimentConfig,
+)
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", type=int, default=6144)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--seed", type=int, default=27)
+    p.add_argument("--single-prompt", action="store_true")
+    p.add_argument("--new-prompts", action="store_true")
+    p.add_argument("--max-emb", action="store_true", help="MAX over prompt ensemble")
+    p.add_argument("--adapter", choices=["mlp", "dense", "no-head"], default="mlp")
+    p.add_argument("--optim", choices=["adam", "sgd"], default="adam")
+    p.add_argument("--shared", action="store_true")
+    p.add_argument("--no-image-adapter", action="store_true")
+    p.add_argument("--no-text-adapter", action="store_true")
+    p.add_argument("--train-logit-pos", action="store_true", help="train on pos only")
+    p.add_argument("--pred-logit-diff", action="store_true")
+    p.add_argument("--change-labels", action="store_true")
+    p.add_argument("--xrays-position", choices=["all", "frontal"], default="all")
+    p.add_argument("--log-dir", default="runs")
+    p.add_argument("--data-dir", help="dir with train/val/test .npz (or reference .pt) embedding datasets")
+    p.add_argument("--synthetic", action="store_true", help="learnable fake data (smoke runs)")
+    p.add_argument("--cxr-bert-checkpoint", help="torch state-dict path for CXR-BERT")
+    p.add_argument("--cxr-bert-vocab", help="vocab.txt for the CXR-BERT tokenizer")
+    p.add_argument("--mesh-devices", type=int, default=0, help="0 = all devices")
+    p.add_argument("--tsne-plots", action="store_true", help="enable t-SNE figure hooks")
+
+
+def prompt_mode_of(args) -> str:
+    if args.single_prompt:
+        return "single"
+    return "max" if args.max_emb else "mean"
+
+
+def config_kwargs(args) -> dict:
+    return dict(
+        batch_size=args.batch_size,
+        lr=args.lr,
+        epochs=args.epochs,
+        seed=args.seed,
+        prompt_mode=prompt_mode_of(args),
+        new_prompts=args.new_prompts,
+        adapter=args.adapter,
+        optim=args.optim,
+        shared=args.shared,
+        image_adapter=not args.no_image_adapter,
+        text_adapter=not args.no_text_adapter,
+        train_logit_diff=not args.train_logit_pos,
+        pred_logit_diff=args.pred_logit_diff,
+        change_labels=args.change_labels,
+        xrays_position=args.xrays_position,
+    )
+
+
+def _load_split(data_dir: Path, split: str) -> EmbeddingDataset:
+    npz = data_dir / f"{split}.npz"
+    if npz.exists():
+        return EmbeddingDataset.load(npz)
+    pt = data_dir / f"{split}.pt"
+    if pt.exists():
+        return EmbeddingDataset.load_torch_pt(pt)
+    raise FileNotFoundError(f"no {split}.npz or {split}.pt in {data_dir}")
+
+
+def load_bundle(args) -> DataBundle:
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        dirs = rng.normal(size=(5, 128)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        bundle = DataBundle(
+            train=synthetic_dataset(8192, seed=1, class_directions=dirs),
+            val=synthetic_dataset(2048, seed=2, class_directions=dirs),
+            test=synthetic_dataset(2048, seed=3, class_directions=dirs),
+        )
+    else:
+        if not args.data_dir:
+            raise SystemExit("--data-dir required (or use --synthetic)")
+        d = Path(args.data_dir)
+        bundle = DataBundle(
+            train=_load_split(d, "train"),
+            val=_load_split(d, "val"),
+            test=_load_split(d, "test"),
+        )
+    return bundle.with_tsne_subsets() if args.tsne_plots else bundle
+
+
+def build_bank(args, cfg: ExperimentConfig) -> PromptBank:
+    prompts = create_prompts(
+        CHEXPERT_COMPETITION_TASKS,
+        single_prompt=cfg.single_prompt,
+        new_prompts=cfg.new_prompts,
+        train_logit_diff=cfg.train_logit_diff,
+        seed=cfg.seed,
+    )
+    if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_cxr_bert_checkpoint,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+            TextInferenceEngine,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+            PromptTokenizer,
+        )
+
+        params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+        engine = TextInferenceEngine(params, dims, PromptTokenizer(args.cxr_bert_vocab))
+        encode = engine.encode_fn(normalize=False)
+    else:
+        print("[warn] no CXR-BERT checkpoint given; using synthetic prompt encoder")
+        encode = synthetic_encode_fn(seed=cfg.seed)
+    return build_prompt_bank(
+        encode, prompts, CHEXPERT_COMPETITION_TASKS, train_logit_diff=cfg.train_logit_diff
+    )
+
+
+def make_mesh(args):
+    if args.mesh_devices == 1:
+        return None
+    import jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.mesh import create_mesh
+
+    n = args.mesh_devices or len(jax.devices())
+    return create_mesh(n) if n > 1 else None
+
+
+def print_results(results) -> None:
+    for key, metrics in results.items():
+        if isinstance(metrics, dict):
+            line = ", ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+            print(f"{key}: {line}")

@@ -1,0 +1,100 @@
+"""CheXpert embedding extraction driver (reference ``chexpert-get-embedding.py``).
+
+Batched, fused-preprocess, bfloat16, shard-checkpointed (the reference runs
+a batch-size-1 torch loop with a shard every 5000 images).
+
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.extract_embeddings \
+        --csv labels.csv --img-dir /data/chexpert/ --biovil-checkpoint biovil.pt \
+        --out-dir embeddings/test
+
+    # smoke run without data/weights:
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.extract_embeddings \
+        --synthetic 64 --out-dir /tmp/emb
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--csv", help="CheXpert labels CSV (path column first)")
+    p.add_argument("--img-dir", default="", help="prefix joined to CSV paths")
+    p.add_argument("--biovil-checkpoint", help="biovil_image_resnet50_proj_size_128.pt")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--crop", type=int, default=None, help="default: same as --size")
+    p.add_argument("--pad-to", type=int, default=1024)
+    p.add_argument("--checkpoint-interval", type=int, default=5000)
+    p.add_argument("--fp32", action="store_true", help="fp32 conv compute (parity runs)")
+    p.add_argument("--host-preprocess", action="store_true", help="PIL path instead of fused device path")
+    p.add_argument("--synthetic", type=int, default=0, help="N synthetic images (smoke run)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        ShardedEmbeddingStore,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
+        extract_embeddings,
+        manifest_image_iterator,
+    )
+
+    if args.synthetic:
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            init_biovil_image_model,
+        )
+
+        params = init_biovil_image_model(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+
+        def images():
+            for _ in range(args.synthetic):
+                img = rng.integers(0, 256, size=(390, 320), dtype=np.uint8)
+                yield img, (rng.random(5) < 0.3).astype(np.float32)
+
+        iterator = images()
+    else:
+        if not (args.csv and args.biovil_checkpoint):
+            raise SystemExit("--csv and --biovil-checkpoint required (or --synthetic N)")
+        from incremental_multimodal_medical_learning_ii_tpu.data.manifest import (
+            ChexpertManifest,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_biovil_image_checkpoint,
+        )
+
+        params = load_biovil_image_checkpoint(args.biovil_checkpoint)
+        manifest = ChexpertManifest.from_csv(args.csv, img_dir=args.img_dir)
+        print(f"{len(manifest)} images")
+        iterator = manifest_image_iterator(manifest)
+
+    store = ShardedEmbeddingStore(args.out_dir)
+    t0 = time.perf_counter()
+    ds = extract_embeddings(
+        iterator,
+        params,
+        store=store,
+        batch_size=args.batch_size,
+        size=args.size,
+        crop=args.crop,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        checkpoint_interval=args.checkpoint_interval,
+        device_preprocess=not args.host_preprocess,
+        pad_to=args.pad_to,
+    )
+    dt = time.perf_counter() - t0
+    final = store.directory / "dataset.npz"
+    ds.save(final)
+    print(f"extracted {len(ds)} embeddings in {dt:.1f}s ({len(ds)/dt:.1f} imgs/sec) -> {final}")
+
+
+if __name__ == "__main__":
+    main()

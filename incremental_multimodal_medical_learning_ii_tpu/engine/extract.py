@@ -34,7 +34,9 @@ from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
 )
 from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
     DevicePreprocessPlan,
+    SharedSizePreprocessPlan,
     preprocess_device,
+    preprocess_device_shared,
     preprocess_host,
 )
 from incremental_multimodal_medical_learning_ii_tpu.parallel import mesh as mesh_lib
@@ -56,6 +58,17 @@ def make_encode_raw_fn(params, dtype=jnp.bfloat16):
 
     def fn(p, raw, w_h, w_w):
         images = preprocess_device(raw, w_h, w_w)
+        return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
+
+    return jax.jit(fn)
+
+
+def make_encode_raw_shared_fn(params, dtype=jnp.bfloat16):
+    """jitted (raw u8 (B,H,W), shared w_h, w_w) -> (B, 128); the uniform-size
+    fast path — only raw uint8 pixels cross the host/device boundary."""
+
+    def fn(p, raw, w_h, w_w):
+        images = preprocess_device_shared(raw, w_h, w_w)
         return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
 
     return jax.jit(fn)
@@ -120,6 +133,7 @@ def extract_embeddings(
     pad_to: int = 1024,
     mesh=None,
     prefetch_depth: int = 2,
+    trace_dir: Optional[str] = None,
 ) -> EmbeddingDataset:
     """Run the full extraction pass; returns the (N, 128) dataset and writes
     shard checkpoints along the way when ``store`` is given."""
@@ -130,13 +144,27 @@ def extract_embeddings(
     if device_preprocess:
         plan = DevicePreprocessPlan(size=size, crop=crop, pad_to=pad_to)
         encode = make_encode_raw_fn(params, dtype=dtype)
+        encode_shared = make_encode_raw_shared_fn(params, dtype=dtype)
+        shared_plans = {}  # (h, w) -> SharedSizePreprocessPlan
 
         def prepare(batch_imgs):
+            shapes = {im.shape for im in batch_imgs}
+            if len(shapes) == 1:
+                hw = next(iter(shapes))
+                sp = shared_plans.get(hw)
+                if sp is None:
+                    sp = shared_plans[hw] = SharedSizePreprocessPlan(*hw, size=size, crop=crop)
+                return ("shared", sp.prepare(batch_imgs), sp.w_h, sp.w_w)
             raw, w_h, w_w = plan.prepare(batch_imgs)
-            return (raw, w_h, w_w)
+            return ("per-image", raw, w_h, w_w)
 
         def run(prepared):
-            raw, w_h, w_w = prepared
+            kind, raw, w_h, w_w = prepared
+            if kind == "shared":
+                if mesh is not None:
+                    raw = mesh_lib.shard_batch(mesh, raw)
+                    w_h, w_w = mesh_lib.replicate(mesh, (w_h, w_w))
+                return encode_shared(params, raw, w_h, w_w)
             if mesh is not None:
                 raw, w_h, w_w = mesh_lib.shard_batch(mesh, (raw, w_h, w_w))
             return encode(params, raw, w_h, w_w)
@@ -156,25 +184,32 @@ def extract_embeddings(
         for batch_imgs, labels, n in _batched(iter(images), batch_size):
             yield prepare(batch_imgs), labels, n
 
+    from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+        annotate,
+        maybe_trace,
+    )
+
     all_embs: list = []
     all_labels: list = []
     pending_embs: list = []
     pending_labels: list = []
     written = 0
     seen = 0
-    for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
-        embs = np.asarray(run(prepared), dtype=np.float32)[:n]
-        labels = labels[:n]
-        seen += n
-        all_embs.append(embs)
-        all_labels.append(labels)
-        if store is not None:
-            pending_embs.append(embs)
-            pending_labels.append(labels)
-            if seen - written >= checkpoint_interval:
-                store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
-                written = seen
-                pending_embs, pending_labels = [], []
+    with maybe_trace(trace_dir):
+        for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
+            with annotate("extract_batch"):
+                embs = np.asarray(run(prepared), dtype=np.float32)[:n]
+            labels = labels[:n]
+            seen += n
+            all_embs.append(embs)
+            all_labels.append(labels)
+            if store is not None:
+                pending_embs.append(embs)
+                pending_labels.append(labels)
+                if seen - written >= checkpoint_interval:
+                    store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
+                    written = seen
+                    pending_embs, pending_labels = [], []
     if store is not None and pending_embs:
         store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
     return EmbeddingDataset(np.concatenate(all_embs), np.concatenate(all_labels))

@@ -154,6 +154,37 @@ def preprocess_device(raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray) -> j
     return jnp.broadcast_to(out, (*out.shape[:3], 3))
 
 
+class SharedSizePreprocessPlan:
+    """Fast path for uniform-size batches (CheXpert-small is mostly one
+    geometry): one weight-matrix pair shared by the whole batch, so the
+    host->device transfer per image is just the raw uint8 pixels."""
+
+    def __init__(self, height: int, width: int, size: int = 512, crop: Optional[int] = None):
+        self.height, self.width = height, width
+        self.size = size
+        self.crop = crop or size
+        out_h, out_w = resize_shape_for_smaller_edge(height, width, size)
+        top, left = center_crop_bounds(out_h, out_w, self.crop)
+        self.w_h = _crop_rows(resize_matrix(height, out_h), top, self.crop)
+        self.w_w = _crop_rows(resize_matrix(width, out_w), left, self.crop)
+
+    def prepare(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        raw = np.stack(images)
+        if raw.shape[1:] != (self.height, self.width):
+            raise ValueError(f"expected {(self.height, self.width)} images, got {raw.shape[1:]}")
+        return raw
+
+
+def preprocess_device_shared(raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) u8 with one shared (crop, H) / (crop, W) matrix pair."""
+    x = raw.astype(jnp.float32)
+    out = jnp.einsum("oh,bhw->bow", w_h, x, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bow,pw->bop", out, w_w, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.clip(jnp.round(out), 0.0, 255.0)
+    out = (out / 255.0)[..., None]
+    return jnp.broadcast_to(out, (*out.shape[:3], 3))
+
+
 def expand_channels(x: jnp.ndarray) -> jnp.ndarray:
     """(..., 1) -> (..., 3) (``ExpandChannels``, DataRetrieval.py:27-40)."""
     if x.shape[-1] != 1:
