@@ -65,6 +65,7 @@ def _forward(
     embs: jnp.ndarray,
     bank: PromptBank,
     cfg: ExperimentConfig,
+    use_pallas: bool = False,
 ):
     image_embs = pair.apply_image(params, embs)
     adapted_bank = (
@@ -76,7 +77,19 @@ def _forward(
         cfg.prompt_mode,
         cfg.train_logit_diff,
         cfg.pred_logit_diff,
+        use_pallas=use_pallas,
     )
+
+
+def _eval_uses_pallas(cfg: ExperimentConfig) -> bool:
+    """Fused Pallas cosine on the (no-grad) eval path when running on a real
+    TPU backend; the jnp reference everywhere else (CPU tests, autodiff)."""
+    import jax as _jax
+
+    try:
+        return _jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def build_train_step(
@@ -136,8 +149,10 @@ def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
     (the reference evaluates the full label set in every regime,
     ``Trainer.py:772-866``)."""
 
+    use_pallas = _eval_uses_pallas(cfg)
+
     def step(params, embs, labels, elem_mask, bank):
-        out = _forward(pair, params, embs, bank, cfg)
+        out = _forward(pair, params, embs, bank, cfg, use_pallas=use_pallas)
         lbl = change_labels(labels) if cfg.change_labels else labels
         loss = bce_with_logits(out.logits, lbl, elem_mask[:, None] * jnp.ones((1, lbl.shape[1])))
         return loss, out.scores, out.preds, out.logits

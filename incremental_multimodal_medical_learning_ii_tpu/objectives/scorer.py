@@ -88,17 +88,35 @@ def apply_text_adapter_to_bank(adapter_fn, params, bank: PromptBank) -> PromptBa
     )
 
 
+def _pairwise(x: jnp.ndarray, t: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """(B, D) x (T, D) -> (B, T); Pallas fused kernel on TPU (no-grad paths
+    only — the kernel has no VJP), jnp reference otherwise."""
+    if use_pallas:
+        from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_cosine import (
+            pallas_pairwise_cosine,
+        )
+
+        return pallas_pairwise_cosine(x, t)
+    return pairwise_cosine(x, t)
+
+
 def _reduced_similarities(
     image_embs: jnp.ndarray,
     bank: PromptBank,
     prompt_mode: PromptMode,
+    use_pallas: bool = False,
 ):
     """Return ((B,C) pos, (B,C) neg, optional max-mean gaps)."""
     if prompt_mode == PromptMode.MAX:
-        p = bank.pos.shape[1]
+        c, p, d = bank.pos.shape
 
         def _max_and_mean(emb, count):
-            sims = cosine_to_banks(image_embs, emb)  # (B, C, P)
+            if use_pallas:
+                sims = _pairwise(image_embs, emb.reshape(c * p, d), True).reshape(
+                    image_embs.shape[0], c, p
+                )
+            else:
+                sims = cosine_to_banks(image_embs, emb)  # (B, C, P)
             valid = jnp.arange(p)[None, :] < count[:, None]  # (C, P)
             neg_inf = jnp.finfo(sims.dtype).min
             sim_max = jnp.max(jnp.where(valid[None], sims, neg_inf), axis=-1)
@@ -121,6 +139,10 @@ def _reduced_similarities(
     # mean vector (normalising the mean, not the per-prompt embeddings).
     pos_mean = masked_mean(bank.pos, bank.pos_count)  # (C, D)
     neg_mean = masked_mean(bank.neg, bank.neg_count)
+    if use_pallas:
+        c = pos_mean.shape[0]
+        both = _pairwise(image_embs, jnp.concatenate([pos_mean, neg_mean]), True)
+        return both[:, :c], both[:, c:], None
     pos_sim = pairwise_cosine(image_embs, pos_mean)
     neg_sim = pairwise_cosine(image_embs, neg_mean)
     return pos_sim, neg_sim, None
@@ -132,9 +154,16 @@ def score_embeddings(
     prompt_mode: PromptMode,
     train_logit_diff: bool,
     pred_logit_diff: bool,
+    use_pallas: bool = False,
 ) -> ScorerOutput:
-    """Full scorer: train logits, eval scores, predictions for all classes."""
-    pos_sim, neg_sim, gaps = _reduced_similarities(image_embs, bank, prompt_mode)
+    """Full scorer: train logits, eval scores, predictions for all classes.
+
+    ``use_pallas`` routes the cosine contraction through the fused TPU
+    kernel (ops/pallas_cosine.py); only valid on no-grad paths.
+    """
+    pos_sim, neg_sim, gaps = _reduced_similarities(
+        image_embs, bank, prompt_mode, use_pallas=use_pallas
+    )
     logits = pos_sim - neg_sim if train_logit_diff else pos_sim
     scores = (pos_sim - neg_sim + 2.0) / 4.0 if pred_logit_diff else (pos_sim + 1.0) / 2.0
     preds = (pos_sim > neg_sim).astype(jnp.float32)

@@ -41,6 +41,7 @@ def _cosine_kernel(x_ref, t_ref, o_ref):
         tn,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
