@@ -1,0 +1,89 @@
+"""Standalone prompt-embedding analysis (reference L5 scripts
+``plot_text_emebeddings.py`` and ``text_prompts_cosine_similarity.py``).
+
+Encodes the prompt banks, then writes the 10x10 (or 5x5 pos-only) cosine
+heatmap and the PCA / t-SNE projections of the mean prompt embeddings as
+PNG files.
+
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.analyze_prompts \
+        --out-dir plots/ [--new-prompts] [--single-prompt] \
+        [--cxr-bert-checkpoint ckpt.pt --cxr-bert-vocab vocab.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--single-prompt", action="store_true")
+    p.add_argument("--new-prompts", action="store_true")
+    p.add_argument("--pos-only", action="store_true", help="5x5 positive-only heatmap")
+    p.add_argument("--seed", type=int, default=27)
+    p.add_argument("--cxr-bert-checkpoint")
+    p.add_argument("--cxr-bert-vocab")
+    args = p.parse_args(argv)
+
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation import plots
+    from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
+    from incremental_multimodal_medical_learning_ii_tpu.ops.cosine import masked_mean
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+    prompts = create_prompts(
+        CHEXPERT_COMPETITION_TASKS,
+        single_prompt=args.single_prompt,
+        new_prompts=args.new_prompts,
+        train_logit_diff=not args.pos_only,
+        seed=args.seed,
+    )
+    if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_cxr_bert_checkpoint,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+            TextInferenceEngine,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+            PromptTokenizer,
+        )
+
+        params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+        encode = TextInferenceEngine(
+            params, dims, PromptTokenizer(args.cxr_bert_vocab)
+        ).encode_fn(normalize=False)
+    else:
+        print("[warn] no CXR-BERT checkpoint; synthetic prompt encoder")
+        encode = synthetic_encode_fn(seed=args.seed)
+
+    bank = build_prompt_bank(
+        encode, prompts, CHEXPERT_COMPETITION_TASKS, train_logit_diff=not args.pos_only
+    )
+    pos = np.asarray(masked_mean(bank.pos, bank.pos_count))
+    neg = np.asarray(masked_mean(bank.neg, bank.neg_count))
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    fig = plots.prompt_cosine_heatmap_figure(
+        pos, None if args.pos_only else neg, args.single_prompt
+    )
+    fig.savefig(out / "cosine_similarity_heat_map.png", dpi=150)
+    pca_fig, tsne_fig = plots.prompt_projection_figures(pos, neg, seed=args.seed)
+    pca_fig.savefig(out / "pca_multiple_prompts.png", dpi=150)
+    tsne_fig.savefig(out / "tsne_multiple_prompts.png", dpi=150)
+    print(f"wrote 3 figures to {out}")
+
+
+if __name__ == "__main__":
+    main()

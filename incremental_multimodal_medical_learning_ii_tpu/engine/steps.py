@@ -47,11 +47,22 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def lr_schedule_fn(cfg: ExperimentConfig):
+    """Per-step learning rate (the reference's optional per-batch
+    ``scheduler.step()``, Trainer.py:598-601)."""
+    if cfg.lr_schedule is None:
+        return lambda step: cfg.lr
+    if cfg.lr_schedule == "exponential":
+        return optax.exponential_decay(cfg.lr, transition_steps=1, decay_rate=cfg.lr_gamma)
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """Adam / SGD with torch-default hyperparameters (Trainer.py:172-186)."""
+    lr = lr_schedule_fn(cfg)
     if cfg.optim.value == "adam":
-        return optax.adam(cfg.lr, b1=0.9, b2=0.999, eps=1e-8)
-    return optax.sgd(cfg.lr)
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.sgd(lr)
 
 
 def init_train_state(pair: AdapterPair, params: Params, cfg: ExperimentConfig) -> Tuple[TrainState, optax.GradientTransformation]:

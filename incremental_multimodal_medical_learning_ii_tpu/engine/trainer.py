@@ -106,6 +106,7 @@ class Trainer:
         self.test_f1_rows: List[np.ndarray] = []
         self.test_auroc_rows: List[np.ndarray] = []
         self._gap_counter = 0
+        self._py_step = 0  # host-side mirror of state.step (for LR logging)
 
     # ------------------------------------------------------------------
     # Shared internals
@@ -126,15 +127,37 @@ class Trainer:
         )
         return metrics
 
-    def _log_gaps(self, metrics, iteration):
-        if "max_mean_gap_pos" in metrics and self.writer.enabled:
-            self._gap_counter += 1
-            self.writer.add_scalar(
-                "max-mean-comparison/pos", float(metrics["max_mean_gap_pos"]), self._gap_counter
-            )
-            self.writer.add_scalar(
-                "max-mean-comparison/neg", float(metrics["max_mean_gap_neg"]), self._gap_counter
-            )
+    def _flush_train_logs(self, pending, cfg) -> Optional[dict]:
+        """One batched device->host readback per epoch (a per-batch scalar
+        sync costs ~80ms through the TPU tunnel; the reference syncs every
+        batch because torch .item() is cheap locally). Returns the last
+        batch's metrics (host values)."""
+        if not pending:
+            return None
+        import jax as _jax
+
+        fetched = _jax.device_get([m for _, m in pending])
+        last = None
+        for (iteration, _), metrics in zip(pending, fetched):
+            self.writer.add_scalar("train/Loss", float(metrics["loss"]), iteration)
+            if cfg.lr_schedule is not None:
+                from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+                    lr_schedule_fn,
+                )
+
+                self.writer.add_scalar(
+                    "train/LR", float(lr_schedule_fn(cfg)(metrics["_step"])), iteration
+                )
+            if "max_mean_gap_pos" in metrics and self.writer.enabled:
+                self._gap_counter += 1
+                self.writer.add_scalar(
+                    "max-mean-comparison/pos", float(metrics["max_mean_gap_pos"]), self._gap_counter
+                )
+                self.writer.add_scalar(
+                    "max-mean-comparison/neg", float(metrics["max_mean_gap_neg"]), self._gap_counter
+                )
+            last = metrics
+        return last
 
     def _log_reset_counts(self, metrics, iteration):
         """monitor-resets/* scalars (Trainer.py:758-770)."""
@@ -165,7 +188,7 @@ class Trainer:
         )
         class_mask = np.ones(NUM_CLASSES, np.float32)
         n_b = num_batches(len(dataset), cfg.batch_size)
-        last_metrics = None
+        pending = []
         for batch_idx, (embs, labels, mask) in enumerate(
             iterate_batches(
                 dataset, cfg.batch_size, shuffle=True, rng=self._shuffle_rng,
@@ -173,22 +196,23 @@ class Trainer:
             ),
             start=1,
         ):
-            metrics = self._run_train_batch(
-                embs, labels, mask, class_mask, threshold if use_my_cl else 0.0
+            metrics = dict(
+                self._run_train_batch(
+                    embs, labels, mask, class_mask, threshold if use_my_cl else 0.0
+                )
             )
-            if not use_my_cl and "n_reset" in metrics:
-                # step compiled with CL support but task 1: threshold 0 resets
-                # nothing (strict inequality), so counts are pure noise; skip.
-                pass
+            metrics["_step"] = self._py_step
+            self._py_step += 1
             if part is None:
                 iteration = (epoch - 1) * n_b + batch_idx
             else:
                 iteration = (part - 1) * (epochs or 0) * n_b + (epoch - 1) * n_b + batch_idx
-            self.writer.add_scalar("train/Loss", float(metrics["loss"]), iteration)
-            self._log_gaps(metrics, iteration)
-            last_metrics = metrics
+            pending.append((iteration, metrics))
+        last_metrics = self._flush_train_logs(pending, cfg)
         if use_my_cl and last_metrics is not None:
-            self._log_reset_counts(last_metrics, iteration)
+            # counts of the LAST batch, like the reference (model_copy zeroes
+            # the counters every step, Trainer.py:538-540, 758-770)
+            self._log_reset_counts(last_metrics, pending[-1][0])
 
     # ------------------------------------------------------------------
     # Class-incremental  —  Trainer.py:608-756
@@ -215,18 +239,21 @@ class Trainer:
         else:
             class_mask[current_task] = 1.0  # labels[:, task] (Trainer.py:625)
         batch_idx = last_batch
-        last_metrics = None
+        pending = []
         for embs, labels, mask in iterate_batches(
             dataset, cfg.batch_size, shuffle=True, rng=self._shuffle_rng,
             pad_multiple=self._pad_multiple,
         ):
             batch_idx += 1
-            metrics = self._run_train_batch(
-                embs, labels, mask, class_mask, threshold if use_my_cl else 0.0
+            metrics = dict(
+                self._run_train_batch(
+                    embs, labels, mask, class_mask, threshold if use_my_cl else 0.0
+                )
             )
-            self.writer.add_scalar("train/Loss", float(metrics["loss"]), batch_idx)
-            self._log_gaps(metrics, batch_idx)
-            last_metrics = metrics
+            metrics["_step"] = self._py_step
+            self._py_step += 1
+            pending.append((batch_idx, metrics))
+        last_metrics = self._flush_train_logs(pending, cfg)
         if use_my_cl and last_metrics is not None:
             self._log_reset_counts(last_metrics, batch_idx)
         return batch_idx
@@ -254,25 +281,33 @@ class Trainer:
     # ------------------------------------------------------------------
     def _eval_pass(self, dataset: EmbeddingDataset, epoch: int, log_loss_prefix: Optional[str]):
         cfg = self.cfg
-        y_true, y_pred, y_score = [], [], []
+        import jax as _jax
+
         n_b = num_batches(len(dataset), cfg.eval_batch_size)
-        for batch_idx, (embs, labels, mask) in enumerate(
-            iterate_batches(
-                dataset, cfg.eval_batch_size, shuffle=False, pad_multiple=self._pad_multiple
-            ),
-            start=1,
+        device_out = []  # defer all device->host readbacks to one transfer
+        host_labels, host_masks = [], []
+        for embs, labels, mask in iterate_batches(
+            dataset, cfg.eval_batch_size, shuffle=False, pad_multiple=self._pad_multiple
         ):
             d_embs, d_labels, d_mask = self._place((embs, labels, mask))
             loss, scores, preds, _ = self._eval_step(
                 self.state.params, d_embs, d_labels, d_mask, self.bank
             )
+            device_out.append((loss, scores, preds))
+            host_labels.append(labels)
+            host_masks.append(mask)
+        fetched = _jax.device_get(device_out)
+        y_true, y_pred, y_score = [], [], []
+        for batch_idx, ((loss, scores, preds), labels, mask) in enumerate(
+            zip(fetched, host_labels, host_masks), start=1
+        ):
             if log_loss_prefix is not None:
                 iteration = (epoch - 1) * n_b + batch_idx
                 self.writer.add_scalar(f"{log_loss_prefix}/Loss", float(loss), iteration)
             valid = mask > 0
             y_true.append(labels[valid])
-            y_pred.append(np.asarray(preds)[valid])
-            y_score.append(np.asarray(scores)[valid])
+            y_pred.append(preds[valid])
+            y_score.append(scores[valid])
         return np.concatenate(y_true), np.concatenate(y_pred), np.concatenate(y_score)
 
     def _emit_heatmaps_if_due(self, val_test, mode, epoch, epochs, tasks_order, f1_rows, auroc_rows):

@@ -33,7 +33,9 @@ EXPANSION = 4
 # ----------------------------------------------------------------------
 # Primitives
 # ----------------------------------------------------------------------
-def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int, padding: int) -> jnp.ndarray:
+def conv2d(
+    x: jnp.ndarray, kernel: jnp.ndarray, stride: int, padding: int, dilation: int = 1
+) -> jnp.ndarray:
     # Precision is pinned: JAX's default conv precision truncates fp32
     # operands (~1e-2 error vs torch).  Speed is controlled by the compute
     # dtype instead — bfloat16 inputs use the bf16 MXU path regardless.
@@ -42,6 +44,7 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int, padding: int) -> jn
         kernel.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -123,10 +126,12 @@ def init_resnet50(key: jax.Array) -> Params:
 # ----------------------------------------------------------------------
 # Forward
 # ----------------------------------------------------------------------
-def _bottleneck_forward(block: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+def _bottleneck_forward(
+    block: Params, x: jnp.ndarray, stride: int, dilation: int = 1
+) -> jnp.ndarray:
     out = conv2d(x, block["conv1"]["kernel"], 1, 0)
     out = jax.nn.relu(batch_norm_inference(out, block["bn1"]))
-    out = conv2d(out, block["conv2"]["kernel"], stride, 1)
+    out = conv2d(out, block["conv2"]["kernel"], stride, dilation, dilation=dilation)
     out = jax.nn.relu(batch_norm_inference(out, block["bn2"]))
     out = conv2d(out, block["conv3"]["kernel"], 1, 0)
     out = batch_norm_inference(out, block["bn3"])
@@ -143,19 +148,38 @@ def resnet50_forward(
     x: jnp.ndarray,
     dtype: jnp.dtype = jnp.float32,
     return_intermediates: bool = False,
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False),
 ):
     """NHWC forward; returns x4 (B, H/32, W/32, 2048), or the x0..x4 tuple
-    (``ResNetHIML.forward``, resnet.py:25-47)."""
+    (``ResNetHIML.forward``, resnet.py:25-47).
+
+    ``replace_stride_with_dilation`` follows torchvision semantics for
+    layers 2-4 (the capability behind the vendored
+    ``reload_encoder_with_dilation``, ``model.py:207-227``; default there is
+    (False, False, True)): the layer's stride becomes 1, its first block
+    convolves at the previous dilation, subsequent blocks at the doubled
+    dilation.
+    """
     x = x.astype(dtype)
     x0 = conv2d(x, params["conv1"]["kernel"], 2, 3)
     x0 = jax.nn.relu(batch_norm_inference(x0, params["bn1"]))
     x0 = max_pool_3x3_s2(x0)
     feats = [x0]
     out = x0
+    dilation = 1
     for li in range(4):
         stride = 1 if li == 0 else 2
+        prev_dilation = dilation
+        if li > 0 and replace_stride_with_dilation[li - 1]:
+            dilation *= stride
+            stride = 1
         for bi, block in enumerate(params[f"layer{li + 1}"]):
-            out = _bottleneck_forward(block, out, stride if bi == 0 else 1)
+            out = _bottleneck_forward(
+                block,
+                out,
+                stride if bi == 0 else 1,
+                prev_dilation if bi == 0 else dilation,
+            )
         feats.append(out)
     if return_intermediates:
         return tuple(feats)

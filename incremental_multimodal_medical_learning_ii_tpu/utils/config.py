@@ -86,6 +86,11 @@ class ExperimentConfig:
     epochs: int = 10
     loss_name: str = "standard"
     seed: int = DEFAULT_SEED
+    # Per-step LR schedule (the reference's optional per-batch
+    # scheduler.step(), Trainer.py:598-601; its drivers import
+    # ExponentialLR but never enable it).
+    lr_schedule: Optional[str] = None  # None | "exponential"
+    lr_gamma: float = 0.999
 
     # --- incremental protocol ---
     mode: str = "joint"  # "joint" | "zero" | "data-inc" | "class-pos" | "class-pos-neg"
