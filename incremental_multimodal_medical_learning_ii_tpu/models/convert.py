@@ -185,3 +185,39 @@ def load_cxr_bert_checkpoint(path_or_name: str, num_heads: int | None = None):
 
     sd = torch.load(path_or_name, map_location="cpu", weights_only=True)
     return convert_cxr_bert_state_dict(sd, num_heads=num_heads)
+
+
+# ----------------------------------------------------------------------
+# Diagnostics
+# ----------------------------------------------------------------------
+def compare_params(a: Params, b: Params, atol: float = 0.0, verbose: bool = True):
+    """Leaf-by-leaf pytree comparison (the ``Trainer.compare_models``
+    state-dict diff, ``Trainer.py:1287-1300``). Returns the list of
+    mismatched key paths; prints a summary when verbose."""
+    import jax
+
+    mismatched = []
+    leaves_a = jax.tree_util.tree_flatten_with_path(a)[0]
+    leaves_b = jax.tree_util.tree_flatten_with_path(b)[0]
+    if len(leaves_a) != len(leaves_b):
+        raise ValueError(f"different structures: {len(leaves_a)} vs {len(leaves_b)} leaves")
+    for (path_a, va), (path_b, vb) in zip(leaves_a, leaves_b):
+        if path_a != path_b:
+            raise ValueError(f"key mismatch: {path_a} vs {path_b}")
+        va, vb = np.asarray(va), np.asarray(vb)
+        if va.shape != vb.shape or not np.allclose(va, vb, atol=atol, rtol=0):
+            mismatched.append(jax.tree_util.keystr(path_a))
+            if verbose:
+                print("Mismatch found at", jax.tree_util.keystr(path_a))
+    if verbose and not mismatched:
+        print("Params match perfectly! :)")
+    return mismatched
+
+
+def encoder_output_dim(forward_fn, params, input_hw: int = 32) -> int:
+    """Probe a trunk's output feature size with a dummy forward
+    (``get_encoder_output_dim``, model.py:231-247)."""
+    import jax.numpy as jnp
+
+    out = forward_fn(params, jnp.zeros((1, input_hw, input_hw, 3), jnp.float32))
+    return int(out.shape[-1])
