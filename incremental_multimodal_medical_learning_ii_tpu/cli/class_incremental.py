@@ -26,6 +26,7 @@ def main(argv=None) -> None:
     p.add_argument("--tasks-order", type=int, nargs=5, default=[0, 1, 2, 3, 4])
     p.add_argument("--continual-learning", choices=["myCL", "profCL"], default=None)
     p.add_argument("--threshold", type=float, default=0.01)
+    p.add_argument("--resume", action="store_true", help="resume from the run dir checkpoint")
     p.add_argument("--adder", type=float, default=0.001)
     p.add_argument("--threshold-scheduling", action="store_true")
     args = p.parse_args(argv)
@@ -44,7 +45,8 @@ def main(argv=None) -> None:
     bundle = common.load_bundle(args)
     bank = common.build_bank(args, cfg)
     results = run_class_incremental(
-        cfg, bundle, bank, log_dir=args.log_dir, mesh=common.make_mesh(args)
+        cfg, bundle, bank, log_dir=args.log_dir, mesh=common.make_mesh(args),
+        resume=args.resume,
     )
     common.print_results(results)
 

@@ -25,6 +25,7 @@ def main(argv=None) -> None:
     p.add_argument("--parts", type=int, default=20, help="5 / 10 / 20")
     p.add_argument("--continual-learning", choices=["myCL", "profCL"], default=None)
     p.add_argument("--threshold", type=float, default=0.01)
+    p.add_argument("--resume", action="store_true", help="resume from the run dir checkpoint")
     p.add_argument("--adder", type=float, default=0.001)
     p.add_argument("--no-threshold-scheduling", action="store_true")
     args = p.parse_args(argv)
@@ -42,7 +43,8 @@ def main(argv=None) -> None:
     bundle = common.load_bundle(args)
     bank = common.build_bank(args, cfg)
     results = run_data_incremental(
-        cfg, bundle, bank, log_dir=args.log_dir, mesh=common.make_mesh(args)
+        cfg, bundle, bank, log_dir=args.log_dir, mesh=common.make_mesh(args),
+        resume=args.resume,
     )
     common.print_results(results)
 

@@ -46,6 +46,9 @@ class NativeEmbeddingStore:
             self.emb_dim = self._fallback.embeddings.shape[1]
             self.n_labels = self._fallback.labels.shape[1]
 
+    def __len__(self) -> int:
+        return self.n
+
     # ------------------------------------------------------------------
     @staticmethod
     def write(path: str | Path, dataset: EmbeddingDataset) -> "NativeEmbeddingStore":

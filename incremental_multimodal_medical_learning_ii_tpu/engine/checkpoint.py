@@ -37,3 +37,23 @@ def restore_checkpoint(directory: str | Path, template: TrainState) -> TrainStat
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, jax.device_get(template))
     return jax.tree_util.tree_map(np.asarray, restored)
+
+
+# ----------------------------------------------------------------------
+# Part/task-level resume for the incremental protocols
+# ----------------------------------------------------------------------
+def save_progress(directory: str | Path, completed: int) -> None:
+    import json
+
+    Path(directory).mkdir(parents=True, exist_ok=True)
+    (Path(directory) / "progress.json").write_text(json.dumps({"completed": completed}))
+
+
+def load_progress(directory: str | Path) -> int:
+    """Number of completed parts/tasks recorded in ``directory`` (0 if none)."""
+    import json
+
+    path = Path(directory) / "progress.json"
+    if not path.exists():
+        return 0
+    return int(json.loads(path.read_text())["completed"])

@@ -27,7 +27,12 @@ from incremental_multimodal_medical_learning_ii_tpu.data.store import (
     split_by_label,
     split_contiguous,
 )
-from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import save_checkpoint
+from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
+    load_progress,
+    restore_checkpoint,
+    save_checkpoint,
+    save_progress,
+)
 from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
 from incremental_multimodal_medical_learning_ii_tpu.evaluation.tb import TBWriter
 from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
@@ -72,6 +77,26 @@ def _save_final(trainer: Trainer, writer: TBWriter) -> None:
         save_checkpoint(writer.log_dir, trainer.state)
 
 
+def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool) -> int:
+    """Restore state + completed-unit count for part/task-level resume (the
+    reference has no resume at all: SURVEY.md section 5). Returns the number
+    of completed parts/tasks to skip. Caveat: the shuffle-rng stream and
+    heatmap accumulator rows of the skipped units are not replayed."""
+    if not resume or writer.log_dir is None:
+        return 0
+    completed = load_progress(writer.log_dir)
+    if completed > 0:
+        trainer.state = restore_checkpoint(writer.log_dir, trainer.state)
+        print(f"[resume] restored checkpoint; skipping {completed} completed unit(s)")
+    return completed
+
+
+def _save_unit(trainer: Trainer, writer: TBWriter, completed: int) -> None:
+    if trainer.cfg.trains_anything and writer.log_dir is not None:
+        save_checkpoint(writer.log_dir, trainer.state)
+        save_progress(writer.log_dir, completed)
+
+
 def run_zero_joint(
     cfg: ExperimentConfig,
     data: DataBundle,
@@ -113,15 +138,18 @@ def run_data_incremental(
     bank: PromptBank,
     log_dir: Optional[str] = None,
     mesh=None,
+    resume: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     writer = _make_writer(cfg, log_dir)
     trainer = Trainer(cfg, bank, writer, mesh)
     parts = split_contiguous(data.train, cfg.parts)
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
-    count = 0
+    skip = _maybe_resume(trainer, writer, resume)
+    count = skip * cfg.epochs
+    threshold += cfg.adder * count
     try:
-        for part in range(1, cfg.parts + 1):
+        for part in range(1 + skip, cfg.parts + 1):
             for epoch in range(1, cfg.epochs + 1):
                 count += 1
                 threshold += cfg.adder  # DATA_INCREMENTAL.py:78
@@ -142,6 +170,7 @@ def run_data_incremental(
                 data.test, part, cfg.parts, mode="data-inc", tasks_order=part,
                 tsne_datasets=data.tsne_datasets,
             )
+            _save_unit(trainer, writer, part)
     finally:
         _save_final(trainer, writer)
         writer.close()
@@ -156,6 +185,7 @@ def run_class_incremental(
     log_dir: Optional[str] = None,
     mesh=None,
     n_tasks: int = 5,
+    resume: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     writer = _make_writer(cfg, log_dir)
     trainer = Trainer(cfg, bank, writer, mesh)
@@ -170,9 +200,11 @@ def run_class_incremental(
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
     last_batch = 0
-    count = 0
+    skip = _maybe_resume(trainer, writer, resume)
+    count = skip * cfg.epochs
+    threshold += cfg.adder * count
     try:
-        for actual_task in range(1, n_tasks + 1):
+        for actual_task in range(1 + skip, n_tasks + 1):
             for epoch in range(1, cfg.epochs + 1):
                 count += 1
                 threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
@@ -195,6 +227,7 @@ def run_class_incremental(
                 data.test, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
                 tsne_datasets=data.tsne_datasets,
             )
+            _save_unit(trainer, writer, actual_task)
     finally:
         _save_final(trainer, writer)
         writer.close()

@@ -120,6 +120,21 @@ class Trainer:
             return batch
         return mesh_lib.shard_batch(self.mesh, batch)
 
+    def _batches(self, dataset, batch_size: int, shuffle: bool):
+        """Batch iterator; accepts an :class:`EmbeddingDataset` or anything
+        exposing ``iterate_batches`` (e.g. the native mmap store,
+        data/native.py)."""
+        if hasattr(dataset, "iterate_batches"):
+            return dataset.iterate_batches(
+                batch_size, shuffle=shuffle, seed=self.cfg.seed,
+                pad_multiple=self._pad_multiple,
+            )
+        return iterate_batches(
+            dataset, batch_size, shuffle=shuffle,
+            rng=self._shuffle_rng if shuffle else None,
+            pad_multiple=self._pad_multiple,
+        )
+
     def _run_train_batch(self, embs, labels, mask, class_mask, threshold):
         embs, labels, mask = self._place((embs, labels, mask))
         self.state, metrics = self._train_step(
@@ -190,11 +205,7 @@ class Trainer:
         n_b = num_batches(len(dataset), cfg.batch_size)
         pending = []
         for batch_idx, (embs, labels, mask) in enumerate(
-            iterate_batches(
-                dataset, cfg.batch_size, shuffle=True, rng=self._shuffle_rng,
-                pad_multiple=self._pad_multiple,
-            ),
-            start=1,
+            self._batches(dataset, cfg.batch_size, shuffle=True), start=1
         ):
             metrics = dict(
                 self._run_train_batch(
@@ -240,10 +251,7 @@ class Trainer:
             class_mask[current_task] = 1.0  # labels[:, task] (Trainer.py:625)
         batch_idx = last_batch
         pending = []
-        for embs, labels, mask in iterate_batches(
-            dataset, cfg.batch_size, shuffle=True, rng=self._shuffle_rng,
-            pad_multiple=self._pad_multiple,
-        ):
+        for embs, labels, mask in self._batches(dataset, cfg.batch_size, shuffle=True):
             batch_idx += 1
             metrics = dict(
                 self._run_train_batch(
@@ -286,9 +294,7 @@ class Trainer:
         n_b = num_batches(len(dataset), cfg.eval_batch_size)
         device_out = []  # defer all device->host readbacks to one transfer
         host_labels, host_masks = [], []
-        for embs, labels, mask in iterate_batches(
-            dataset, cfg.eval_batch_size, shuffle=False, pad_multiple=self._pad_multiple
-        ):
+        for embs, labels, mask in self._batches(dataset, cfg.eval_batch_size, shuffle=False):
             d_embs, d_labels, d_mask = self._place((embs, labels, mask))
             loss, scores, preds, _ = self._eval_step(
                 self.state.params, d_embs, d_labels, d_mask, self.bank
@@ -314,16 +320,16 @@ class Trainer:
         """Epoch x class (joint/data-inc) and task x class (class-inc)
         forgetting heatmaps (Trainer.py:944-984)."""
         if epoch == epochs and mode in ("joint", "zero", "data-inc"):
-            rows = [str(i) for i in range(1, epochs + 1)]
+            # label only the rows actually accumulated (differs from
+            # range(1, epochs+1) only after a mid-run resume)
+            rows = [str(i) for i in range(epochs - len(f1_rows) + 1, epochs + 1)]
             cols = self.class_names
             tag = f"{val_test}/joint train/"
-            group = rows
         elif epoch == 5 and mode in ("class-pos-neg", "class-pos"):
-            order = tasks_order or list(range(NUM_CLASSES))
-            rows = [self.class_names[i] for i in order]
-            cols = rows
+            order = list(tasks_order or range(NUM_CLASSES))
+            rows = [self.class_names[i] for i in order][-len(f1_rows):]
+            cols = [self.class_names[i] for i in order]
             tag = f"{val_test}/{mode} incremental/"
-            group = rows
         else:
             return
         f1_map = np.stack(f1_rows)

@@ -1,0 +1,84 @@
+"""Part-level crash-resume of the incremental protocols."""
+
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
+from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import load_progress
+from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
+    DataBundle,
+    run_data_incremental,
+)
+from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+    build_prompt_bank,
+    synthetic_encode_fn,
+)
+from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    CHEXPERT_COMPETITION_TASKS,
+    data_incremental_config,
+)
+
+
+def _bundle():
+    return DataBundle(
+        train=synthetic_dataset(384, seed=1),
+        val=synthetic_dataset(128, seed=2),
+        test=synthetic_dataset(128, seed=3),
+    )
+
+
+def _bank():
+    return build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+
+def test_data_incremental_resume(tmp_path):
+    cfg = data_incremental_config(
+        batch_size=64, eval_batch_size=64, epochs=1, parts=3, lr=1e-3,
+    )
+    bank = _bank()
+    bundle = _bundle()
+
+    # full run in one go
+    full = run_data_incremental(cfg, bundle, bank, log_dir=str(tmp_path / "full"))
+
+    # interrupted run: a poisoned part-3 loader raises after part 2
+    class Boom:
+        def __len__(self):
+            return 128
+
+        def __getattr__(self, name):
+            raise RuntimeError("boom")
+
+    import incremental_multimodal_medical_learning_ii_tpu.engine.protocols as protocols
+
+    orig_split = protocols.split_contiguous
+
+    def broken_split(ds, parts):
+        out = orig_split(ds, parts)
+        out[2] = Boom()
+        return out
+
+    protocols.split_contiguous = broken_split
+    try:
+        import pytest
+
+        with pytest.raises(Exception):
+            run_data_incremental(cfg, bundle, bank, log_dir=str(tmp_path / "resumed"))
+    finally:
+        protocols.split_contiguous = orig_split
+
+    run_dir = tmp_path / "resumed" / cfg.run_name()
+    assert load_progress(run_dir) == 2  # parts 1-2 completed before the crash
+
+    # resume completes the run and skips the finished parts
+    resumed = run_data_incremental(
+        cfg, bundle, bank, log_dir=str(tmp_path / "resumed"), resume=True
+    )
+    assert "test_part3" in resumed
+    assert "test_part2" not in resumed  # skipped (already completed)
+    assert load_progress(run_dir) == 3
+    # quality comparable to the uninterrupted run
+    assert abs(resumed["test_part3"]["auroc_macro"] - full["test_part3"]["auroc_macro"]) < 0.1
