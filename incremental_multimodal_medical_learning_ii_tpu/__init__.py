@@ -24,6 +24,38 @@ __version__ = "0.1.0"
 
 from incremental_multimodal_medical_learning_ii_tpu.utils.config import (  # noqa: F401
     AdapterKind,
+    CHEXPERT_COMPETITION_TASKS,
+    ContinualLearning,
     ExperimentConfig,
     PromptMode,
+    class_incremental_config,
+    data_incremental_config,
+    joint_config,
+    zero_shot_config,
 )
+
+
+def __getattr__(name):  # lazy heavyweight imports
+    if name == "Trainer":
+        from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+
+        return Trainer
+    if name in ("run_zero_joint", "run_data_incremental", "run_class_incremental", "DataBundle"):
+        from incremental_multimodal_medical_learning_ii_tpu.engine import protocols
+
+        return getattr(protocols, name)
+    if name == "extract_embeddings":
+        from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
+            extract_embeddings,
+        )
+
+        return extract_embeddings
+    if name == "EmbeddingDataset":
+        from incremental_multimodal_medical_learning_ii_tpu.data.store import EmbeddingDataset
+
+        return EmbeddingDataset
+    if name == "PromptBank":
+        from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
+
+        return PromptBank
+    raise AttributeError(name)

@@ -145,6 +145,66 @@ def build_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def build_fused_epoch(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+) -> Callable:
+    """A WHOLE training epoch as one jitted ``lax.scan``.
+
+    The cached-embedding dataset is tiny by TPU standards (191k x 128 fp32 =
+    98 MB), so it lives in HBM for the whole run; the epoch shuffles on
+    device (``jax.random.permutation``), gathers each batch from HBM, and
+    scans the train step across all batches in a single XLA program — no
+    per-step host dispatch, no host->device batch transfers, no readbacks
+    until the stacked metrics are fetched once at the end.  This is the
+    structural opposite of the reference's per-batch Python loop with
+    ``.to(device)`` copies (``Trainer.py:537-601``).
+
+    Returns ``epoch(state, embs, labels, valid, class_mask, threshold, key)
+    -> (state, stacked metrics)`` where embs/labels/valid are padded to
+    ``n_batches * batch_size`` rows.
+    """
+    use_cl = cfg.continual_learning is not None and cfg.continual_learning.value == "myCL"
+    applications = 2 if cfg.shared else 1
+
+    def epoch(state: TrainState, embs, labels, valid, bank, class_mask, threshold, key):
+        perm = jax.random.permutation(key, embs.shape[0])
+        batched_idx = perm.reshape(-1, cfg.batch_size)
+
+        def body(st, idx):
+            b_embs = jnp.take(embs, idx, axis=0)
+            b_labels = jnp.take(labels, idx, axis=0)
+            b_mask = jnp.take(valid, idx, axis=0)
+            snapshot = st.params
+
+            def loss_fn(params):
+                out = _forward(pair, params, b_embs, bank, cfg)
+                lbl = change_labels(b_labels) if cfg.change_labels else b_labels
+                mask = b_mask[:, None] * class_mask[None, :]
+                return bce_with_logits(out.logits, lbl, mask), out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            metrics: Dict[str, jnp.ndarray] = {"loss": loss}
+            if use_cl:
+                params, n_reset, n_updated = weight_reset(
+                    params, snapshot, threshold, applications=applications
+                )
+                metrics["n_reset"] = n_reset
+                metrics["n_updated"] = n_updated
+            if out.max_mean_gap is not None:
+                denom = jnp.maximum(jnp.sum(class_mask), 1.0)
+                metrics["max_mean_gap_pos"] = jnp.sum(out.max_mean_gap[0] * class_mask) / denom
+                metrics["max_mean_gap_neg"] = jnp.sum(out.max_mean_gap[1] * class_mask) / denom
+            return TrainState(params, opt_state, st.step + 1), metrics
+
+        return jax.lax.scan(body, state, batched_idx)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
 def build_epoch_reset(cfg: ExperimentConfig) -> Callable:
     """profCL per-epoch reset: (params, snapshot, threshold) -> (params, nr, nu)."""
     applications = 2 if cfg.shared else 1

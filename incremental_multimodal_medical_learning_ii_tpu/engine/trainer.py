@@ -42,6 +42,7 @@ from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
     build_embed_fn,
     build_epoch_reset,
     build_eval_step,
+    build_fused_epoch,
     build_train_step,
     init_train_state,
 )
@@ -107,6 +108,15 @@ class Trainer:
         self.test_auroc_rows: List[np.ndarray] = []
         self._gap_counter = 0
         self._py_step = 0  # host-side mirror of state.step (for LR logging)
+
+        # fused-epoch machinery (single-device fast path)
+        self._fused_epoch = (
+            build_fused_epoch(self.pair, self.tx, cfg)
+            if cfg.trains_anything and cfg.fused_epoch and mesh is None
+            else None
+        )
+        self._device_data_cache: dict = {}  # id(dataset) -> padded device arrays
+        self._epoch_counter = 0
 
     # ------------------------------------------------------------------
     # Shared internals
@@ -203,6 +213,17 @@ class Trainer:
         )
         class_mask = np.ones(NUM_CLASSES, np.float32)
         n_b = num_batches(len(dataset), cfg.batch_size)
+        if self._fused_epoch is not None and isinstance(dataset, EmbeddingDataset):
+            if part is None:
+                iteration_of = lambda i: (epoch - 1) * n_b + i + 1  # noqa: E731
+            else:
+                iteration_of = (  # noqa: E731
+                    lambda i: (part - 1) * (epochs or 0) * n_b + (epoch - 1) * n_b + i + 1
+                )
+            self._train_fused(
+                dataset, class_mask, threshold if use_my_cl else 0.0, use_my_cl, iteration_of
+            )
+            return
         pending = []
         for batch_idx, (embs, labels, mask) in enumerate(
             self._batches(dataset, cfg.batch_size, shuffle=True), start=1
@@ -224,6 +245,68 @@ class Trainer:
             # counts of the LAST batch, like the reference (model_copy zeroes
             # the counters every step, Trainer.py:538-540, 758-770)
             self._log_reset_counts(last_metrics, pending[-1][0])
+
+    def _device_data(self, dataset: EmbeddingDataset):
+        """Upload a dataset once, padded to a whole number of batches; reused
+        across all epochs touching it (data-incremental trains 10 epochs per
+        part — the reference re-copies every batch every epoch)."""
+        import jax.numpy as jnp
+
+        key = id(dataset)
+        cached = self._device_data_cache.get(key)
+        if cached is not None:
+            return cached
+        n = len(dataset)
+        bs = self.cfg.batch_size
+        n_pad = num_batches(n, bs) * bs
+        embs = np.zeros((n_pad, dataset.embeddings.shape[1]), np.float32)
+        labels = np.zeros((n_pad, dataset.labels.shape[1]), np.float32)
+        valid = np.zeros(n_pad, np.float32)
+        embs[:n] = dataset.embeddings
+        labels[:n] = dataset.labels
+        valid[:n] = 1.0
+        cached = (jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid))
+        self._device_data_cache[key] = cached
+        return cached
+
+    def _train_fused(self, dataset, class_mask, threshold, use_my_cl, iteration_of) -> int:
+        """One-lax.scan epoch (engine/steps.py::build_fused_epoch); returns
+        the number of batches run. ``iteration_of(i)`` maps the 0-based
+        batch index to the regime's TB iteration number."""
+        cfg = self.cfg
+        d_embs, d_labels, d_valid = self._device_data(dataset)
+        self._epoch_counter += 1
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter)
+        self.state, stacked = self._fused_epoch(
+            self.state, d_embs, d_labels, d_valid, self.bank, class_mask, threshold, key
+        )
+        fetched = jax.device_get(stacked)
+        n_b = len(fetched["loss"])
+        for i in range(n_b):
+            iteration = iteration_of(i)
+            self.writer.add_scalar("train/Loss", float(fetched["loss"][i]), iteration)
+            if cfg.lr_schedule is not None:
+                from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+                    lr_schedule_fn,
+                )
+
+                self.writer.add_scalar(
+                    "train/LR", float(lr_schedule_fn(cfg)(self._py_step)), iteration
+                )
+            if "max_mean_gap_pos" in fetched and self.writer.enabled:
+                self._gap_counter += 1
+                self.writer.add_scalar(
+                    "max-mean-comparison/pos", float(fetched["max_mean_gap_pos"][i]), self._gap_counter
+                )
+                self.writer.add_scalar(
+                    "max-mean-comparison/neg", float(fetched["max_mean_gap_neg"][i]), self._gap_counter
+                )
+            self._py_step += 1
+        if use_my_cl:
+            last = {k: v[-1] for k, v in fetched.items() if k in ("n_reset", "n_updated")}
+            if last:
+                self._log_reset_counts(last, iteration)
+        return n_b
 
     # ------------------------------------------------------------------
     # Class-incremental  —  Trainer.py:608-756
@@ -250,6 +333,12 @@ class Trainer:
         else:
             class_mask[current_task] = 1.0  # labels[:, task] (Trainer.py:625)
         batch_idx = last_batch
+        if self._fused_epoch is not None and isinstance(dataset, EmbeddingDataset):
+            n_b = self._train_fused(
+                dataset, class_mask, threshold if use_my_cl else 0.0, use_my_cl,
+                lambda i: last_batch + i + 1,
+            )
+            return last_batch + n_b
         pending = []
         for embs, labels, mask in self._batches(dataset, cfg.batch_size, shuffle=True):
             batch_idx += 1

@@ -112,6 +112,10 @@ class ExperimentConfig:
     # --- TPU execution (no reference counterpart: reference is single-GPU) ---
     compute_dtype: str = "float32"  # "float32" | "bfloat16" for the encoders
     data_axis: str = "data"  # 1-D mesh axis name for batch sharding
+    # Run each training epoch as ONE on-device lax.scan over HBM-resident
+    # data (engine/steps.py::build_fused_epoch); falls back to the per-batch
+    # path on a multi-chip mesh or non-resident batch sources.
+    fused_epoch: bool = True
 
     def __post_init__(self) -> None:
         # Accept plain strings for the enum fields.

@@ -161,7 +161,11 @@ def test_multichip_matches_single_device():
     from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
     from incremental_multimodal_medical_learning_ii_tpu.parallel.mesh import create_mesh
 
-    cfg = joint_config(batch_size=64, eval_batch_size=64, epochs=1, lr=1e-3)
+    # fused_epoch off: the fused path shuffles with the device rng, so its
+    # batch order differs; this test isolates pjit-vs-single equivalence.
+    cfg = joint_config(
+        batch_size=64, eval_batch_size=64, epochs=1, lr=1e-3, fused_epoch=False
+    )
     bank = _random_bank()
     bundle = _bundle(256, 128)
 
