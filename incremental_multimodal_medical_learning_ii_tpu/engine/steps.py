@@ -231,6 +231,33 @@ def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
     return jax.jit(step)
 
 
+def build_fused_eval(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
+    """The whole eval pass as one jitted scan over HBM-resident data:
+    (params, embs (Npad,D), labels, valid, bank) -> (losses (n_b,),
+    scores (Npad,C), preds (Npad,C)).  Batching follows the reference's
+    fixed eval batch (Trainer.py:241-246) so per-batch val/Loss scalars
+    are preserved."""
+    use_pallas = _eval_uses_pallas(cfg)
+
+    def eval_pass(params, embs, labels, valid, bank):
+        n_b = embs.shape[0] // cfg.eval_batch_size
+
+        def body(_, idx):
+            b_embs = jax.lax.dynamic_slice_in_dim(embs, idx * cfg.eval_batch_size, cfg.eval_batch_size)
+            b_labels = jax.lax.dynamic_slice_in_dim(labels, idx * cfg.eval_batch_size, cfg.eval_batch_size)
+            b_mask = jax.lax.dynamic_slice_in_dim(valid, idx * cfg.eval_batch_size, cfg.eval_batch_size)
+            out = _forward(pair, params, b_embs, bank, cfg, use_pallas=use_pallas)
+            lbl = change_labels(b_labels) if cfg.change_labels else b_labels
+            loss = bce_with_logits(out.logits, lbl, b_mask[:, None] * jnp.ones((1, lbl.shape[1])))
+            return None, (loss, out.scores, out.preds)
+
+        _, (losses, scores, preds) = jax.lax.scan(body, None, jnp.arange(n_b))
+        c = scores.shape[-1]
+        return losses, scores.reshape(-1, c), preds.reshape(-1, c)
+
+    return jax.jit(eval_pass)
+
+
 def build_embed_fn(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
     """(params, embs) -> adapted image embeddings (for t-SNE / analysis)."""
 

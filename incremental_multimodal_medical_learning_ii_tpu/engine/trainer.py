@@ -43,6 +43,7 @@ from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
     build_epoch_reset,
     build_eval_step,
     build_fused_epoch,
+    build_fused_eval,
     build_train_step,
     init_train_state,
 )
@@ -115,7 +116,10 @@ class Trainer:
             if cfg.trains_anything and cfg.fused_epoch and mesh is None
             else None
         )
-        self._device_data_cache: dict = {}  # id(dataset) -> padded device arrays
+        self._fused_eval = (
+            build_fused_eval(self.pair, cfg) if cfg.fused_epoch and mesh is None else None
+        )
+        self._device_data_cache: dict = {}  # (id(dataset), pad) -> device arrays
         self._epoch_counter = 0
 
     # ------------------------------------------------------------------
@@ -246,18 +250,18 @@ class Trainer:
             # the counters every step, Trainer.py:538-540, 758-770)
             self._log_reset_counts(last_metrics, pending[-1][0])
 
-    def _device_data(self, dataset: EmbeddingDataset):
+    def _device_data(self, dataset: EmbeddingDataset, bs: Optional[int] = None):
         """Upload a dataset once, padded to a whole number of batches; reused
         across all epochs touching it (data-incremental trains 10 epochs per
         part — the reference re-copies every batch every epoch)."""
         import jax.numpy as jnp
 
-        key = id(dataset)
+        bs = bs or self.cfg.batch_size
+        key = (id(dataset), bs)
         cached = self._device_data_cache.get(key)
         if cached is not None:
             return cached
         n = len(dataset)
-        bs = self.cfg.batch_size
         n_pad = num_batches(n, bs) * bs
         embs = np.zeros((n_pad, dataset.embeddings.shape[1]), np.float32)
         labels = np.zeros((n_pad, dataset.labels.shape[1]), np.float32)
@@ -381,6 +385,17 @@ class Trainer:
         import jax as _jax
 
         n_b = num_batches(len(dataset), cfg.eval_batch_size)
+        if self._fused_eval is not None and isinstance(dataset, EmbeddingDataset):
+            d_embs, d_labels, d_valid = self._device_data(dataset, cfg.eval_batch_size)
+            losses, scores, preds = _jax.device_get(
+                self._fused_eval(self.state.params, d_embs, d_labels, d_valid, self.bank)
+            )
+            if log_loss_prefix is not None:
+                for i, loss in enumerate(losses, start=1):
+                    iteration = (epoch - 1) * n_b + i
+                    self.writer.add_scalar(f"{log_loss_prefix}/Loss", float(loss), iteration)
+            n = len(dataset)
+            return dataset.labels, preds[:n], scores[:n]
         device_out = []  # defer all device->host readbacks to one transfer
         host_labels, host_masks = [], []
         for embs, labels, mask in self._batches(dataset, cfg.eval_batch_size, shuffle=False):
