@@ -32,6 +32,10 @@ ROUNDS = 3  # best-of-N: the tunneled host->device link here is noisy
 
 
 def main() -> None:
+    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
+
+    enable()
+
     import jax
     import jax.numpy as jnp
 

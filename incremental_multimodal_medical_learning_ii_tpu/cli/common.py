@@ -32,7 +32,14 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
 )
 
 
+def enable_compile_cache() -> None:
+    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
+
+    enable()
+
+
 def add_common_args(p: argparse.ArgumentParser) -> None:
+    enable_compile_cache()
     p.add_argument("--batch-size", type=int, default=6144)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=10)

@@ -169,13 +169,17 @@ def build_fused_epoch(
     applications = 2 if cfg.shared else 1
 
     def epoch(state: TrainState, embs, labels, valid, bank, class_mask, threshold, key):
+        # One epoch-level permutation gather OUTSIDE the scan; the scan then
+        # streams contiguous (B, D) slabs (cheap to compile and to run —
+        # per-batch gathers inside the scan body compile far slower).
         perm = jax.random.permutation(key, embs.shape[0])
-        batched_idx = perm.reshape(-1, cfg.batch_size)
+        b = cfg.batch_size
+        embs_s = jnp.take(embs, perm, axis=0).reshape(-1, b, embs.shape[1])
+        labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
+        valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
 
-        def body(st, idx):
-            b_embs = jnp.take(embs, idx, axis=0)
-            b_labels = jnp.take(labels, idx, axis=0)
-            b_mask = jnp.take(valid, idx, axis=0)
+        def body(st, batch):
+            b_embs, b_labels, b_mask = batch
             snapshot = st.params
 
             def loss_fn(params):
@@ -200,7 +204,7 @@ def build_fused_epoch(
                 metrics["max_mean_gap_neg"] = jnp.sum(out.max_mean_gap[1] * class_mask) / denom
             return TrainState(params, opt_state, st.step + 1), metrics
 
-        return jax.lax.scan(body, state, batched_idx)
+        return jax.lax.scan(body, state, (embs_s, labels_s, valid_s))
 
     return jax.jit(epoch, donate_argnums=(0,))
 

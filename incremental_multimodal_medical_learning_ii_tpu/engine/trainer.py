@@ -459,7 +459,11 @@ class Trainer:
         w.add_scalar(f"{val_test}/AUROC-weighted", metrics["auroc_weighted"], epoch)
 
         pc = per_class_metrics(y_true, y_pred, y_score)
-        if w.enabled:
+        plot_now = w.enabled and (
+            self.cfg.plot_figures == "reference"
+            or (self.cfg.plot_figures == "final" and epoch == epochs)
+        )
+        if plot_now:
             for i in range(y_true.shape[1]):
                 w.add_figure(
                     f"{val_test} ROC Curve/Curve for Class {i}",
@@ -486,7 +490,7 @@ class Trainer:
             self.test_f1_rows.append(pc["f1"])
             self.test_auroc_rows.append(pc["auroc"])
             rows = (self.test_f1_rows, self.test_auroc_rows)
-        if w.enabled:
+        if w.enabled and self.cfg.plot_figures != "off":
             self._emit_heatmaps_if_due(val_test, mode, epoch, epochs, tasks_order, *rows)
         return metrics
 
@@ -507,7 +511,11 @@ class Trainer:
         metrics = self.evaluate_model(
             y_true, y_pred, y_score, mode, epoch, "test", epochs, tasks_order
         )
-        if self.writer.enabled:
+        plot_now = self.writer.enabled and (
+            self.cfg.plot_figures == "reference"
+            or (self.cfg.plot_figures == "final" and epoch == epochs)
+        )
+        if plot_now:
             self._plot_text_embedding_figures(epoch)
             if tsne_datasets is not None:
                 self._plot_image_tsne(tsne_datasets, epoch)

@@ -116,6 +116,10 @@ class ExperimentConfig:
     # data (engine/steps.py::build_fused_epoch); falls back to the per-batch
     # path on a multi-chip mesh or non-resident batch sources.
     fused_epoch: bool = True
+    # Figure cadence: "reference" re-plots ROC/PR/scatter/t-SNE/heatmaps at
+    # every eval like the reference (host-bound: ~10 matplotlib figures per
+    # eval); "final" only at the last epoch/part/task; "off" scalars only.
+    plot_figures: str = "reference"
 
     def __post_init__(self) -> None:
         # Accept plain strings for the enum fields.
