@@ -25,10 +25,8 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     kw = common.config_kwargs(args)
-    if args.epochs == 0:
-        kw.setdefault("mode", "zero")
-        if not args.shared:
-            kw.update(adapter="no-head", image_adapter=False, text_adapter=False)
+    if args.epochs == 0 and not args.shared:
+        kw.update(adapter="no-head", image_adapter=False, text_adapter=False)
     cfg = ExperimentConfig(mode="joint" if args.epochs > 0 else "zero",
                            folder_name=args.folder_name, **kw)
     print("run:", cfg.run_name())
