@@ -30,7 +30,6 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     from incremental_multimodal_medical_learning_ii_tpu.evaluation import plots
-    from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import PromptBank
     from incremental_multimodal_medical_learning_ii_tpu.ops.cosine import masked_mean
     from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
         build_prompt_bank,

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import argparse
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from incremental_multimodal_medical_learning_ii_tpu.data.store import (

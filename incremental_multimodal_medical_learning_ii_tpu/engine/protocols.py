@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 from incremental_multimodal_medical_learning_ii_tpu.data.store import (
     EmbeddingDataset,

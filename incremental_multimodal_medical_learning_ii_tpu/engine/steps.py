@@ -16,7 +16,7 @@ and the bank are replicated, XLA inserts the gradient all-reduce over ICI).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +33,7 @@ from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import (
     apply_text_adapter_to_bank,
     score_embeddings,
 )
-from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
-    ExperimentConfig,
-    PromptMode,
-)
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import ExperimentConfig
 
 Params = Any
 

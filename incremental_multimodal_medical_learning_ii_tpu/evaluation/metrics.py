@@ -9,7 +9,7 @@ matrix.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

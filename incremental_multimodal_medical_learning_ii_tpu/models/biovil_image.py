@@ -14,7 +14,7 @@ layout preserved).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

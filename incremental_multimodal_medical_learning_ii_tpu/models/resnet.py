@@ -16,7 +16,7 @@ is a mechanical transpose and the whole forward jits into one XLA program.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

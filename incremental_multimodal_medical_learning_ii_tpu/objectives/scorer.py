@@ -23,7 +23,7 @@ single einsum instead of 10 CXR-BERT forwards per batch.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 

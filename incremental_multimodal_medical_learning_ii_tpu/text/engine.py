@@ -18,7 +18,7 @@ build — the training path never calls it per batch (see text/bank.py).
 
 from __future__ import annotations
 
-from typing import List, Union
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 CHEXPERT_COMPETITION_TASKS: Tuple[str, ...] = (
     "Atelectasis",
