@@ -215,13 +215,15 @@ def build_epoch_reset(cfg: ExperimentConfig) -> Callable:
     )
 
 
-def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
+def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig, on_mesh: bool = False) -> Callable:
     """Returns step(params, embs, labels, elem_mask, bank) ->
     (loss, scores, preds, logits); all five classes are always scored
     (the reference evaluates the full label set in every regime,
     ``Trainer.py:772-866``)."""
 
-    use_pallas = _eval_uses_pallas(cfg)
+    # pallas_call under whole-array jit does not accept sharded operands
+    # (that needs shard_map); keep the jnp path on meshes.
+    use_pallas = _eval_uses_pallas(cfg) and not on_mesh
 
     def step(params, embs, labels, elem_mask, bank):
         out = _forward(pair, params, embs, bank, cfg, use_pallas=use_pallas)
@@ -232,13 +234,13 @@ def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
     return jax.jit(step)
 
 
-def build_fused_eval(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:
+def build_fused_eval(pair: AdapterPair, cfg: ExperimentConfig, on_mesh: bool = False) -> Callable:
     """The whole eval pass as one jitted scan over HBM-resident data:
     (params, embs (Npad,D), labels, valid, bank) -> (losses (n_b,),
     scores (Npad,C), preds (Npad,C)).  Batching follows the reference's
     fixed eval batch (Trainer.py:241-246) so per-batch val/Loss scalars
     are preserved."""
-    use_pallas = _eval_uses_pallas(cfg)
+    use_pallas = _eval_uses_pallas(cfg) and not on_mesh
 
     def eval_pass(params, embs, labels, valid, bank):
         n_b = embs.shape[0] // cfg.eval_batch_size

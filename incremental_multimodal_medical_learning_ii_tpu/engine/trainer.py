@@ -89,7 +89,7 @@ class Trainer:
         params = self.pair.init(jax.random.PRNGKey(cfg.seed))
         self.state, self.tx = init_train_state(self.pair, params, cfg)
         self._train_step = build_train_step(self.pair, self.tx, cfg) if cfg.trains_anything else None
-        self._eval_step = build_eval_step(self.pair, cfg)
+        self._eval_step = build_eval_step(self.pair, cfg, on_mesh=mesh is not None)
         self._embed = build_embed_fn(self.pair, cfg)
         self._epoch_reset = build_epoch_reset(cfg)
 
@@ -110,14 +110,18 @@ class Trainer:
         self._gap_counter = 0
         self._py_step = 0  # host-side mirror of state.step (for LR logging)
 
-        # fused-epoch machinery (single-device fast path)
+        # fused-epoch machinery: on a mesh the HBM-resident dataset is
+        # row-sharded and the epoch's permutation gather rides XLA
+        # collectives; params/bank stay replicated.
         self._fused_epoch = (
             build_fused_epoch(self.pair, self.tx, cfg)
-            if cfg.trains_anything and cfg.fused_epoch and mesh is None
+            if cfg.trains_anything and cfg.fused_epoch
             else None
         )
         self._fused_eval = (
-            build_fused_eval(self.pair, cfg) if cfg.fused_epoch and mesh is None else None
+            build_fused_eval(self.pair, cfg, on_mesh=mesh is not None)
+            if cfg.fused_epoch
+            else None
         )
         self._device_data_cache: dict = {}  # (id(dataset), pad) -> device arrays
         self._epoch_counter = 0
@@ -269,7 +273,12 @@ class Trainer:
         embs[:n] = dataset.embeddings
         labels[:n] = dataset.labels
         valid[:n] = 1.0
-        cached = (jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid))
+        if self.mesh is not None and n_pad % self._pad_multiple == 0:
+            cached = mesh_lib.shard_batch(self.mesh, (embs, labels, valid))
+        elif self.mesh is not None:
+            cached = mesh_lib.replicate(self.mesh, (jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid)))
+        else:
+            cached = (jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid))
         self._device_data_cache[key] = cached
         return cached
 
