@@ -122,7 +122,13 @@ def _layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / jnp.sqrt(var + LN_EPS) * p["scale"] + p["bias"]
 
 
-def _self_attention(layer: Params, x: jnp.ndarray, mask_bias: jnp.ndarray, dims: BertDims) -> jnp.ndarray:
+def _self_attention(
+    layer: Params,
+    x: jnp.ndarray,
+    mask_bias: jnp.ndarray,
+    dims: BertDims,
+    use_flash: bool = False,
+) -> jnp.ndarray:
     b, s, h = x.shape
     nh, hd = dims.num_heads, dims.head_dim
 
@@ -132,10 +138,21 @@ def _self_attention(layer: Params, x: jnp.ndarray, mask_bias: jnp.ndarray, dims:
     q = split_heads(_linear(layer["q"], x))
     k = split_heads(_linear(layer["k"], x))
     v = split_heads(_linear(layer["v"], x))
-    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, precision=_HIGHEST) / np.sqrt(hd)
-    scores = scores + mask_bias  # (B, 1, 1, S) additive
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v, precision=_HIGHEST)
+    if use_flash:
+        # Pallas TPU flash-attention kernel (online softmax, no S x S
+        # materialisation).  Pointless at prompt lengths (<50 tokens) but
+        # the right path for full radiology reports; enabled via
+        # bert_encode(use_flash_attention=True).  The additive key-padding
+        # bias is folded in as ab.
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        ab = jnp.broadcast_to(mask_bias, (b, nh, s, s))
+        ctx = flash_attention(q, k, v, ab=ab, sm_scale=1.0 / float(np.sqrt(hd)))
+    else:
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, precision=_HIGHEST) / np.sqrt(hd)
+        scores = scores + mask_bias  # (B, 1, 1, S) additive
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v, precision=_HIGHEST)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
     return _linear(layer["attn_out"], ctx)
 
@@ -146,6 +163,7 @@ def bert_encode(
     attention_mask: jnp.ndarray,
     dims: BertDims,
     token_type_ids: Optional[jnp.ndarray] = None,
+    use_flash_attention: bool = False,
 ) -> jnp.ndarray:
     """(B, S) ids + mask -> (B, S, H) last hidden state."""
     b, s = input_ids.shape
@@ -161,7 +179,7 @@ def bert_encode(
     ).min
 
     for layer in params["layers"]:
-        attn = _self_attention(layer, x, mask_bias, dims)
+        attn = _self_attention(layer, x, mask_bias, dims, use_flash=use_flash_attention)
         x = _layer_norm(layer["attn_ln"], x + attn)
         ffn = _linear(layer["ffn_out"], jax.nn.gelu(_linear(layer["ffn_in"], x), approximate=False))
         x = _layer_norm(layer["ffn_ln"], x + ffn)
