@@ -503,6 +503,30 @@ class Trainer:
             self._emit_heatmaps_if_due(val_test, mode, epoch, epochs, tasks_order, *rows)
         return metrics
 
+    def quick_auroc(self, dataset: EmbeddingDataset) -> np.ndarray:
+        """Per-class AUROC computed entirely on device (evaluation/metrics
+        rank statistic) — no sklearn, no per-batch host sync; for in-loop
+        monitoring and sweeps. Returns a (C,) array."""
+        from incremental_multimodal_medical_learning_ii_tpu.evaluation.metrics import (
+            auroc_device,
+        )
+
+        if self._fused_eval is None:
+            y_true, _, y_score = self._eval_pass(dataset, 1, log_loss_prefix=None)
+            from incremental_multimodal_medical_learning_ii_tpu.evaluation.metrics import (
+                compute_metrics,  # noqa: F401  (host fallback keeps sklearn parity)
+            )
+
+            import jax.numpy as jnp
+
+            mask = np.ones(len(y_true), np.float32)
+            return np.asarray(
+                auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask))
+            )
+        d_embs, d_labels, d_valid = self._device_data(dataset, self.cfg.eval_batch_size)
+        _, scores, _ = self._fused_eval(self.state.params, d_embs, d_labels, d_valid, self.bank)
+        return np.asarray(jax.device_get(auroc_device(scores, d_labels, d_valid)))
+
     def validate(self, dataset, epoch, epochs, mode="joint", tasks_order=None):
         y_true, y_pred, y_score = self._eval_pass(dataset, epoch, log_loss_prefix="val")
         return self.evaluate_model(y_true, y_pred, y_score, mode, epoch, "val", epochs, tasks_order)
