@@ -1,0 +1,74 @@
+"""Serve/classify CLI: raw CXR images -> per-class scores and predictions.
+
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.classify \
+        --biovil-checkpoint biovil.pt \
+        --cxr-bert-checkpoint cxr_bert.pt --cxr-bert-vocab vocab.txt \
+        [--adapter-checkpoint run_dir] img1.jpg img2.jpg ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("images", nargs="+")
+    p.add_argument("--biovil-checkpoint", required=True)
+    p.add_argument("--cxr-bert-checkpoint")
+    p.add_argument("--cxr-bert-vocab")
+    p.add_argument("--adapter-checkpoint", help="run dir with a saved TrainState")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--new-prompts", action="store_true")
+    p.add_argument("--single-prompt", action="store_true")
+    args = p.parse_args(argv)
+
+    from incremental_multimodal_medical_learning_ii_tpu.inference import ChexpertClassifier
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        load_biovil_image_checkpoint,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+    image_params = load_biovil_image_checkpoint(args.biovil_checkpoint)
+    prompts = create_prompts(
+        CHEXPERT_COMPETITION_TASKS,
+        single_prompt=args.single_prompt,
+        new_prompts=args.new_prompts,
+    )
+    if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_cxr_bert_checkpoint,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+            TextInferenceEngine,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+            PromptTokenizer,
+        )
+
+        bert_params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+        encode = TextInferenceEngine(
+            bert_params, dims, PromptTokenizer(args.cxr_bert_vocab)
+        ).encode_fn(normalize=False)
+    else:
+        print("[warn] no CXR-BERT checkpoint; synthetic prompt encoder (scores meaningless)")
+        encode = synthetic_encode_fn()
+    bank = build_prompt_bank(encode, prompts, CHEXPERT_COMPETITION_TASKS)
+
+    clf = ChexpertClassifier(image_params, bank, batch_size=args.batch_size)
+    scores, preds = clf.predict_paths(args.images)
+    header = "image," + ",".join(c.replace(" ", "_") for c in clf.class_names)
+    print(header)
+    for path, row in zip(args.images, scores):
+        print(path + "," + ",".join(f"{v:.4f}" for v in row))
+
+
+if __name__ == "__main__":
+    main()

@@ -512,13 +512,9 @@ class Trainer:
         )
 
         if self._fused_eval is None:
-            y_true, _, y_score = self._eval_pass(dataset, 1, log_loss_prefix=None)
-            from incremental_multimodal_medical_learning_ii_tpu.evaluation.metrics import (
-                compute_metrics,  # noqa: F401  (host fallback keeps sklearn parity)
-            )
-
             import jax.numpy as jnp
 
+            y_true, _, y_score = self._eval_pass(dataset, 1, log_loss_prefix=None)
             mask = np.ones(len(y_true), np.float32)
             return np.asarray(
                 auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask))
