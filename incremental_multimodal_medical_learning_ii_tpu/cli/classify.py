@@ -18,6 +18,9 @@ def main(argv=None) -> None:
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
     p.add_argument("--adapter-checkpoint", help="run dir with a saved TrainState")
+    p.add_argument("--adapter", choices=["mlp", "dense"], default="mlp",
+                   help="adapter architecture of --adapter-checkpoint")
+    p.add_argument("--shared", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--new-prompts", action="store_true")
     p.add_argument("--single-prompt", action="store_true")
@@ -62,7 +65,33 @@ def main(argv=None) -> None:
         encode = synthetic_encode_fn()
     bank = build_prompt_bank(encode, prompts, CHEXPERT_COMPETITION_TASKS)
 
-    clf = ChexpertClassifier(image_params, bank, batch_size=args.batch_size)
+    cfg = None
+    adapter_params = None
+    if args.adapter_checkpoint:
+        from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
+            restore_checkpoint,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+            init_train_state,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.models.adapters import (
+            AdapterPair,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+            joint_config,
+        )
+
+        import jax
+
+        cfg = joint_config(adapter=args.adapter, shared=args.shared)
+        pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
+        template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)
+        adapter_params = restore_checkpoint(args.adapter_checkpoint, template).params
+
+    clf = ChexpertClassifier(
+        image_params, bank, cfg=cfg, adapter_params=adapter_params,
+        batch_size=args.batch_size,
+    )
     scores, preds = clf.predict_paths(args.images)
     header = "image," + ",".join(c.replace(" ", "_") for c in clf.class_names)
     print(header)

@@ -1,0 +1,59 @@
+import numpy as np
+import torch
+from PIL import Image
+
+
+def test_classify_cli_with_adapter_checkpoint(tmp_path, capsys, rng):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from torch_biovil_fixture import TorchBioViLImage
+
+    # BioViL checkpoint in the reference's state-dict layout
+    torch.manual_seed(0)
+    model = TorchBioViLImage()
+    ckpt = tmp_path / "biovil.pt"
+    torch.save(model.state_dict(), ckpt)
+
+    # trained-adapter checkpoint
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import save_checkpoint
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+        joint_config,
+    )
+
+    cfg = joint_config(batch_size=64, epochs=1)
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    trainer = Trainer(cfg, bank)
+    trainer.train(synthetic_dataset(128), epoch=1)
+    save_checkpoint(tmp_path / "run", trainer.state)
+
+    imgs = []
+    for i in range(2):
+        path = tmp_path / f"cxr{i}.png"
+        Image.fromarray((rng.random((120, 100)) * 255).astype(np.uint8), "L").save(path)
+        imgs.append(str(path))
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.classify import main
+
+    main(imgs + [
+        "--biovil-checkpoint", str(ckpt),
+        "--adapter-checkpoint", str(tmp_path / "run"),
+        "--batch-size", "2",
+    ])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith(str(tmp_path))]
+    assert len(lines) == 2
+    scores = [float(v) for v in lines[0].split(",")[1:]]
+    assert len(scores) == 5
+    assert all(0 <= s <= 1 for s in scores)
