@@ -24,6 +24,12 @@ def main(argv=None) -> None:
     p.add_argument("--single-prompt", action="store_true")
     p.add_argument("--new-prompts", action="store_true")
     p.add_argument("--pos-only", action="store_true", help="5x5 positive-only heatmap")
+    p.add_argument(
+        "--normalize", action="store_true",
+        help="L2-normalise the mean prompt embeddings before projecting "
+             "(the standalone reference scripts' variant, "
+             "plot_text_emebeddings.py:44-53; the Trainer's plots use raw means)",
+    )
     p.add_argument("--seed", type=int, default=27)
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
@@ -71,6 +77,9 @@ def main(argv=None) -> None:
     )
     pos = np.asarray(masked_mean(bank.pos, bank.pos_count))
     neg = np.asarray(masked_mean(bank.neg, bank.neg_count))
+    if args.normalize:
+        pos = pos / np.maximum(np.linalg.norm(pos, axis=1, keepdims=True), 1e-12)
+        neg = neg / np.maximum(np.linalg.norm(neg, axis=1, keepdims=True), 1e-12)
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -139,7 +139,9 @@ def _interpolate(grid: np.ndarray, size: Tuple[int, int], mode: str) -> np.ndarr
 
 
 def plot_phrase_grounding_similarity_map(image_path, similarity_map: np.ndarray):
-    """Overlay figure (``common/visualization.py:109-120``)."""
+    """Three-panel figure — input image, isoline overlay, heatmap overlay —
+    matching the vendored visualization (``common/visualization.py:36-120``:
+    isoline levels at 0.25 steps, RdBu_r in [-1, 1], alpha 0.5)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -147,12 +149,27 @@ def plot_phrase_grounding_similarity_map(image_path, similarity_map: np.ndarray)
 
     from incremental_multimodal_medical_learning_ii_tpu.data.images import load_image
 
-    fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+    fig, axes = plt.subplots(1, 3, figsize=(15, 6))
     img = load_image(image_path)
-    for ax in axes:
-        ax.imshow(img, cmap="gray")
-        ax.axis("off")
     masked = np.ma.masked_invalid(similarity_map)
-    im = axes[1].imshow(masked, cmap="RdBu_r", alpha=0.5, vmin=-1, vmax=1)
-    fig.colorbar(im, ax=axes[1])
+
+    axes[0].imshow(img, cmap="gray")
+    axes[0].axis("off")
+    axes[0].set_title("Input image")
+
+    axes[1].imshow(img, cmap="gray")
+    levels = np.linspace(0.25, 1, 4)
+    try:
+        contours = axes[1].contour(masked, cmap="RdBu_r", vmin=-1, vmax=1, levels=levels)
+        axes[1].clabel(contours, inline=True, fontsize=10)
+    except ValueError:
+        pass  # flat/empty maps have no isolines
+    axes[1].axis("off")
+    axes[1].set_title("Similarity isolines")
+
+    axes[2].imshow(img, cmap="gray")
+    im = axes[2].matshow(masked, alpha=0.5, cmap="RdBu_r", vmin=-1, vmax=1)
+    fig.colorbar(im, ax=axes[2])
+    axes[2].axis("off")
+    axes[2].set_title("Similarity heatmap")
     return fig
