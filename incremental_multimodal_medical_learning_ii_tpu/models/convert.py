@@ -21,6 +21,7 @@ import numpy as np
 
 from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import BertDims
 from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+    RESNET18_LAYERS,
     RESNET50_LAYERS,
 )
 
@@ -75,6 +76,28 @@ def convert_resnet50_state_dict(sd: Mapping, prefix: str = "") -> Params:
                 "bn2": _bn(sd, bp + "bn2"),
                 "conv3": _conv(sd, bp + "conv3.weight"),
                 "bn3": _bn(sd, bp + "bn3"),
+            }
+            if bp + "downsample.0.weight" in sd:
+                block["downsample_conv"] = _conv(sd, bp + "downsample.0.weight")
+                block["downsample_bn"] = _bn(sd, bp + "downsample.1")
+            layer.append(block)
+        params[f"layer{li}"] = layer
+    return params
+
+
+def convert_resnet18_state_dict(sd: Mapping, prefix: str = "") -> Params:
+    """torchvision ResNet-18 (BasicBlock) state dict."""
+    p = prefix
+    params: Params = {"conv1": _conv(sd, p + "conv1.weight"), "bn1": _bn(sd, p + "bn1")}
+    for li, blocks in enumerate(RESNET18_LAYERS, start=1):
+        layer = []
+        for bi in range(blocks):
+            bp = f"{p}layer{li}.{bi}."
+            block: Params = {
+                "conv1": _conv(sd, bp + "conv1.weight"),
+                "bn1": _bn(sd, bp + "bn1"),
+                "conv2": _conv(sd, bp + "conv2.weight"),
+                "bn2": _bn(sd, bp + "bn2"),
             }
             if bp + "downsample.0.weight" in sd:
                 block["downsample_conv"] = _conv(sd, bp + "downsample.0.weight")

@@ -26,8 +26,9 @@ Params = Dict[str, Any]
 
 BN_EPS = 1e-5  # torch BatchNorm2d default
 RESNET50_LAYERS = (3, 4, 6, 3)
+RESNET18_LAYERS = (2, 2, 2, 2)
 RESNET50_WIDTHS = (64, 128, 256, 512)
-EXPANSION = 4
+EXPANSION = 4  # Bottleneck; BasicBlock (resnet18) has expansion 1
 
 
 # ----------------------------------------------------------------------
@@ -105,6 +106,21 @@ def _init_bottleneck(key, cin, width, stride) -> Params:
     return block
 
 
+def _init_basic_block(key, cin, width, stride) -> Params:
+    """torchvision BasicBlock (resnet18): two 3x3 convs, expansion 1."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    block: Params = {
+        "conv1": _init_conv(k1, 3, 3, cin, width),
+        "bn1": _init_bn(width),
+        "conv2": _init_conv(k2, 3, 3, width, width),
+        "bn2": _init_bn(width),
+    }
+    if stride != 1 or cin != width:
+        block["downsample_conv"] = _init_conv(k3, 1, 1, cin, width)
+        block["downsample_bn"] = _init_bn(width)
+    return block
+
+
 def init_resnet50(key: jax.Array) -> Params:
     keys = jax.random.split(key, 1 + len(RESNET50_LAYERS))
     params: Params = {
@@ -123,9 +139,43 @@ def init_resnet50(key: jax.Array) -> Params:
     return params
 
 
+def init_resnet18(key: jax.Array) -> Params:
+    """ResNet-18 trunk (the reference's other supported encoder,
+    ``health_multimodal/image/model/resnet.py:63-71``; no dilation — the
+    reference raises for resnet18 there too, ``model.py:211-213``)."""
+    keys = jax.random.split(key, 1 + len(RESNET18_LAYERS))
+    params: Params = {
+        "conv1": _init_conv(keys[0], 7, 7, 3, 64),
+        "bn1": _init_bn(64),
+    }
+    cin = 64
+    for li, (blocks, width) in enumerate(zip(RESNET18_LAYERS, RESNET50_WIDTHS)):
+        stride = 1 if li == 0 else 2
+        bkeys = jax.random.split(keys[1 + li], blocks)
+        layer: List[Params] = []
+        for bi in range(blocks):
+            layer.append(_init_basic_block(bkeys[bi], cin, width, stride if bi == 0 else 1))
+            cin = width
+        params[f"layer{li + 1}"] = layer
+    return params
+
+
 # ----------------------------------------------------------------------
 # Forward
 # ----------------------------------------------------------------------
+def _basic_block_forward(block: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    out = conv2d(x, block["conv1"]["kernel"], stride, 1)
+    out = jax.nn.relu(batch_norm_inference(out, block["bn1"]))
+    out = conv2d(out, block["conv2"]["kernel"], 1, 1)
+    out = batch_norm_inference(out, block["bn2"])
+    if "downsample_conv" in block:
+        identity = conv2d(x, block["downsample_conv"]["kernel"], stride, 0)
+        identity = batch_norm_inference(identity, block["downsample_bn"])
+    else:
+        identity = x
+    return jax.nn.relu(out + identity)
+
+
 def _bottleneck_forward(
     block: Params, x: jnp.ndarray, stride: int, dilation: int = 1
 ) -> jnp.ndarray:
@@ -180,6 +230,29 @@ def resnet50_forward(
                 stride if bi == 0 else 1,
                 prev_dilation if bi == 0 else dilation,
             )
+        feats.append(out)
+    if return_intermediates:
+        return tuple(feats)
+    return out
+
+
+def resnet18_forward(
+    params: Params,
+    x: jnp.ndarray,
+    dtype: jnp.dtype = jnp.float32,
+    return_intermediates: bool = False,
+):
+    """ResNet-18 NHWC forward (BasicBlocks); x4 is (B, H/32, W/32, 512)."""
+    x = x.astype(dtype)
+    x0 = conv2d(x, params["conv1"]["kernel"], 2, 3)
+    x0 = jax.nn.relu(batch_norm_inference(x0, params["bn1"]))
+    x0 = max_pool_3x3_s2(x0)
+    feats = [x0]
+    out = x0
+    for li in range(4):
+        stride = 1 if li == 0 else 2
+        for bi, block in enumerate(params[f"layer{li + 1}"]):
+            out = _basic_block_forward(block, out, stride if bi == 0 else 1)
         feats.append(out)
     if return_intermediates:
         return tuple(feats)

@@ -66,6 +66,34 @@ def test_biovil_patchwise_normalized(torch_biovil):
     np.testing.assert_allclose(norms, np.ones_like(norms), atol=1e-5)
 
 
+def test_resnet18_parity():
+    from torch_biovil_fixture import ResNet18Trunk, randomize_bn_stats
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        convert_resnet18_state_dict,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+        init_resnet18,
+        resnet18_forward,
+    )
+
+    torch.manual_seed(1)
+    trunk = ResNet18Trunk()
+    randomize_bn_stats(trunk, seed=7)
+    trunk.eval()
+    params = convert_resnet18_state_dict(trunk.state_dict())
+    x = np.random.default_rng(3).random((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        expected = trunk(torch.tensor(x)).numpy()
+    got = np.asarray(resnet18_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, expected.transpose(0, 2, 3, 1), atol=2e-4)
+
+    # random init shape check
+    p2 = init_resnet18(jax.random.PRNGKey(0))
+    out = resnet18_forward(p2, jnp.ones((1, 64, 64, 3)))
+    assert out.shape == (1, 2, 2, 512)
+
+
 def test_biovil_random_init_shapes():
     params = init_biovil_image_model(jax.random.PRNGKey(0))
     x = jnp.ones((1, 64, 64, 3))
