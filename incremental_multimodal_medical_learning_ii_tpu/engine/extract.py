@@ -212,6 +212,8 @@ def extract_embeddings(
                     pending_embs, pending_labels = [], []
     if store is not None and pending_embs:
         store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
+    if not all_embs:
+        return EmbeddingDataset(np.zeros((0, 128), np.float32), np.zeros((0, 5), np.float32))
     return EmbeddingDataset(np.concatenate(all_embs), np.concatenate(all_labels))
 
 
