@@ -1,0 +1,62 @@
+"""Hyperparameter sweep over the adapter-training configuration.
+
+Enabled by the TPU-first engine: one fused-epoch scan per epoch and
+on-device AUROC make a full 10-epoch joint training a ~0.5s affair, so a
+grid over lr x optimizer x adapter x prompt-mode runs in about a minute —
+something the reference (hours per run) could never do.
+
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.sweep \
+        --synthetic --epochs 5 --batch-size 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import time
+
+
+def main(argv=None) -> None:
+    from incremental_multimodal_medical_learning_ii_tpu.cli import common
+
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument("--lrs", type=float, nargs="+", default=[1e-4, 1e-3, 1e-2])
+    p.add_argument("--optims", nargs="+", default=["adam", "sgd"])
+    p.add_argument("--adapters", nargs="+", default=["mlp", "dense"])
+    p.add_argument("--prompt-modes", nargs="+", default=["mean", "max"])
+    args = p.parse_args(argv)
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import ExperimentConfig
+
+    bundle = common.load_bundle(args)
+    base = common.config_kwargs(args)
+    base.pop("lr"), base.pop("optim"), base.pop("adapter"), base.pop("prompt_mode")
+
+    results = []
+    t0 = time.perf_counter()
+    for lr, optim, adapter, pm in itertools.product(
+        args.lrs, args.optims, args.adapters, args.prompt_modes
+    ):
+        cfg = ExperimentConfig(
+            mode="joint", lr=lr, optim=optim, adapter=adapter, prompt_mode=pm,
+            plot_figures="off", **base,
+        )
+        bank = common.build_bank(args, cfg)
+        trainer = Trainer(cfg, bank)
+        for epoch in range(1, cfg.epochs + 1):
+            trainer.train(bundle.train, epoch)
+        auroc = trainer.quick_auroc(bundle.val).mean()
+        results.append((float(auroc), lr, optim, adapter, pm))
+        print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
+              f"val-AUROC-macro={auroc:.4f}")
+    results.sort(reverse=True)
+    best = results[0]
+    print(f"\n{len(results)} configs in {time.perf_counter() - t0:.1f}s")
+    print(f"best: AUROC {best[0]:.4f} @ lr={best[1]} opt={best[2]} "
+          f"adapter={best[3]} prompts={best[4]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,19 @@ def lr_schedule_fn(cfg: ExperimentConfig):
 
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
-    """Adam / SGD with torch-default hyperparameters (Trainer.py:172-186)."""
+    """Adam / SGD with torch-default hyperparameters (Trainer.py:172-186).
+
+    With a constant LR the rate is injected as a *dynamic* hyperparameter
+    (it lives in the opt state, not the compiled program), so sweeps over
+    learning rates reuse one XLA executable — compiles are minutes on
+    remote-compile terminals.
+    """
+    if cfg.lr_schedule is None:
+        if cfg.optim.value == "adam":
+            return optax.inject_hyperparams(optax.adam)(
+                learning_rate=cfg.lr, b1=0.9, b2=0.999, eps=1e-8
+            )
+        return optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.lr)
     lr = lr_schedule_fn(cfg)
     if cfg.optim.value == "adam":
         return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)

@@ -34,6 +34,19 @@ def test_pallas_cosine_unaligned_dim(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_pallas_cosine_real_kernel_on_tpu(rng):
+    """Compiled (non-interpret) kernel parity; runs only on TPU backends."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("compiled pallas kernel needs a TPU backend")
+    x = rng.normal(size=(1000, 128)).astype(np.float32)
+    t = rng.normal(size=(10, 128)).astype(np.float32)
+    ref = np.asarray(pairwise_cosine(jnp.asarray(x), jnp.asarray(t)))
+    got = np.asarray(pallas_pairwise_cosine(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_scorer_pallas_flag_matches_reference(rng):
     from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import (
         PromptBank,
