@@ -111,13 +111,20 @@ def _reduced_similarities(
         c, p, d = bank.pos.shape
 
         def _max_and_mean(emb, count):
+            valid = jnp.arange(p)[None, :] < count[:, None]  # (C, P)
+            # Zero padding rows have zero norm; normalising them is fine
+            # forward (eps guard) but d||x||/dx at x=0 is NaN and the
+            # where-masked cotangent still propagates it (NaN * 0 = NaN).
+            # Substitute a constant unit vector on padding rows — their
+            # similarities are masked out of both reductions below.
+            unit = jnp.zeros((d,), emb.dtype).at[0].set(1.0)
+            emb = jnp.where(valid[..., None], emb, unit)
             if use_pallas:
                 sims = _pairwise(image_embs, emb.reshape(c * p, d), True).reshape(
                     image_embs.shape[0], c, p
                 )
             else:
                 sims = cosine_to_banks(image_embs, emb)  # (B, C, P)
-            valid = jnp.arange(p)[None, :] < count[:, None]  # (C, P)
             neg_inf = jnp.finfo(sims.dtype).min
             sim_max = jnp.max(jnp.where(valid[None], sims, neg_inf), axis=-1)
             sim_mean = jnp.sum(jnp.where(valid[None], sims, 0.0), axis=-1) / jnp.maximum(
