@@ -47,7 +47,8 @@ def main(argv=None) -> None:
     p.add_argument("--cached", required=True, help=".npz or reference .pt dataset")
     p.add_argument("--limit", type=int, default=0, help="verify only the first N images")
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--fp32", action="store_true", default=True)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 conv compute (default fp32 for parity checking)")
     args = p.parse_args(argv)
 
     import itertools
@@ -75,7 +76,8 @@ def main(argv=None) -> None:
     if args.limit:
         it = itertools.islice(it, args.limit)
     recomputed = extract_embeddings(
-        it, params, batch_size=args.batch_size, dtype=jnp.float32
+        it, params, batch_size=args.batch_size,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     report = verify(cached, recomputed)
     for k, v in report.items():
