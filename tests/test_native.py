@@ -64,6 +64,21 @@ def test_batcher_shuffle_deterministic(tmp_path):
     store.close()
 
 
+def test_batcher_abandoned_mid_epoch_and_reuse(tmp_path):
+    """Breaking out of the iterator must join the prefetch thread cleanly,
+    and the store must serve many subsequent epochs."""
+    ds = synthetic_dataset(64, seed=7)
+    store = NativeEmbeddingStore.write(tmp_path / "a.embstore", ds)
+    for _ in range(10):
+        for i, batch in enumerate(store.iterate_batches(8, shuffle=True, seed=1)):
+            if i == 2:
+                break  # abandon mid-epoch
+    # full epochs still work afterwards
+    total = sum(int(b[2].sum()) for b in store.iterate_batches(8, shuffle=False))
+    assert total == 64
+    store.close()
+
+
 def test_batcher_pad_multiple(tmp_path):
     ds = synthetic_dataset(10, seed=6)
     store = NativeEmbeddingStore.write(tmp_path / "p.embstore", ds)
