@@ -79,3 +79,30 @@ def pallas_pairwise_cosine(
         interpret=interpret,
     )(x_pad, t_pad)
     return out[:b, :tt]
+
+
+def pallas_pairwise_cosine_sharded(
+    mesh,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    axis_name: str = "data",
+    block_b: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mesh variant: rows of ``x`` sharded over ``axis_name``, bank ``t``
+    replicated; each device runs the fused kernel on its shard (pallas_call
+    cannot take sharded operands under whole-array jit — shard_map gives it
+    per-device views)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def per_shard(xs, ts):
+        return pallas_pairwise_cosine(xs, ts, block_b=block_b, interpret=interpret)
+
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(None, None)),
+        out_specs=P(axis_name, None),
+        check_rep=False,
+    )(x, t)

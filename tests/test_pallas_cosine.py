@@ -34,6 +34,25 @@ def test_pallas_cosine_unaligned_dim(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_pallas_cosine_sharded_on_mesh(rng):
+    """shard_map'ed kernel over an 8-device mesh (interpret mode on CPU)."""
+    from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_cosine import (
+        pallas_pairwise_cosine_sharded,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(8)
+    x = rng.normal(size=(512, 128)).astype(np.float32)
+    t = rng.normal(size=(10, 128)).astype(np.float32)
+    ref = np.asarray(pairwise_cosine(jnp.asarray(x), jnp.asarray(t)))
+    got = np.asarray(
+        pallas_pairwise_cosine_sharded(
+            mesh, jnp.asarray(x), jnp.asarray(t), block_b=64, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_pallas_cosine_real_kernel_on_tpu(rng):
     """Compiled (non-interpret) kernel parity; runs only on TPU backends."""
     import jax
