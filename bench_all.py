@@ -1,0 +1,125 @@
+"""Extended benchmark suite (the driver runs bench.py; this prints the full
+performance story as JSON lines — one per workload).
+
+    python bench_all.py [--quick]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def report(metric, value, unit, baseline=None):
+    line = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if baseline:
+        line["vs_baseline"] = round(value / baseline, 2)
+    print(json.dumps(line))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args()
+
+    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
+
+    enable()
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------------
+    # 1. extraction throughput (same as bench.py)
+    # ------------------------------------------------------------------
+    from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
+        make_encode_raw_shared_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        SharedSizePreprocessPlan,
+    )
+
+    params = init_biovil_image_model(jax.random.PRNGKey(0))
+    batch = 128 if args.quick else 256
+    plan = SharedSizePreprocessPlan(390, 320, size=512, crop=512)
+    encode = make_encode_raw_shared_fn(params, dtype=jnp.bfloat16)
+    bufs = [rng.integers(0, 256, size=(batch, 390, 320), dtype=np.uint8) for _ in range(4)]
+    w_h, w_w = jnp.asarray(plan.w_h), jnp.asarray(plan.w_w)
+    for i in range(3):
+        encode(params, bufs[i % 4], w_h, w_w).block_until_ready()
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(8):
+            out = encode(params, bufs[i % 4], w_h, w_w)
+        out.block_until_ready()
+        best = max(best, batch * 8 / (time.perf_counter() - t0))
+    report("extraction_images_per_sec_per_chip", best, "images/sec", baseline=1.509)
+
+    # ------------------------------------------------------------------
+    # 2. fused training epoch
+    # ------------------------------------------------------------------
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+        joint_config,
+    )
+
+    n_train = 24576 if args.quick else 191027
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    cfg = joint_config(batch_size=6144, epochs=1, lr=1e-3, plot_figures="off")
+    trainer = Trainer(cfg, bank)
+    ds = synthetic_dataset(n_train, seed=0)
+    trainer.train(ds, epoch=1)  # compile
+    t0 = time.perf_counter()
+    for e in (2, 3, 4):
+        trainer.train(ds, epoch=e)
+    dt = (time.perf_counter() - t0) / 3
+    report("fused_train_epoch_samples_per_sec", n_train / dt, "samples/sec")
+
+    # ------------------------------------------------------------------
+    # 3. fused eval
+    # ------------------------------------------------------------------
+    ev = synthetic_dataset(4096 if args.quick else 30000, seed=1)
+    trainer.validate(ev, 1, 1)  # compile
+    t0 = time.perf_counter()
+    trainer.validate(ev, 2, 2)
+    report("eval_samples_per_sec", len(ev) / (time.perf_counter() - t0), "samples/sec")
+
+    # ------------------------------------------------------------------
+    # 4. pallas fused cosine vs unfused XLA
+    # ------------------------------------------------------------------
+    from incremental_multimodal_medical_learning_ii_tpu.ops.cosine import pairwise_cosine
+    from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_cosine import (
+        pallas_pairwise_cosine,
+    )
+
+    x = jnp.asarray(rng.normal(size=(6144, 128)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(10, 128)).astype(np.float32))
+    xla_fn = jax.jit(pairwise_cosine)
+    for name, fn in (("pallas_cosine_6144x10_us", pallas_pairwise_cosine), ("xla_cosine_6144x10_us", xla_fn)):
+        fn(x, t).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(100):
+            out = fn(x, t)
+        out.block_until_ready()
+        report(name, (time.perf_counter() - t0) / 100 * 1e6, "us")
+
+
+if __name__ == "__main__":
+    main()
