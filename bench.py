@@ -53,23 +53,28 @@ def main() -> None:
     plan = SharedSizePreprocessPlan(IMG_H, IMG_W, size=SIZE, crop=CROP)
     encode = make_encode_raw_shared_fn(params, dtype=jnp.bfloat16)
 
+    # Every call gets a NEVER-REUSED buffer: the backend memoizes identical
+    # (executable, input-buffer) executions, so reusing batches would let
+    # later steps return cached results and inflate the number.
     rng = np.random.default_rng(0)
+    total = WARMUP_STEPS + ROUNDS * TIMED_STEPS
     batches = [
         rng.integers(0, 256, size=(BATCH, IMG_H, IMG_W), dtype=np.uint8)
-        for _ in range(4)
+        for _ in range(total)
     ]
     w_h = jnp.asarray(plan.w_h)
     w_w = jnp.asarray(plan.w_w)
 
-    for i in range(WARMUP_STEPS):
-        encode(params, batches[i % len(batches)], w_h, w_w).block_until_ready()
+    it = iter(batches)
+    for _ in range(WARMUP_STEPS):
+        encode(params, next(it), w_h, w_w).block_until_ready()
 
     imgs_per_sec = 0.0
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
         out = None
-        for i in range(TIMED_STEPS):
-            out = encode(params, batches[i % len(batches)], w_h, w_w)
+        for _ in range(TIMED_STEPS):
+            out = encode(params, next(it), w_h, w_w)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         imgs_per_sec = max(imgs_per_sec, BATCH * TIMED_STEPS / dt)
