@@ -61,6 +61,79 @@ def torch_train(params, pos, neg, batches, lr, steps_labels):
     return model, losses
 
 
+def torch_train_with_mycl(params, pos, neg, batches, lr, steps_labels, threshold):
+    """Reference myCL interplay: snapshot before each step, Adam update,
+    then per-tensor |delta| min-max reset (Trainer.py:538-541, 592-594,
+    1556-1587)."""
+    import copy
+
+    model = TorchAdapters(params)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    criterion = torch.nn.BCEWithLogitsLoss()
+    pos_t, neg_t = torch.tensor(pos), torch.tensor(neg)
+    for embs, labels in zip(batches, steps_labels):
+        snapshot = copy.deepcopy(model)
+        opt.zero_grad()
+        x = model.image(torch.tensor(embs))
+        logits = torch.zeros(len(embs), 5)
+        for c in range(5):
+            p = model.text(pos_t[c]).mean(dim=0, keepdim=True)
+            n = model.text(neg_t[c]).mean(dim=0, keepdim=True)
+            logits[:, c] = torch.nn.functional.cosine_similarity(
+                x, p
+            ) - torch.nn.functional.cosine_similarity(x, n)
+        criterion(logits, torch.tensor(labels)).backward()
+        opt.step()
+        with torch.no_grad():
+            for p1, p2 in zip(model.parameters(), snapshot.parameters()):
+                diff = torch.abs(p1 - p2)
+                cutoff = diff.min() + threshold * (diff.max() - diff.min())
+                mask = diff < cutoff
+                p1.data[mask] = p2.data[mask]
+    return model
+
+
+def test_mycl_training_matches_torch():
+    """Full interplay of Adam + per-step myCL reset over several steps."""
+    rng = np.random.default_rng(2)
+    cfg = joint_config(batch_size=32, epochs=1, lr=1e-3, continual_learning="myCL")
+    pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
+    params = pair.init(jax.random.PRNGKey(9))
+
+    c, p, d = 5, 4, 128
+    pos = rng.normal(size=(c, p, d)).astype(np.float32)
+    neg = rng.normal(size=(c, p, d)).astype(np.float32)
+    bank = PromptBank(
+        pos=jnp.asarray(pos), neg=jnp.asarray(neg),
+        pos_count=jnp.full(c, p, jnp.int32), neg_count=jnp.full(c, p, jnp.int32),
+    )
+    batches = [rng.normal(size=(32, 128)).astype(np.float32) for _ in range(4)]
+    labels = [(rng.random((32, 5)) < 0.4).astype(np.float32) for _ in range(4)]
+    threshold = 0.4
+
+    t_model = torch_train_with_mycl(params, pos, neg, batches, cfg.lr, labels, threshold)
+
+    state, tx = init_train_state(pair, params, cfg)
+    step = build_train_step(pair, tx, cfg)
+    elem_mask = np.ones(32, np.float32)
+    class_mask = np.ones(5, np.float32)
+    for embs, lbl in zip(batches, labels):
+        state, metrics = step(state, embs, lbl, elem_mask, class_mask, bank, threshold)
+        assert int(metrics["n_reset"]) > 0  # resets actually happen
+
+    final = jax.device_get(state.params)
+    np.testing.assert_allclose(
+        final["image"]["dense1"]["kernel"],
+        t_model.image[0].weight.detach().numpy().T,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        final["text"]["dense1"]["bias"],
+        t_model.text[0].bias.detach().numpy(),
+        atol=1e-4,
+    )
+
+
 def test_train_step_matches_torch_adam():
     rng = np.random.default_rng(0)
     cfg = joint_config(batch_size=32, epochs=1, lr=1e-3)
