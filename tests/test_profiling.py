@@ -1,0 +1,37 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import annotate, maybe_trace
+
+
+def test_maybe_trace_writes_a_trace(tmp_path):
+    with maybe_trace(str(tmp_path)):
+        with annotate("smoke"):
+            jnp.sum(jnp.ones((64, 64)) * 2).block_until_ready()
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace files written"
+
+
+def test_maybe_trace_none_is_noop():
+    with maybe_trace(None):
+        pass
+
+
+def test_extraction_trace_hook(tmp_path, rng):
+    from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
+        extract_embeddings,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        init_biovil_image_model,
+    )
+
+    params = init_biovil_image_model(jax.random.PRNGKey(0))
+    imgs = [((rng.random((70, 60)) * 255).astype(np.uint8), np.zeros(5, np.float32))
+            for _ in range(2)]
+    ds = extract_embeddings(
+        iter(imgs), params, batch_size=2, size=64, pad_to=128,
+        dtype=jnp.float32, trace_dir=str(tmp_path / "trace"),
+    )
+    assert len(ds) == 2
+    assert any(f.is_file() for f in (tmp_path / "trace").rglob("*"))

@@ -134,6 +134,57 @@ def test_mycl_training_matches_torch():
     )
 
 
+def test_profcl_epoch_reset_matches_torch():
+    """profCL: snapshot at epoch start, train normally, reset once at epoch
+    end (Trainer.py:1589-1632 + DATA_INCREMENTAL.py:81-86)."""
+    import copy
+
+    rng = np.random.default_rng(3)
+    cfg = joint_config(batch_size=32, epochs=1, lr=1e-3, continual_learning="profCL")
+    pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
+    params = pair.init(jax.random.PRNGKey(8))
+
+    c, p, d = 5, 4, 128
+    pos = rng.normal(size=(c, p, d)).astype(np.float32)
+    neg = rng.normal(size=(c, p, d)).astype(np.float32)
+    bank = PromptBank(
+        pos=jnp.asarray(pos), neg=jnp.asarray(neg),
+        pos_count=jnp.full(c, p, jnp.int32), neg_count=jnp.full(c, p, jnp.int32),
+    )
+    batches = [rng.normal(size=(32, 128)).astype(np.float32) for _ in range(3)]
+    labels = [(rng.random((32, 5)) < 0.4).astype(np.float32) for _ in range(3)]
+    threshold = 0.4
+
+    # torch: plain Adam epoch then one reset vs the epoch-start snapshot
+    t_model, _ = torch_train(params, pos, neg, batches, cfg.lr, labels)
+    t_snapshot = TorchAdapters(params)
+    with torch.no_grad():
+        for p1, p2 in zip(t_model.parameters(), t_snapshot.parameters()):
+            diff = torch.abs(p1 - p2)
+            cutoff = diff.min() + threshold * (diff.max() - diff.min())
+            mask = diff < cutoff
+            p1.data[mask] = p2.data[mask]
+
+    # framework: Trainer.model_copy + train + prof_incremental
+    from incremental_multimodal_medical_learning_ii_tpu.engine.cl import weight_reset
+
+    state, tx = init_train_state(pair, params, cfg)
+    step = build_train_step(pair, tx, cfg)
+    snapshot = jax.tree_util.tree_map(jnp.copy, state.params)
+    elem_mask = np.ones(32, np.float32)
+    class_mask = np.ones(5, np.float32)
+    for embs, lbl in zip(batches, labels):
+        state, _ = step(state, embs, lbl, elem_mask, class_mask, bank, 0.0)
+    new_params, n_reset, _ = weight_reset(state.params, snapshot, threshold)
+    assert int(n_reset) > 0
+    final = jax.device_get(new_params)
+    np.testing.assert_allclose(
+        final["image"]["dense2"]["kernel"],
+        t_model.image[2].weight.detach().numpy().T,
+        atol=1e-4,
+    )
+
+
 def test_train_step_matches_torch_adam():
     rng = np.random.default_rng(0)
     cfg = joint_config(batch_size=32, epochs=1, lr=1e-3)
