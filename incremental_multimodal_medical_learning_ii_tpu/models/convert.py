@@ -211,6 +211,53 @@ def load_cxr_bert_checkpoint(path_or_name: str, num_heads: int | None = None):
 
 
 # ----------------------------------------------------------------------
+# Reference adapter checkpoints
+# ----------------------------------------------------------------------
+def load_reference_adapter(path: str) -> Params:
+    """Load a reference ``{image,text}_adapter.pt`` into adapter params.
+
+    The reference saves WHOLE torch modules (``torch.save(self.image_adapter,
+    ...)``, Trainer.py:1643-1648), so unpickling needs the ``models.myMLP`` /
+    ``models.myLinearModel`` classes importable.  We register lightweight
+    stand-ins under a ``models`` module (matching the pickled class paths and
+    parameter names) so the 150+ checkpoints under the reference's
+    ``NUOVI_RISULTATI*/`` run dirs can migrate directly.
+
+    Returns ``{"dense1": {...}}`` (linear) or ``{"dense1", "dense2"}`` (mlp)
+    in this framework's adapter layout.
+    """
+    import sys
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    if "models" not in sys.modules:
+        stub = types.ModuleType("models")
+
+        class myMLP(nn.Module):  # noqa: N801 - pickled class name
+            def __init__(self):
+                super().__init__()
+                self.layer = nn.Sequential(nn.Linear(128, 256), nn.ReLU(), nn.Linear(256, 128))
+
+        class myLinearModel(nn.Module):  # noqa: N801
+            def __init__(self):
+                super().__init__()
+                self.layer = nn.Sequential(nn.Linear(128, 128))
+
+        stub.myMLP = myMLP
+        stub.myLinearModel = myLinearModel
+        sys.modules["models"] = stub
+
+    module = torch.load(path, map_location="cpu", weights_only=False)
+    sd = module.state_dict()
+    params: Params = {"dense1": _linear(sd, "layer.0")}
+    if "layer.2.weight" in sd:
+        params["dense2"] = _linear(sd, "layer.2")
+    return params
+
+
+# ----------------------------------------------------------------------
 # Diagnostics
 # ----------------------------------------------------------------------
 def compare_params(a: Params, b: Params, atol: float = 0.0, verbose: bool = True):
