@@ -35,7 +35,9 @@ def _reference_style_module(kind: str):
             self.layer = nn.Sequential(nn.Linear(128, 128))
 
     myMLP.__module__ = "models"
+    myMLP.__qualname__ = "myMLP"
     myLinearModel.__module__ = "models"
+    myLinearModel.__qualname__ = "myLinearModel"
     stub.myMLP = myMLP
     stub.myLinearModel = myLinearModel
     sys.modules["models"] = stub
