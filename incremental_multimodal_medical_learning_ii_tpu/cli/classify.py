@@ -18,6 +18,10 @@ def main(argv=None) -> None:
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
     p.add_argument("--adapter-checkpoint", help="run dir with a saved TrainState")
+    p.add_argument("--reference-image-adapter",
+                   help="a reference image_adapter.pt (pickled torch module)")
+    p.add_argument("--reference-text-adapter",
+                   help="a reference text_adapter.pt (pickled torch module)")
     p.add_argument("--adapter", choices=["mlp", "dense"], default="mlp",
                    help="adapter architecture of --adapter-checkpoint")
     p.add_argument("--shared", action="store_true")
@@ -67,7 +71,26 @@ def main(argv=None) -> None:
 
     cfg = None
     adapter_params = None
-    if args.adapter_checkpoint:
+    if args.reference_image_adapter or args.reference_text_adapter:
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_reference_adapter,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+            joint_config,
+        )
+
+        adapter_params = {}
+        if args.reference_image_adapter:
+            adapter_params["image"] = load_reference_adapter(args.reference_image_adapter)
+        if args.reference_text_adapter:
+            adapter_params["text"] = load_reference_adapter(args.reference_text_adapter)
+        kind = "mlp" if "dense2" in next(iter(adapter_params.values())) else "dense"
+        cfg = joint_config(
+            adapter=kind,
+            image_adapter="image" in adapter_params,
+            text_adapter="text" in adapter_params,
+        )
+    elif args.adapter_checkpoint:
         from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
             restore_checkpoint,
         )

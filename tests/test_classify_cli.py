@@ -57,3 +57,49 @@ def test_classify_cli_with_adapter_checkpoint(tmp_path, capsys, rng):
     scores = [float(v) for v in lines[0].split(",")[1:]]
     assert len(scores) == 5
     assert all(0 <= s <= 1 for s in scores)
+
+
+def test_classify_cli_with_reference_adapters(tmp_path, capsys, rng):
+    import sys
+    import types
+
+    import torch.nn as nn
+
+    sys.path.insert(0, "tests")
+    from torch_biovil_fixture import TorchBioViLImage
+
+    torch.manual_seed(1)
+    ckpt = tmp_path / "biovil.pt"
+    torch.save(TorchBioViLImage().state_dict(), ckpt)
+
+    # reference-style pickled adapter modules
+    stub = types.ModuleType("models")
+
+    class myMLP(nn.Module):  # noqa: N801
+        def __init__(self):
+            super().__init__()
+            self.layer = nn.Sequential(nn.Linear(128, 256), nn.ReLU(), nn.Linear(256, 128))
+
+    myMLP.__module__ = "models"
+    myMLP.__qualname__ = "myMLP"
+    stub.myMLP = myMLP
+    sys.modules["models"] = stub
+    torch.save(myMLP(), tmp_path / "image_adapter.pt")
+    torch.save(myMLP(), tmp_path / "text_adapter.pt")
+    sys.modules.pop("models", None)
+
+    img = tmp_path / "cxr.png"
+    Image.fromarray((rng.random((110, 90)) * 255).astype(np.uint8), "L").save(img)
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.classify import main
+
+    main([
+        str(img),
+        "--biovil-checkpoint", str(ckpt),
+        "--reference-image-adapter", str(tmp_path / "image_adapter.pt"),
+        "--reference-text-adapter", str(tmp_path / "text_adapter.pt"),
+        "--batch-size", "1",
+    ])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith(str(img))]
+    assert len(lines) == 1
