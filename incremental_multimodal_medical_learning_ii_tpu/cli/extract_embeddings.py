@@ -31,6 +31,8 @@ def main(argv=None) -> None:
     p.add_argument("--crop", type=int, default=None, help="default: same as --size")
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--checkpoint-interval", type=int, default=5000)
+    p.add_argument("--decode-workers", type=int, default=0,
+                   help="JPEG-decode process pool size (reference num_workers=4)")
     p.add_argument("--fp32", action="store_true", help="fp32 conv compute (parity runs)")
     p.add_argument("--host-preprocess", action="store_true", help="PIL path instead of fused device path")
     p.add_argument("--synthetic", type=int, default=0, help="N synthetic images (smoke run)")
@@ -74,7 +76,7 @@ def main(argv=None) -> None:
         params = load_biovil_image_checkpoint(args.biovil_checkpoint)
         manifest = ChexpertManifest.from_csv(args.csv, img_dir=args.img_dir)
         print(f"{len(manifest)} images")
-        iterator = manifest_image_iterator(manifest)
+        iterator = manifest_image_iterator(manifest, workers=args.decode_workers)
 
     store = ShardedEmbeddingStore(args.out_dir)
     t0 = time.perf_counter()

@@ -217,13 +217,31 @@ def extract_embeddings(
     return EmbeddingDataset(np.concatenate(all_embs), np.concatenate(all_labels))
 
 
-def manifest_image_iterator(manifest, loader: Optional[Callable] = None) -> Iterator[ImageLabel]:
-    """Iterate (raw grayscale uint8, label) pairs from a ChexpertManifest."""
+def manifest_image_iterator(
+    manifest, loader: Optional[Callable] = None, workers: int = 0
+) -> Iterator[ImageLabel]:
+    """Iterate (raw grayscale uint8, label) pairs from a ChexpertManifest.
+
+    ``workers > 0`` decodes with a process pool (the reference's
+    ``num_workers=4`` DataLoader parallelism, ``DataRetrieval.py:151-153``);
+    order is preserved. Full-resolution CheXpert JPEGs decode at ~70
+    imgs/sec/core, so multi-worker decode is what keeps the chip fed there.
+    """
     from incremental_multimodal_medical_learning_ii_tpu.data.images import (
         load_image_raw_uint8,
     )
 
-    loader = loader or load_image_raw_uint8
     labels = manifest.labels()
-    for idx, path in enumerate(manifest.image_paths()):
+    paths = manifest.image_paths()
+    if workers and loader is None:
+        import multiprocessing
+
+        with multiprocessing.Pool(workers) as pool:
+            for idx, img in enumerate(
+                pool.imap(load_image_raw_uint8, paths, chunksize=8)
+            ):
+                yield img, labels[idx]
+        return
+    loader = loader or load_image_raw_uint8
+    for idx, path in enumerate(paths):
         yield loader(path), labels[idx]

@@ -97,6 +97,12 @@ def test_manifest_iteration(tmp_path, rng):
     assert items[0][0].shape == (40, 30)
     np.testing.assert_array_equal(items[1][1], [1, 0, 1, 0, 1])
 
+    # process-pool decode path preserves order and content
+    pooled = list(manifest_image_iterator(manifest, workers=2))
+    for (a, la), (b, lb) in zip(items, pooled):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
+
 
 def test_manifest_utilities(tmp_path):
     import pandas as pd
