@@ -28,7 +28,8 @@ BATCH = 256
 SIZE, CROP = 512, 512
 WARMUP_STEPS = 4
 TIMED_STEPS = 8
-ROUNDS = 3  # best-of-N: the tunneled host->device link here is noisy
+ROUNDS = 5  # best-of-N: the tunneled host->device link here is noisy
+            # (run-to-run spread 2-13k imgs/s at identical code)
 
 
 def main() -> None:
