@@ -28,6 +28,8 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--new-prompts", action="store_true")
     p.add_argument("--single-prompt", action="store_true")
+    p.add_argument("--bank", help="a saved prompt bank .npz (skips CXR-BERT entirely)")
+    p.add_argument("--save-bank", help="save the built prompt bank here")
     args = p.parse_args(argv)
 
     from incremental_multimodal_medical_learning_ii_tpu.inference import ChexpertClassifier
@@ -44,30 +46,40 @@ def main(argv=None) -> None:
     )
 
     image_params = load_biovil_image_checkpoint(args.biovil_checkpoint)
-    prompts = create_prompts(
-        CHEXPERT_COMPETITION_TASKS,
-        single_prompt=args.single_prompt,
-        new_prompts=args.new_prompts,
-    )
-    if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
-        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
-            load_cxr_bert_checkpoint,
-        )
-        from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
-            TextInferenceEngine,
-        )
-        from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
-            PromptTokenizer,
-        )
+    if args.bank:
+        from incremental_multimodal_medical_learning_ii_tpu.text.bank import load_prompt_bank
 
-        bert_params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
-        encode = TextInferenceEngine(
-            bert_params, dims, PromptTokenizer(args.cxr_bert_vocab)
-        ).encode_fn(normalize=False)
+        bank = load_prompt_bank(args.bank)
     else:
-        print("[warn] no CXR-BERT checkpoint; synthetic prompt encoder (scores meaningless)")
-        encode = synthetic_encode_fn()
-    bank = build_prompt_bank(encode, prompts, CHEXPERT_COMPETITION_TASKS)
+        prompts = create_prompts(
+            CHEXPERT_COMPETITION_TASKS,
+            single_prompt=args.single_prompt,
+            new_prompts=args.new_prompts,
+        )
+        if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
+            from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+                load_cxr_bert_checkpoint,
+            )
+            from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+                TextInferenceEngine,
+            )
+            from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+                PromptTokenizer,
+            )
+
+            bert_params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+            encode = TextInferenceEngine(
+                bert_params, dims, PromptTokenizer(args.cxr_bert_vocab)
+            ).encode_fn(normalize=False)
+        else:
+            print("[warn] no CXR-BERT checkpoint; synthetic prompt encoder (scores meaningless)")
+            encode = synthetic_encode_fn()
+        bank = build_prompt_bank(encode, prompts, CHEXPERT_COMPETITION_TASKS)
+    if args.save_bank:
+        from incremental_multimodal_medical_learning_ii_tpu.text.bank import save_prompt_bank
+
+        save_prompt_bank(args.save_bank, bank)
+        print(f"saved prompt bank -> {args.save_bank}")
 
     cfg = None
     adapter_params = None

@@ -73,6 +73,28 @@ def build_prompt_bank(
     )
 
 
+def save_prompt_bank(path, bank: PromptBank) -> None:
+    """Persist a bank (~64 KB) — deployment ships this instead of the
+    CXR-BERT weights; the text adapter still applies on device."""
+    np.savez(
+        path,
+        pos=np.asarray(bank.pos),
+        neg=np.asarray(bank.neg),
+        pos_count=np.asarray(bank.pos_count),
+        neg_count=np.asarray(bank.neg_count),
+    )
+
+
+def load_prompt_bank(path) -> PromptBank:
+    with np.load(path) as z:
+        return PromptBank(
+            pos=jnp.asarray(z["pos"]),
+            neg=jnp.asarray(z["neg"]),
+            pos_count=jnp.asarray(z["pos_count"]),
+            neg_count=jnp.asarray(z["neg_count"]),
+        )
+
+
 def synthetic_encode_fn(seed: int = 0, emb_dim: int = 128) -> EncodeFn:
     """Deterministic text-hash encoder for tests/CI (no BERT weights needed):
     each distinct prompt string maps to a fixed pseudo-random embedding."""

@@ -92,6 +92,20 @@ def test_build_prompt_bank_padding():
     assert np.all(np.asarray(bank.neg)[:, 4:, :] == 0)
 
 
+def test_prompt_bank_save_load(tmp_path):
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        load_prompt_bank,
+        save_prompt_bank,
+    )
+
+    prompts = create_prompts(TASKS)
+    bank = build_prompt_bank(synthetic_encode_fn(), prompts, TASKS)
+    save_prompt_bank(tmp_path / "bank.npz", bank)
+    back = load_prompt_bank(tmp_path / "bank.npz")
+    np.testing.assert_array_equal(np.asarray(back.pos), np.asarray(bank.pos))
+    np.testing.assert_array_equal(np.asarray(back.neg_count), np.asarray(bank.neg_count))
+
+
 def test_build_prompt_bank_pos_only_mirrors():
     prompts = create_prompts(TASKS)
     bank = build_prompt_bank(synthetic_encode_fn(), prompts, TASKS, train_logit_diff=False)
