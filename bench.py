@@ -1,16 +1,25 @@
 """Headline benchmark: CheXpert embedding-extraction throughput (imgs/sec/chip).
 
-Measures the fused raw-uint8 -> preprocess -> BioViL ResNet-50 -> 128-d
-embedding pipeline on the available accelerator, bfloat16 conv compute,
-batch transfer included (raw uint8 pixels cross the host/device boundary
-each step, exactly like a real extraction run with prefetch).
+Measures the framework's REAL extraction loop (`engine/extract.py`:
+host-prefetched raw uint8 batches -> fused on-device preprocess + BioViL
+ResNet-50 bf16 -> per-batch embedding readback) on synthetic CheXpert-small
+geometry images — exactly what a user's extraction run executes, including
+every host<->device transfer and synchronization.
 
-Baseline: the reference implementation is a batch-size-1 torch-CPU loop
-with PIL preprocessing (``chexpert-get-embedding.py:49,68-99``; no GPU in
-this environment, and the reference records no throughput numbers).
-Measured on this host (1 vCPU, torch 2.13 CPU, identical model FLOPs and
-PIL pipeline): **1.509 imgs/sec** — see tests/torch_biovil_fixture.py for
-the measurement model.
+Methodology notes (hard-won on this tunneled-TPU host, see CLAUDE.md):
+* this backend memoizes identical (executable, input) executions — every
+  batch has unique content;
+* `block_until_ready` on async dispatches is not a reliable completion
+  barrier here — the extraction loop's per-batch `np.asarray` readback is
+  the only trustworthy synchronization, and it is also what the real
+  pipeline does;
+* the link has multi-minute degradation phases (same code measures 100x
+  apart), so we sample rounds within a time budget and report the best.
+
+Baseline: the reference is a batch-size-1 torch-CPU loop with PIL
+preprocessing (``chexpert-get-embedding.py:49,68-99``; no throughput is
+recorded anywhere in the reference).  Measured on this host with identical
+model FLOPs and pipeline: **1.509 imgs/sec**.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,11 +34,11 @@ TORCH_CPU_BASELINE_IMGS_PER_SEC = 1.509  # measured 2026-08-16 on this host
 # CheXpert-v1.0-small frontal geometry
 IMG_H, IMG_W = 390, 320
 BATCH = 256
+IMAGES_PER_ROUND = 1024
 SIZE, CROP = 512, 512
-WARMUP_STEPS = 4
-TIMED_STEPS = 8
-ROUNDS = 5  # best-of-N: the tunneled host->device link here is noisy
-            # (run-to-run spread 2-13k imgs/s at identical code)
+MIN_ROUNDS = 2
+MAX_ROUNDS = 12
+TIME_BUDGET_S = 180.0
 
 
 def main() -> None:
@@ -41,51 +50,50 @@ def main() -> None:
     import jax.numpy as jnp
 
     from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
-        make_encode_raw_shared_fn,
+        extract_embeddings,
     )
     from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
         init_biovil_image_model,
     )
-    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
-        SharedSizePreprocessPlan,
-    )
 
     params = init_biovil_image_model(jax.random.PRNGKey(0))
-    plan = SharedSizePreprocessPlan(IMG_H, IMG_W, size=SIZE, crop=CROP)
-    encode = make_encode_raw_shared_fn(params, dtype=jnp.bfloat16)
-
-    # Every call gets a NEVER-REUSED buffer: the backend memoizes identical
-    # (executable, input-buffer) executions, so reusing batches would let
-    # later steps return cached results and inflate the number.
     rng = np.random.default_rng(0)
-    total = WARMUP_STEPS + ROUNDS * TIMED_STEPS
-    batches = [
-        rng.integers(0, 256, size=(BATCH, IMG_H, IMG_W), dtype=np.uint8)
-        for _ in range(total)
-    ]
-    w_h = jnp.asarray(plan.w_h)
-    w_w = jnp.asarray(plan.w_w)
 
-    it = iter(batches)
-    for _ in range(WARMUP_STEPS):
-        encode(params, next(it), w_h, w_w).block_until_ready()
+    def images(n):
+        for _ in range(n):
+            yield (
+                rng.integers(0, 256, size=(IMG_H, IMG_W), dtype=np.uint8),
+                np.zeros(5, np.float32),
+            )
 
-    imgs_per_sec = 0.0
-    for _ in range(ROUNDS):
+    def run(n):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(TIMED_STEPS):
-            out = encode(params, next(it), w_h, w_w)
-        out.block_until_ready()
+        ds = extract_embeddings(
+            images(n), params, batch_size=BATCH, size=SIZE, crop=CROP,
+            dtype=jnp.bfloat16,
+        )
         dt = time.perf_counter() - t0
-        imgs_per_sec = max(imgs_per_sec, BATCH * TIMED_STEPS / dt)
+        assert len(ds) == n
+        return n / dt
+
+    run(BATCH)  # compile + warm the pipeline
+
+    best = 0.0
+    start = time.perf_counter()
+    rounds = 0
+    while rounds < MIN_ROUNDS or (
+        rounds < MAX_ROUNDS and time.perf_counter() - start < TIME_BUDGET_S
+    ):
+        best = max(best, run(IMAGES_PER_ROUND))
+        rounds += 1
+
     print(
         json.dumps(
             {
                 "metric": "chexpert_extraction_images_per_sec_per_chip",
-                "value": round(imgs_per_sec, 2),
+                "value": round(best, 2),
                 "unit": "images/sec",
-                "vs_baseline": round(imgs_per_sec / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
+                "vs_baseline": round(best / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
             }
         )
     )

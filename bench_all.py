@@ -36,33 +36,29 @@ def main() -> None:
     # 1. extraction throughput (same as bench.py)
     # ------------------------------------------------------------------
     from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
-        make_encode_raw_shared_fn,
+        extract_embeddings,
     )
     from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
         init_biovil_image_model,
     )
-    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
-        SharedSizePreprocessPlan,
-    )
 
     params = init_biovil_image_model(jax.random.PRNGKey(0))
     batch = 128 if args.quick else 256
-    plan = SharedSizePreprocessPlan(390, 320, size=512, crop=512)
-    encode = make_encode_raw_shared_fn(params, dtype=jnp.bfloat16)
-    # never reuse a buffer: the backend memoizes identical executions
-    bufs = iter(
-        rng.integers(0, 256, size=(batch, 390, 320), dtype=np.uint8) for _ in range(27)
-    )
-    w_h, w_w = jnp.asarray(plan.w_h), jnp.asarray(plan.w_w)
-    for _ in range(3):
-        encode(params, next(bufs), w_h, w_w).block_until_ready()
+
+    def images(n):
+        for _ in range(n):
+            yield (
+                rng.integers(0, 256, size=(390, 320), dtype=np.uint8),
+                np.zeros(5, np.float32),
+            )
+
+    extract_embeddings(images(batch), params, batch_size=batch, dtype=jnp.bfloat16)
     best = 0.0
-    for _ in range(3):
+    for _ in range(2 if args.quick else 3):
+        n = batch * (2 if args.quick else 4)
         t0 = time.perf_counter()
-        for _ in range(8):
-            out = encode(params, next(bufs), w_h, w_w)
-        out.block_until_ready()
-        best = max(best, batch * 8 / (time.perf_counter() - t0))
+        extract_embeddings(images(n), params, batch_size=batch, dtype=jnp.bfloat16)
+        best = max(best, n / (time.perf_counter() - t0))
     report("extraction_images_per_sec_per_chip", best, "images/sec", baseline=1.509)
 
     # ------------------------------------------------------------------

@@ -195,21 +195,34 @@ def extract_embeddings(
     pending_labels: list = []
     written = 0
     seen = 0
+    def handle(embs_np, labels, n):
+        nonlocal seen, written, pending_embs, pending_labels
+        embs_np = embs_np[:n]
+        labels = labels[:n]
+        seen += n
+        all_embs.append(embs_np)
+        all_labels.append(labels)
+        if store is not None:
+            pending_embs.append(embs_np)
+            pending_labels.append(labels)
+            if seen - written >= checkpoint_interval:
+                store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
+                written = seen
+                pending_embs, pending_labels = [], []
+
     with maybe_trace(trace_dir):
+        # Two-deep device pipeline: dispatch batch N+1 before reading back
+        # batch N, so its upload/compute overlaps the readback wait.
+        in_flight = None  # (device result, labels, n)
         for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
-            with annotate("extract_batch"):
-                embs = np.asarray(run(prepared), dtype=np.float32)[:n]
-            labels = labels[:n]
-            seen += n
-            all_embs.append(embs)
-            all_labels.append(labels)
-            if store is not None:
-                pending_embs.append(embs)
-                pending_labels.append(labels)
-                if seen - written >= checkpoint_interval:
-                    store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
-                    written = seen
-                    pending_embs, pending_labels = [], []
+            with annotate("extract_dispatch"):
+                current = (run(prepared), labels, n)
+            if in_flight is not None:
+                with annotate("extract_readback"):
+                    handle(np.asarray(in_flight[0], dtype=np.float32), in_flight[1], in_flight[2])
+            in_flight = current
+        if in_flight is not None:
+            handle(np.asarray(in_flight[0], dtype=np.float32), in_flight[1], in_flight[2])
     if store is not None and pending_embs:
         store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
     if not all_embs:
