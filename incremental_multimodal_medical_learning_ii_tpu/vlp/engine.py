@@ -40,13 +40,15 @@ def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 
 def gaussian_smooth_2d(grid: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
-    """Separable 'reflect'-padded gaussian blur matching scipy's default."""
+    """Separable gaussian blur matching ``scipy.ndimage.gaussian_filter``'s
+    default boundary (scipy 'reflect' = edge-repeating = numpy 'symmetric',
+    NOT numpy 'reflect')."""
     k = jnp.asarray(_gaussian_kernel_1d(sigma))
     r = (len(k) - 1) // 2
 
     def smooth_axis(x, axis):
         x = jnp.moveaxis(x, axis, -1)
-        pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="reflect")
+        pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="symmetric")
         out = jax.vmap(lambda row: jnp.correlate(row, k, mode="valid"))(
             pad.reshape(-1, pad.shape[-1])
         ).reshape(x.shape)
