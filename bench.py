@@ -14,17 +14,26 @@ Methodology notes (hard-won on this tunneled-TPU host, see CLAUDE.md):
   the only trustworthy synchronization, and it is also what the real
   pipeline does;
 * the link has multi-minute degradation phases (same code measures 100x
-  apart), so we sample rounds within a time budget and report the best.
+  apart), so we sample rounds within a time budget and report best AND
+  median plus the dispatch-vs-readback wall-time split, so a bad number is
+  attributable to link phase rather than code;
+* transient backend errors (FAILED_PRECONDITION through the tunnel) are
+  retried per batch inside the extraction loop and per round here — a link
+  hiccup must never produce a failed benchmark (BENCH_r01.json was rc=1 for
+  exactly that reason).
 
 Baseline: the reference is a batch-size-1 torch-CPU loop with PIL
 preprocessing (``chexpert-get-embedding.py:49,68-99``; no throughput is
 recorded anywhere in the reference).  Measured on this host with identical
 model FLOPs and pipeline: **1.509 imgs/sec**.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Always exits 0 unless the framework itself is broken (a link that stays
+down for the whole budget reports value 0.0 with the failure count).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -38,7 +47,13 @@ IMAGES_PER_ROUND = 1024
 SIZE, CROP = 512, 512
 MIN_ROUNDS = 2
 MAX_ROUNDS = 12
+MAX_FAILURES = 6
 TIME_BUDGET_S = 180.0
+WARMUP_ATTEMPTS = 5
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -67,26 +82,56 @@ def main() -> None:
             )
 
     def run(n):
+        stats: dict = {}
         t0 = time.perf_counter()
         ds = extract_embeddings(
             images(n), params, batch_size=BATCH, size=SIZE, crop=CROP,
-            dtype=jnp.bfloat16,
+            dtype=jnp.bfloat16, retries=3, stats=stats,
         )
         dt = time.perf_counter() - t0
         assert len(ds) == n
-        return n / dt
+        return n / dt, stats
 
-    run(BATCH)  # compile + warm the pipeline
+    # Warm-up: compile + prime the pipeline. Retried because the very first
+    # readback through the tunnel is the most hiccup-prone operation.
+    for attempt in range(WARMUP_ATTEMPTS):
+        try:
+            run(BATCH)
+            break
+        except Exception as e:  # noqa: BLE001 - backend errors are opaque
+            _log(f"[bench] warm-up attempt {attempt + 1} failed: {type(e).__name__}: {e}")
+            if attempt == WARMUP_ATTEMPTS - 1:
+                _log("[bench] warm-up never succeeded; reporting 0")
+            time.sleep(2.0 * (attempt + 1))
 
-    best = 0.0
+    samples: list = []
+    dispatch_ms: list = []
+    readback_ms: list = []
+    retried = 0
+    failures = 0
     start = time.perf_counter()
-    rounds = 0
-    while rounds < MIN_ROUNDS or (
-        rounds < MAX_ROUNDS and time.perf_counter() - start < TIME_BUDGET_S
+    while len(samples) < MIN_ROUNDS or (
+        len(samples) < MAX_ROUNDS and time.perf_counter() - start < TIME_BUDGET_S
     ):
-        best = max(best, run(IMAGES_PER_ROUND))
-        rounds += 1
+        if failures >= MAX_FAILURES and len(samples) == 0:
+            break
+        try:
+            rate, stats = run(IMAGES_PER_ROUND)
+        except Exception as e:  # noqa: BLE001 - keep sampling through hiccups
+            failures += 1
+            _log(f"[bench] round failed ({failures}): {type(e).__name__}: {e}")
+            if failures >= MAX_FAILURES and len(samples) >= MIN_ROUNDS:
+                break
+            time.sleep(2.0 * failures)
+            continue
+        samples.append(rate)
+        n_b = max(stats.get("batches", 1), 1)
+        dispatch_ms.append(1e3 * stats.get("dispatch_s", 0.0) / n_b)
+        readback_ms.append(1e3 * stats.get("readback_s", 0.0) / n_b)
+        retried += stats.get("retried_batches", 0)
 
+    best = max(samples) if samples else 0.0
+    median = float(np.median(samples)) if samples else 0.0
     print(
         json.dumps(
             {
@@ -94,6 +139,12 @@ def main() -> None:
                 "value": round(best, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(best / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
+                "samples": [round(s, 2) for s in samples],
+                "median": round(median, 2),
+                "dispatch_ms_per_batch": [round(x, 1) for x in dispatch_ms],
+                "readback_ms_per_batch": [round(x, 1) for x in readback_ms],
+                "retried_batches": retried,
+                "failed_rounds": failures,
             }
         )
     )

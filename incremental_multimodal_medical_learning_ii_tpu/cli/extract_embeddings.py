@@ -36,7 +36,17 @@ def main(argv=None) -> None:
     p.add_argument("--fp32", action="store_true", help="fp32 conv compute (parity runs)")
     p.add_argument("--host-preprocess", action="store_true", help="PIL path instead of fused device path")
     p.add_argument("--synthetic", type=int, default=0, help="N synthetic images (smoke run)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip images already covered by shards in --out-dir")
+    p.add_argument("--retries", type=int, default=2,
+                   help="per-batch re-dispatch attempts on transient backend errors")
     args = p.parse_args(argv)
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.common import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -55,14 +65,14 @@ def main(argv=None) -> None:
         )
 
         params = init_biovil_image_model(jax.random.PRNGKey(0))
-        rng = np.random.default_rng(0)
 
-        def images():
-            for _ in range(args.synthetic):
-                img = rng.integers(0, 256, size=(390, 320), dtype=np.uint8)
-                yield img, (rng.random(5) < 0.3).astype(np.float32)
-
-        iterator = images()
+        def iterator(skip=0):
+            rng_local = np.random.default_rng(0)
+            for i in range(args.synthetic):
+                img = rng_local.integers(0, 256, size=(390, 320), dtype=np.uint8)
+                lbl = (rng_local.random(5) < 0.3).astype(np.float32)
+                if i >= skip:
+                    yield img, lbl
     else:
         if not (args.csv and args.biovil_checkpoint):
             raise SystemExit("--csv and --biovil-checkpoint required (or --synthetic N)")
@@ -76,9 +86,14 @@ def main(argv=None) -> None:
         params = load_biovil_image_checkpoint(args.biovil_checkpoint)
         manifest = ChexpertManifest.from_csv(args.csv, img_dir=args.img_dir)
         print(f"{len(manifest)} images")
-        iterator = manifest_image_iterator(manifest, workers=args.decode_workers)
+
+        def iterator(skip=0):
+            return manifest_image_iterator(
+                manifest, workers=args.decode_workers, start=skip
+            )
 
     store = ShardedEmbeddingStore(args.out_dir)
+    skipped = store.total_rows() if args.resume else 0
     t0 = time.perf_counter()
     ds = extract_embeddings(
         iterator,
@@ -91,11 +106,18 @@ def main(argv=None) -> None:
         checkpoint_interval=args.checkpoint_interval,
         device_preprocess=not args.host_preprocess,
         pad_to=args.pad_to,
+        resume=args.resume,
+        retries=args.retries,
     )
     dt = time.perf_counter() - t0
     final = store.directory / "dataset.npz"
     ds.save(final)
-    print(f"extracted {len(ds)} embeddings in {dt:.1f}s ({len(ds)/dt:.1f} imgs/sec) -> {final}")
+    fresh = len(ds) - skipped
+    print(
+        f"extracted {fresh} embeddings in {dt:.1f}s ({fresh/max(dt,1e-9):.1f} imgs/sec)"
+        + (f" [resumed past {skipped}]" if skipped else "")
+        + f" -> {final} ({len(ds)} total)"
+    )
 
 
 if __name__ == "__main__":

@@ -109,6 +109,23 @@ class ShardedEmbeddingStore:
     def shard_paths(self) -> List[Path]:
         return sorted(p for p in self.directory.glob("shard_*.npz") if _SHARD_RE.search(p.name))
 
+    def total_rows(self) -> int:
+        """Number of rows covered by the existing shards, validating that
+        they form one contiguous prefix starting at row 0 (the invariant
+        extraction maintains; anything else means a foreign/corrupt store
+        and resume must not silently skip the wrong images)."""
+        rows = 0
+        for path in self.shard_paths():
+            start = int(_SHARD_RE.search(path.name).group(1))
+            if start != rows:
+                raise ValueError(
+                    f"non-contiguous shard {path.name}: starts at {start}, "
+                    f"expected {rows} — refusing to resume"
+                )
+            with np.load(path) as z:
+                rows += len(z["embeddings"])
+        return rows
+
     def glue(self) -> EmbeddingDataset:
         """Concatenate all shards in index order (glue_dataset.py:33-37)."""
         parts = [EmbeddingDataset.load(p) for p in self.shard_paths()]

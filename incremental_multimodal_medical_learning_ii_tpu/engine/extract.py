@@ -17,8 +17,10 @@ TPU rebuild:
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
+import time
 from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import jax
@@ -120,7 +122,7 @@ def _prefetch(gen, depth: int = 2):
 
 
 def extract_embeddings(
-    images: Iterable[ImageLabel],
+    images: Iterable[ImageLabel] | Callable[[int], Iterable[ImageLabel]],
     params,
     store: Optional[ShardedEmbeddingStore] = None,
     *,
@@ -134,10 +136,36 @@ def extract_embeddings(
     mesh=None,
     prefetch_depth: int = 2,
     trace_dir: Optional[str] = None,
+    resume: bool = False,
+    retries: int = 2,
+    retry_backoff_s: float = 0.5,
+    stats: Optional[dict] = None,
 ) -> EmbeddingDataset:
     """Run the full extraction pass; returns the (N, 128) dataset and writes
-    shard checkpoints along the way when ``store`` is given."""
+    shard checkpoints along the way when ``store`` is given.
+
+    Fault tolerance (beyond the reference, whose extraction dies on any
+    error and restarts from image 0 despite its shard checkpoints,
+    ``chexpert-get-embedding.py:68-113``):
+
+    * a transient backend error during dispatch or readback re-dispatches
+      the in-flight batch up to ``retries`` times with exponential backoff
+      before surfacing — one tunnel hiccup no longer kills a 191k-image run;
+    * ``resume=True`` (requires ``store``) skips the images already covered
+      by existing contiguous shards and extracts only the tail, returning
+      the full glued dataset.  ``images`` may be a callable ``skip ->
+      iterator`` so skipped images are never decoded (pass
+      ``lambda s: manifest_image_iterator(manifest, start=s)``); a plain
+      iterable is sliced instead (skipped items are drawn and discarded).
+
+    ``stats``, if given a dict, is filled with wall-time totals:
+    ``{"dispatch_s", "readback_s", "batches", "retried_batches"}`` — the
+    dispatch-vs-readback split that makes a throughput number attributable
+    to link phase rather than code.
+    """
     crop = crop or size
+    if stats is not None:
+        stats.update(dispatch_s=0.0, readback_s=0.0, batches=0, retried_batches=0)
     if mesh is not None:
         params = mesh_lib.replicate(mesh, params)
 
@@ -180,8 +208,27 @@ def extract_embeddings(
                 prepared = mesh_lib.shard_batch(mesh, prepared)
             return encode_pre(params, prepared)
 
+    skip = 0
+    all_embs: list = []
+    all_labels: list = []
+    if resume:
+        if store is None:
+            raise ValueError("resume=True requires a store")
+        existing = store.total_rows()
+        if existing:
+            prior = store.glue()
+            all_embs.append(prior.embeddings)
+            all_labels.append(prior.labels)
+            skip = existing
+
     def prepared_batches():
-        for batch_imgs, labels, n in _batched(iter(images), batch_size):
+        if callable(images):
+            it = iter(images(skip))
+        else:
+            it = iter(images)
+            if skip:
+                it = itertools.islice(it, skip, None)
+        for batch_imgs, labels, n in _batched(it, batch_size):
             yield prepare(batch_imgs), labels, n
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
@@ -189,12 +236,11 @@ def extract_embeddings(
         maybe_trace,
     )
 
-    all_embs: list = []
-    all_labels: list = []
     pending_embs: list = []
     pending_labels: list = []
-    written = 0
-    seen = 0
+    written = skip
+    seen = skip
+
     def handle(embs_np, labels, n):
         nonlocal seen, written, pending_embs, pending_labels
         embs_np = embs_np[:n]
@@ -210,19 +256,59 @@ def extract_embeddings(
                 written = seen
                 pending_embs, pending_labels = [], []
 
+    def dispatch(prepared):
+        """run() with retry — a transient backend error (tunnel hiccup,
+        FAILED_PRECONDITION) re-dispatches with exponential backoff."""
+        for attempt in range(retries + 1):
+            try:
+                return run(prepared)
+            except Exception:
+                if attempt >= retries:
+                    raise
+                if stats is not None:
+                    stats["retried_batches"] += 1
+                time.sleep(retry_backoff_s * (2 ** attempt))
+
+    def readback(result, prepared):
+        """Device->host transfer with retry; a failed readback invalidates
+        the dispatched buffers, so the batch is re-dispatched from the
+        still-held host-side ``prepared`` arrays."""
+        for attempt in range(retries + 1):
+            try:
+                return np.asarray(result, dtype=np.float32)
+            except Exception:
+                if attempt >= retries:
+                    raise
+                if stats is not None:
+                    stats["retried_batches"] += 1
+                time.sleep(retry_backoff_s * (2 ** attempt))
+                result = dispatch(prepared)
+
     with maybe_trace(trace_dir):
         # Two-deep device pipeline: dispatch batch N+1 before reading back
         # batch N, so its upload/compute overlaps the readback wait.
-        in_flight = None  # (device result, labels, n)
+        in_flight = None  # (device result, host prepared, labels, n)
         for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
             with annotate("extract_dispatch"):
-                current = (run(prepared), labels, n)
+                t0 = time.perf_counter()
+                current = (dispatch(prepared), prepared, labels, n)
+                if stats is not None:
+                    stats["dispatch_s"] += time.perf_counter() - t0
+                    stats["batches"] += 1
             if in_flight is not None:
                 with annotate("extract_readback"):
-                    handle(np.asarray(in_flight[0], dtype=np.float32), in_flight[1], in_flight[2])
+                    t0 = time.perf_counter()
+                    embs_np = readback(in_flight[0], in_flight[1])
+                    if stats is not None:
+                        stats["readback_s"] += time.perf_counter() - t0
+                    handle(embs_np, in_flight[2], in_flight[3])
             in_flight = current
         if in_flight is not None:
-            handle(np.asarray(in_flight[0], dtype=np.float32), in_flight[1], in_flight[2])
+            t0 = time.perf_counter()
+            embs_np = readback(in_flight[0], in_flight[1])
+            if stats is not None:
+                stats["readback_s"] += time.perf_counter() - t0
+            handle(embs_np, in_flight[2], in_flight[3])
     if store is not None and pending_embs:
         store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
     if not all_embs:
@@ -231,7 +317,7 @@ def extract_embeddings(
 
 
 def manifest_image_iterator(
-    manifest, loader: Optional[Callable] = None, workers: int = 0
+    manifest, loader: Optional[Callable] = None, workers: int = 0, start: int = 0
 ) -> Iterator[ImageLabel]:
     """Iterate (raw grayscale uint8, label) pairs from a ChexpertManifest.
 
@@ -239,13 +325,15 @@ def manifest_image_iterator(
     ``num_workers=4`` DataLoader parallelism, ``DataRetrieval.py:151-153``);
     order is preserved. Full-resolution CheXpert JPEGs decode at ~70
     imgs/sec/core, so multi-worker decode is what keeps the chip fed there.
+    ``start`` skips the first N images without decoding them (extraction
+    resume).
     """
     from incremental_multimodal_medical_learning_ii_tpu.data.images import (
         load_image_raw_uint8,
     )
 
-    labels = manifest.labels()
-    paths = manifest.image_paths()
+    labels = manifest.labels()[start:]
+    paths = manifest.image_paths()[start:]
     if workers and loader is None:
         import multiprocessing
 

@@ -123,7 +123,12 @@ class Trainer:
             if cfg.fused_epoch
             else None
         )
-        self._device_data_cache: dict = {}  # (id(dataset), pad) -> device arrays
+        # Device-data cache: keyed by (id(dataset), batch_size), guarded by a
+        # weakref per dataset whose finalizer evicts all of its entries — a
+        # freed-then-reallocated dataset reusing the id can never serve a
+        # stale hit, and dead datasets don't pin device memory.
+        self._device_data_cache: dict = {}
+        self._cache_refs: dict = {}  # id(dataset) -> weakref.ref
         self._epoch_counter = 0
 
     # ------------------------------------------------------------------
@@ -258,10 +263,13 @@ class Trainer:
         """Upload a dataset once, padded to a whole number of batches; reused
         across all epochs touching it (data-incremental trains 10 epochs per
         part — the reference re-copies every batch every epoch)."""
+        import weakref
+
         import jax.numpy as jnp
 
         bs = bs or self.cfg.batch_size
-        key = (id(dataset), bs)
+        did = id(dataset)
+        key = (did, bs)
         cached = self._device_data_cache.get(key)
         if cached is not None:
             return cached
@@ -279,7 +287,22 @@ class Trainer:
             cached = mesh_lib.replicate(self.mesh, (jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid)))
         else:
             cached = (jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid))
-        self._device_data_cache[key] = cached
+        try:
+            if did not in self._cache_refs:
+                wself = weakref.ref(self)
+
+                def _evict(_ref, did=did, wself=wself):
+                    s = wself()
+                    if s is None:
+                        return
+                    s._cache_refs.pop(did, None)
+                    for k in [k for k in s._device_data_cache if k[0] == did]:
+                        del s._device_data_cache[k]
+
+                self._cache_refs[did] = weakref.ref(dataset, _evict)
+            self._device_data_cache[key] = cached
+        except TypeError:
+            pass  # dataset not weakref-able: skip caching over risking stale hits
         return cached
 
     def _train_fused(self, dataset, class_mask, threshold, use_my_cl, iteration_of) -> int:

@@ -203,11 +203,92 @@ def convert_cxr_bert_state_dict(sd: Mapping, num_heads: int | None = None) -> tu
 
 
 def load_cxr_bert_checkpoint(path_or_name: str, num_heads: int | None = None):
-    """Load CXR-BERT weights from a local HF checkpoint directory / file."""
+    """Load CXR-BERT weights from a raw torch state-dict file.  Prefer
+    :func:`load_cxr_bert_snapshot` for HF snapshot directories — it reads
+    the exact dims (incl. ``num_attention_heads``) from ``config.json``
+    instead of relying on the head-dim-64 heuristic."""
     import torch
 
     sd = torch.load(path_or_name, map_location="cpu", weights_only=True)
     return convert_cxr_bert_state_dict(sd, num_heads=num_heads)
+
+
+def _load_snapshot_state_dict(directory):
+    """Read the weights file of an HF snapshot dir: ``model.safetensors``
+    preferred, ``pytorch_model.bin`` fallback."""
+    st = directory / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+
+        return load_file(str(st))
+    bin_path = directory / "pytorch_model.bin"
+    if bin_path.exists():
+        import torch
+
+        return torch.load(bin_path, map_location="cpu", weights_only=True)
+    raise FileNotFoundError(
+        f"no model.safetensors or pytorch_model.bin in {directory}"
+    )
+
+
+def load_cxr_bert_snapshot(snapshot_dir):
+    """Load CXR-BERT from a local HF snapshot directory.
+
+    This consumes exactly what the reference's hub download materialises
+    (``CXRBertModel.from_pretrained('microsoft/BiomedVLP-CXR-BERT-specialized',
+    revision='v1.1')``, ``health_multimodal/text/utils.py:16-25``): the
+    ``config.json`` supplies authoritative dims — in particular
+    ``num_attention_heads``, which cannot be inferred from tensor shapes —
+    the weights come from ``model.safetensors`` / ``pytorch_model.bin``, and
+    ``vocab.txt`` (when present) builds the prompt tokenizer.
+
+    Returns ``(params, dims, tokenizer_or_None)``.  Raises if the config's
+    dims contradict the tensors actually found in the weights file.
+    """
+    import json
+    from pathlib import Path
+
+    d = Path(snapshot_dir)
+    cfg = json.loads((d / "config.json").read_text())
+    sd = _load_snapshot_state_dict(d)
+    params, inferred = convert_cxr_bert_state_dict(
+        sd, num_heads=int(cfg["num_attention_heads"])
+    )
+    dims = BertDims(
+        vocab_size=int(cfg["vocab_size"]),
+        hidden_size=int(cfg["hidden_size"]),
+        num_layers=int(cfg["num_hidden_layers"]),
+        num_heads=int(cfg["num_attention_heads"]),
+        intermediate_size=int(cfg["intermediate_size"]),
+        max_position_embeddings=int(cfg["max_position_embeddings"]),
+        type_vocab_size=int(cfg.get("type_vocab_size", 2)),
+        projection_size=int(cfg.get("projection_size", inferred.projection_size)),
+    )
+    for field in (
+        "vocab_size", "hidden_size", "num_layers", "intermediate_size",
+        "max_position_embeddings", "type_vocab_size",
+    ):
+        if getattr(inferred, field) != getattr(dims, field):
+            raise ValueError(
+                f"config.json says {field}={getattr(dims, field)} but the "
+                f"weights imply {getattr(inferred, field)}"
+            )
+    if dims.hidden_size % dims.num_heads != 0:
+        raise ValueError(
+            f"hidden_size {dims.hidden_size} not divisible by "
+            f"num_attention_heads {dims.num_heads}"
+        )
+    tokenizer = None
+    vocab = d / "vocab.txt"
+    if vocab.exists():
+        from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+            PromptTokenizer,
+        )
+
+        tokenizer = PromptTokenizer(
+            vocab, max_allowed_input_length=dims.max_position_embeddings
+        )
+    return params, dims, tokenizer
 
 
 # ----------------------------------------------------------------------

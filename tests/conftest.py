@@ -23,6 +23,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly marked ``slow`` is the ``fast`` tier
+    (`pytest -m fast` runs in <2 min on this 1-vCPU host; the heavy
+    torch-parity and protocol-e2e tests are `-m slow`)."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(27)

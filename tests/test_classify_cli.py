@@ -3,6 +3,11 @@ import torch
 from PIL import Image
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def test_classify_cli_with_adapter_checkpoint(tmp_path, capsys, rng):
     import sys
 

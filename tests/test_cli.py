@@ -4,6 +4,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_zero_joint_cli_zero_shot(tmp_path, capsys):
     from incremental_multimodal_medical_learning_ii_tpu.cli.zero_joint_bounds import main
 

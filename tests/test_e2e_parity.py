@@ -181,6 +181,7 @@ def test_compare_params_utility():
     assert compare_params(a, b, verbose=False) == ["['y']"]
 
 
+@pytest.mark.slow
 def test_encoder_output_dim_probe():
     from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
         init_resnet50,

@@ -103,6 +103,144 @@ def test_manifest_iteration(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(la, lb)
 
+    # start= offset (extraction resume) skips without decoding
+    tail = list(manifest_image_iterator(manifest, start=2))
+    assert len(tail) == 1
+    np.testing.assert_array_equal(tail[0][0], items[2][0])
+    np.testing.assert_array_equal(tail[0][1], items[2][1])
+
+
+class _FlakyResult:
+    """Wraps a device array; np.asarray raises N times before succeeding —
+    simulates the tunnel's transient readback failures."""
+
+    def __init__(self, arr, fail_counter):
+        self._arr = arr
+        self._fail = fail_counter
+
+    def __array__(self, dtype=None, copy=None):
+        if self._fail["readback"] > 0:
+            self._fail["readback"] -= 1
+            raise RuntimeError("injected transient readback error")
+        return np.asarray(self._arr, dtype=dtype)
+
+
+def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
+    """One injected dispatch failure and one injected readback failure must
+    not kill the run (VERDICT r1: BENCH_r01 died on a single transient
+    FAILED_PRECONDITION); results must equal the clean run's."""
+    import incremental_multimodal_medical_learning_ii_tpu.engine.extract as ex
+
+    imgs = list(_images(5, rng, h=100, w=80))
+    clean = extract_embeddings(
+        iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+        dtype=jnp.float32, device_preprocess=False,
+    )
+
+    fail = {"dispatch": 1, "readback": 1}
+    real_make = ex.make_encode_preprocessed_fn
+
+    def flaky_make(params, dtype=jnp.bfloat16):
+        real = real_make(params, dtype=dtype)
+
+        def fn(p, images):
+            if fail["dispatch"] > 0:
+                fail["dispatch"] -= 1
+                raise RuntimeError("injected transient dispatch error")
+            return _FlakyResult(real(p, images), fail)
+
+        return fn
+
+    monkeypatch.setattr(ex, "make_encode_preprocessed_fn", flaky_make)
+    stats = {}
+    ds = extract_embeddings(
+        iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+        dtype=jnp.float32, device_preprocess=False,
+        retries=2, retry_backoff_s=0.0, stats=stats,
+    )
+    assert fail == {"dispatch": 0, "readback": 0}  # both faults were hit
+    assert stats["retried_batches"] == 2
+    np.testing.assert_allclose(ds.embeddings, clean.embeddings, atol=1e-6)
+    np.testing.assert_array_equal(ds.labels, clean.labels)
+
+
+def test_extract_retries_exhausted_raises(image_params, rng, monkeypatch):
+    import incremental_multimodal_medical_learning_ii_tpu.engine.extract as ex
+
+    def broken_make(params, dtype=jnp.bfloat16):
+        def fn(p, images):
+            raise RuntimeError("permanently broken backend")
+
+        return fn
+
+    monkeypatch.setattr(ex, "make_encode_preprocessed_fn", broken_make)
+    with pytest.raises(RuntimeError, match="permanently broken"):
+        extract_embeddings(
+            iter(list(_images(3, rng))), image_params, batch_size=2, size=64,
+            pad_to=128, dtype=jnp.float32, device_preprocess=False,
+            retries=1, retry_backoff_s=0.0,
+        )
+
+
+def test_extract_resume_skips_done_shards(image_params, rng, tmp_path):
+    """Crash/restart: a second run with resume=True extracts exactly the
+    tail and returns the full dataset (the reference loses all progress on
+    restart despite its shard checkpoints)."""
+    store = ShardedEmbeddingStore(tmp_path)
+    imgs = list(_images(7, rng))
+
+    # "crashed" first run: only the first 4 images made it to a shard
+    extract_embeddings(
+        iter(imgs[:4]), image_params, store=store, batch_size=2, size=64,
+        pad_to=128, dtype=jnp.float32, checkpoint_interval=4,
+    )
+    assert store.total_rows() == 4
+
+    consumed = []
+
+    def images_from(skip):
+        consumed.append(skip)
+        return iter(imgs[skip:])
+
+    ds = extract_embeddings(
+        images_from, image_params, store=ShardedEmbeddingStore(tmp_path),
+        batch_size=2, size=64, pad_to=128, dtype=jnp.float32,
+        checkpoint_interval=4, resume=True,
+    )
+    assert consumed == [4]  # skipped images never re-decoded
+    assert len(ds) == 7
+    full = extract_embeddings(
+        iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(ds.embeddings, full.embeddings, atol=1e-6)
+    np.testing.assert_array_equal(ds.labels, full.labels)
+    # and the store itself is now complete + contiguous
+    assert ShardedEmbeddingStore(tmp_path).total_rows() == 7
+
+
+def test_extract_resume_plain_iterable_and_empty_store(image_params, rng, tmp_path):
+    imgs = list(_images(5, rng))
+    # resume on an empty store is a plain full run; plain iterables work too
+    ds = extract_embeddings(
+        iter(imgs), image_params, store=ShardedEmbeddingStore(tmp_path),
+        batch_size=2, size=64, pad_to=128, dtype=jnp.float32, resume=True,
+    )
+    assert len(ds) == 5
+    with pytest.raises(ValueError, match="requires a store"):
+        extract_embeddings(
+            iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+            dtype=jnp.float32, resume=True,
+        )
+
+
+def test_store_total_rows_rejects_gaps(tmp_path):
+    store = ShardedEmbeddingStore(tmp_path)
+    store.write_shard(0, np.zeros((3, 128), np.float32), np.zeros((3, 5), np.float32))
+    store.write_shard(5, np.zeros((2, 128), np.float32), np.zeros((2, 5), np.float32))
+    with pytest.raises(ValueError, match="non-contiguous"):
+        store.total_rows()
+
 
 def test_manifest_utilities(tmp_path):
     import pandas as pd

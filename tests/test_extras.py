@@ -102,6 +102,7 @@ def test_analyze_prompts_cli(tmp_path):
     assert (tmp_path / "tsne_multiple_prompts.png").exists()
 
 
+@pytest.mark.slow
 def test_vlp_similarity_engine(tmp_path, rng):
     from PIL import Image
 

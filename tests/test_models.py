@@ -56,6 +56,7 @@ def test_biovil_image_parity(torch_biovil):
     )
 
 
+@pytest.mark.slow
 def test_biovil_patchwise_normalized(torch_biovil):
     params = convert_biovil_image_state_dict(torch_biovil.state_dict())
     x = np.random.default_rng(1).random((1, 3, 96, 96)).astype(np.float32)
@@ -66,6 +67,7 @@ def test_biovil_patchwise_normalized(torch_biovil):
     np.testing.assert_allclose(norms, np.ones_like(norms), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_resnet18_parity():
     from torch_biovil_fixture import ResNet18Trunk, randomize_bn_stats
 
@@ -103,6 +105,7 @@ def test_biovil_random_init_shapes():
     assert out.img_embedding.shape == (1, 2048)
 
 
+@pytest.mark.slow
 def test_biovil_bf16_compute_close_to_fp32(torch_biovil):
     params = convert_biovil_image_state_dict(torch_biovil.state_dict())
     x = jnp.asarray(np.random.default_rng(2).random((1, 3, 96, 96)).astype(np.float32).transpose(0, 2, 3, 1))
@@ -174,6 +177,7 @@ def test_cxr_bert_encoder_parity():
     np.testing.assert_allclose(ours, hf_out, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_cxr_bert_projected_embedding_parity():
     dims = tiny_bert_dims()
     model, proj = _hf_bert_with_projection(dims, seed=1)
@@ -210,6 +214,7 @@ def test_cxr_bert_projected_embedding_parity():
     np.testing.assert_allclose(np.linalg.norm(ours_n, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mlm_logits_parity():
     dims = tiny_bert_dims()
     model, proj = _hf_bert_with_projection(dims, seed=2)
@@ -229,6 +234,7 @@ def test_mlm_logits_parity():
     np.testing.assert_allclose(ours, expected, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_random_init_runs():
     dims = tiny_bert_dims()
     params = init_cxr_bert(jax.random.PRNGKey(0), dims)

@@ -66,6 +66,7 @@ def test_pallas_cosine_real_kernel_on_tpu(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scorer_pallas_flag_matches_reference(rng):
     from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import (
         PromptBank,

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,7 @@ def test_maybe_trace_none_is_noop():
         pass
 
 
+@pytest.mark.slow
 def test_extraction_trace_hook(tmp_path, rng):
     from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
         extract_embeddings,

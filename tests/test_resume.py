@@ -1,6 +1,7 @@
 """Part-level crash-resume of the incremental protocols."""
 
 import numpy as np
+import pytest
 
 from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
 from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import load_progress
@@ -34,6 +35,7 @@ def _bank():
     )
 
 
+@pytest.mark.slow
 def test_data_incremental_resume(tmp_path):
     cfg = data_incremental_config(
         batch_size=64, eval_batch_size=64, epochs=1, parts=3, lr=1e-3,

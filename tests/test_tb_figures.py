@@ -18,6 +18,11 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def test_joint_run_emits_reference_figure_tags(tmp_path):
     rng = np.random.default_rng(7)
     dirs = rng.normal(size=(5, 128)).astype(np.float32)

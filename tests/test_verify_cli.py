@@ -4,6 +4,11 @@ import torch
 from PIL import Image
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def test_verify_embeddings_cli(tmp_path, capsys, rng):
     import sys
 
