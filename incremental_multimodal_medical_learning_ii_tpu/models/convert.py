@@ -321,10 +321,16 @@ def load_reference_adapter(path: str) -> Params:
                 super().__init__()
                 self.layer = nn.Sequential(nn.Linear(128, 256), nn.ReLU(), nn.Linear(256, 128))
 
+            def forward(self, x):  # models.py:12-14
+                return self.layer(x)
+
         class myLinearModel(nn.Module):  # noqa: N801
             def __init__(self):
                 super().__init__()
                 self.layer = nn.Sequential(nn.Linear(128, 128))
+
+            def forward(self, x):  # models.py:23-25
+                return self.layer(x)
 
         stub.myMLP = myMLP
         stub.myLinearModel = myLinearModel

@@ -242,3 +242,100 @@ def test_random_init_runs():
     mask = jnp.ones((2, 5), jnp.int32)
     out = get_projected_text_embeddings(params, ids, mask, dims)
     assert out.shape == (2, dims.projection_size)
+
+
+# ----------------------------------------------------------------------
+# HF snapshot directory loading (health_multimodal/text/utils.py:16-25)
+# ----------------------------------------------------------------------
+def _write_snapshot(tmp_path, dims, model, proj, weights_format="bin"):
+    import json
+
+    cfg = {
+        "vocab_size": dims.vocab_size,
+        "hidden_size": dims.hidden_size,
+        "num_hidden_layers": dims.num_layers,
+        "num_attention_heads": dims.num_heads,
+        "intermediate_size": dims.intermediate_size,
+        "max_position_embeddings": dims.max_position_embeddings,
+        "type_vocab_size": dims.type_vocab_size,
+        "projection_size": dims.projection_size,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    sd = _state_dict_with_projection(model, proj)
+    if weights_format == "safetensors":
+        from safetensors.numpy import save_file
+
+        save_file(
+            {k: v.detach().numpy() for k, v in sd.items()},
+            str(tmp_path / "model.safetensors"),
+        )
+    else:
+        torch.save(sd, tmp_path / "pytorch_model.bin")
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(dims.vocab_size - 5)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    return sd
+
+
+@pytest.mark.parametrize("weights_format", ["bin", "safetensors"])
+def test_cxr_bert_snapshot_loading(tmp_path, weights_format):
+    """config.json drives the dims — in particular num_attention_heads=4
+    with hidden=32, which the old head-dim-64 heuristic would get wrong —
+    and the loaded params match transformers at fp32 tolerance."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        load_cxr_bert_snapshot,
+    )
+
+    dims = tiny_bert_dims()  # hidden 32, heads 4 -> hidden//64 guess would be 1
+    model, proj = _hf_bert_with_projection(dims)
+    _write_snapshot(tmp_path, dims, model, proj, weights_format)
+
+    params, loaded_dims, tokenizer = load_cxr_bert_snapshot(tmp_path)
+    assert loaded_dims == dims
+    assert loaded_dims.num_heads == 4
+    assert tokenizer is not None
+    assert tokenizer.max_allowed_input_length == dims.max_position_embeddings
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, dims.vocab_size, size=(2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[1, 5:] = 0
+    with torch.no_grad():
+        hf_out = model.bert(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    ours = np.asarray(
+        bert_encode(params, jnp.asarray(ids), jnp.asarray(mask), loaded_dims)
+    )
+    np.testing.assert_allclose(ours, hf_out, atol=2e-5)
+
+
+def test_cxr_bert_snapshot_rejects_lying_config(tmp_path):
+    import json
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        load_cxr_bert_snapshot,
+    )
+
+    dims = tiny_bert_dims()
+    model, proj = _hf_bert_with_projection(dims)
+    _write_snapshot(tmp_path, dims, model, proj)
+    cfg = json.loads((tmp_path / "config.json").read_text())
+    cfg["hidden_size"] = 64  # contradicts the 32-wide tensors
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="hidden_size"):
+        load_cxr_bert_snapshot(tmp_path)
+
+
+def test_cxr_bert_snapshot_missing_weights(tmp_path):
+    import json
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        load_cxr_bert_snapshot,
+    )
+
+    (tmp_path / "config.json").write_text(json.dumps({"num_attention_heads": 4}))
+    with pytest.raises(FileNotFoundError, match="model.safetensors"):
+        load_cxr_bert_snapshot(tmp_path)
