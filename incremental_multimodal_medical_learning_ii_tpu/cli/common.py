@@ -59,6 +59,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic", action="store_true", help="learnable fake data (smoke runs)")
     p.add_argument("--cxr-bert-checkpoint", help="torch state-dict path for CXR-BERT")
     p.add_argument("--cxr-bert-vocab", help="vocab.txt for the CXR-BERT tokenizer")
+    p.add_argument(
+        "--cxr-bert-snapshot",
+        help="local HF snapshot dir (config.json + weights + vocab.txt), as "
+        "materialised by the hub download of microsoft/BiomedVLP-CXR-BERT-specialized",
+    )
     p.add_argument("--mesh-devices", type=int, default=0, help="0 = all devices")
     p.add_argument("--tsne-plots", action="store_true", help="enable t-SNE figure hooks")
 
@@ -129,7 +134,20 @@ def build_bank(args, cfg: ExperimentConfig) -> PromptBank:
         train_logit_diff=cfg.train_logit_diff,
         seed=cfg.seed,
     )
-    if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
+    if getattr(args, "cxr_bert_snapshot", None):
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_cxr_bert_snapshot,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+            TextInferenceEngine,
+        )
+
+        params, dims, tokenizer = load_cxr_bert_snapshot(args.cxr_bert_snapshot)
+        if tokenizer is None:
+            raise SystemExit(f"{args.cxr_bert_snapshot} has no vocab.txt")
+        engine = TextInferenceEngine(params, dims, tokenizer)
+        encode = engine.encode_fn(normalize=False)
+    elif args.cxr_bert_checkpoint and args.cxr_bert_vocab:
         from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
             load_cxr_bert_checkpoint,
         )

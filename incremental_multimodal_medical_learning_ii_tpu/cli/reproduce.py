@@ -1,0 +1,153 @@
+"""Reproduce the reference's headline table (BASELINE.md) in one command.
+
+Each BASELINE.md row maps to one gate with the reference's exact
+hyperparameters (hard-coded in the reference's driver ``__main__`` blocks;
+cited per gate below):
+
+* ``zero-shot``  — frozen BioViL, mean multi-prompt, no head
+                   -> test AUROC-macro 0.6702   (ZERO_JOINT_BOUNDS.py, epochs=0)
+* ``joint``      — MAX-prompt, mlp double adapter, Adam lr 1e-3, bs 6144,
+                   10 epochs -> best test AUROC-macro 0.8721
+                   (ZERO_JOINT_BOUNDS.py:16-31)
+* ``class-inc``  — class-pos-neg, SGD lr 0.1, SHARED mlp, mean prompt,
+                   5 tasks x 10 epochs -> per-task test AUROC-macro
+                   0.8045, 0.8418, 0.8469, 0.8072, 0.7264 (forgetting)
+                   (CLASS_INCREMENTAL.py:32-57)
+
+Usage (the moment CheXpert embedding datasets + CXR-BERT weights exist):
+
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.reproduce \
+        --data-dir /data/embeddings \
+        --cxr-bert-snapshot /weights/BiomedVLP-CXR-BERT-specialized \
+        [--gates zero-shot joint class-inc] [--tolerance 0.02]
+
+``--data-dir`` must hold ``{train,val,test}.npz`` or the reference's
+``{train,val,test}.pt`` TensorDatasets (Trainer.py:221-235 layout).
+Exit code is non-zero if any gate misses its target by more than
+``--tolerance``.
+
+``--dry-run`` substitutes tiny learnable synthetic data and a synthetic
+prompt encoder and skips the assertions — it proves the whole pipeline is
+runnable end-to-end today, so the parity gate is executable the day real
+data/weights appear.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+# (gate, metric description, reference value) — BASELINE.md rows
+TARGETS = {
+    "zero-shot": ("test AUROC-macro", 0.6702),
+    "joint": ("best test AUROC-macro", 0.8721),
+    "class-inc": ("task-5 test AUROC-macro", 0.7264),
+}
+CLASS_INC_CURVE = [0.8045, 0.8418, 0.8469, 0.8072, 0.7264]
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.cli import common
+
+    common.add_common_args(p)
+    p.add_argument("--gates", nargs="+", default=["zero-shot", "joint", "class-inc"],
+                   choices=list(TARGETS))
+    p.add_argument("--tolerance", type=float, default=0.02,
+                   help="max |AUROC - reference| per gate")
+    p.add_argument("--dry-run", action="store_true",
+                   help="tiny synthetic data, no assertions (plumbing smoke)")
+    args = p.parse_args(argv)
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
+        run_class_incremental,
+        run_zero_joint,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    if args.dry_run:
+        args.synthetic = True
+    bundle = common.load_bundle(args)
+    if args.dry_run:  # tiny slices: the point is plumbing, not AUROC
+        import dataclasses
+
+        bundle = dataclasses.replace(
+            bundle,
+            train=bundle.train.subset(range(1024)),
+            val=bundle.val.subset(range(256)),
+            test=bundle.test.subset(range(256)),
+        )
+
+    def bank_for(cfg):
+        return common.build_bank(args, cfg)
+
+    mesh = common.make_mesh(args)
+    epochs = 1 if args.dry_run else 10
+    batch = 512 if args.dry_run else 6144
+    failures = []
+    report = []
+
+    def check(gate, measured, target):
+        delta = measured - target
+        line = (
+            f"{gate}: {TARGETS[gate][0]} = {measured:.4f} "
+            f"(reference {target:.4f}, delta {delta:+.4f})"
+        )
+        report.append(line)
+        print(line)
+        if not args.dry_run and abs(delta) > args.tolerance:
+            failures.append(line)
+
+    if "zero-shot" in args.gates:
+        # zero-shot: no head, mean multi-prompt (BASELINE.md row 1)
+        cfg = ExperimentConfig(
+            mode="zero", epochs=0, adapter="no-head",
+            image_adapter=False, text_adapter=False,
+            eval_batch_size=1024, seed=args.seed,
+        )
+        res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh)
+        check("zero-shot", res["test_zero"]["auroc_macro"], TARGETS["zero-shot"][1])
+
+    if "joint" in args.gates:
+        # joint upper bound: MAX prompt, mlp double, adam lr 1e-3 (row 5)
+        cfg = ExperimentConfig(
+            mode="joint", epochs=epochs, batch_size=batch, lr=1e-3,
+            optim="adam", adapter="mlp", prompt_mode="max", seed=args.seed,
+        )
+        res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh)
+        best = max(
+            res[f"test_ep{e}"]["auroc_macro"] for e in range(1, cfg.epochs + 1)
+        )
+        check("joint", best, TARGETS["joint"][1])
+
+    if "class-inc" in args.gates:
+        # forgetting curve: class-pos-neg, SGD lr 0.1, SHARED mlp (row 8)
+        cfg = ExperimentConfig(
+            mode="class-pos-neg", epochs=epochs, batch_size=batch, lr=0.1,
+            optim="sgd", adapter="mlp", shared=True, seed=args.seed,
+        )
+        res = run_class_incremental(
+            cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh
+        )
+        curve = [res[f"test_task{t}"]["auroc_macro"] for t in range(1, 6)]
+        print("class-inc curve:", " ".join(f"{v:.4f}" for v in curve),
+              "(reference", " ".join(f"{v:.4f}" for v in CLASS_INC_CURVE) + ")")
+        check("class-inc", curve[-1], TARGETS["class-inc"][1])
+
+    if args.dry_run:
+        print("dry-run OK: all selected gates executed end-to-end")
+        return
+    if failures:
+        print("\nPARITY GATE FAILED:")
+        for line in failures:
+            print(" ", line)
+        sys.exit(1)
+    print("\nPARITY GATE PASSED (tolerance", args.tolerance, ")")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,11 +42,17 @@ def restore_checkpoint(directory: str | Path, template: TrainState) -> TrainStat
 # ----------------------------------------------------------------------
 # Part/task-level resume for the incremental protocols
 # ----------------------------------------------------------------------
-def save_progress(directory: str | Path, completed: int) -> None:
+def save_progress(directory: str | Path, completed: int, aux: dict | None = None) -> None:
+    """Record completed part/task count plus the trainer's host-side stream
+    state (``aux``: shuffle-rng state, iteration counters, heatmap rows) so
+    a resumed run is bit-reproducible, not just weight-correct."""
     import json
 
     Path(directory).mkdir(parents=True, exist_ok=True)
-    (Path(directory) / "progress.json").write_text(json.dumps({"completed": completed}))
+    payload: dict = {"completed": completed}
+    if aux is not None:
+        payload["aux"] = aux
+    (Path(directory) / "progress.json").write_text(json.dumps(payload))
 
 
 def load_progress(directory: str | Path) -> int:
@@ -57,3 +63,13 @@ def load_progress(directory: str | Path) -> int:
     if not path.exists():
         return 0
     return int(json.loads(path.read_text())["completed"])
+
+
+def load_aux(directory: str | Path) -> dict | None:
+    """The trainer aux state saved alongside progress (None if absent)."""
+    import json
+
+    path = Path(directory) / "progress.json"
+    if not path.exists():
+        return None
+    return json.loads(path.read_text()).get("aux")

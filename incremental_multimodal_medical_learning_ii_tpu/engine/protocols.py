@@ -28,6 +28,7 @@ from incremental_multimodal_medical_learning_ii_tpu.data.store import (
     split_contiguous,
 )
 from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
+    load_aux,
     load_progress,
     restore_checkpoint,
     save_checkpoint,
@@ -77,24 +78,39 @@ def _save_final(trainer: Trainer, writer: TBWriter) -> None:
         save_checkpoint(writer.log_dir, trainer.state)
 
 
-def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool) -> int:
+def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool):
     """Restore state + completed-unit count for part/task-level resume (the
-    reference has no resume at all: SURVEY.md section 5). Returns the number
-    of completed parts/tasks to skip. Caveat: the shuffle-rng stream and
-    heatmap accumulator rows of the skipped units are not replayed."""
+    reference has no resume at all: SURVEY.md section 5). Also restores the
+    trainer's host-side stream state (shuffle rng, iteration counters,
+    heatmap rows) so the resumed run's batch order and TB output byte-match
+    an uninterrupted run's. Returns (completed_units, aux_dict_or_None)."""
     if not resume or writer.log_dir is None:
-        return 0
+        return 0, None
     completed = load_progress(writer.log_dir)
+    aux = load_aux(writer.log_dir)
     if completed > 0:
         trainer.state = restore_checkpoint(writer.log_dir, trainer.state)
+        if aux is not None:
+            try:
+                trainer.load_aux_state(aux)
+            except Exception as e:  # old/partial progress file: still resume,
+                print(f"[resume] aux state unreadable ({e}); resuming without "
+                      "bit-reproducibility")  # just without byte-identical TB output
+                aux = None
         print(f"[resume] restored checkpoint; skipping {completed} completed unit(s)")
-    return completed
+    return completed, aux
 
 
-def _save_unit(trainer: Trainer, writer: TBWriter, completed: int) -> None:
+def _save_unit(trainer: Trainer, writer: TBWriter, completed: int, extra: Optional[dict] = None) -> None:
     if trainer.cfg.trains_anything and writer.log_dir is not None:
         save_checkpoint(writer.log_dir, trainer.state)
-        save_progress(writer.log_dir, completed)
+        aux = trainer.aux_state()
+        if extra:
+            aux.update(extra)
+        save_progress(writer.log_dir, completed, aux)
+    # TB events become durable only at unit boundaries, in lockstep with the
+    # checkpoint — a crashed attempt leaves no partial-unit events behind.
+    writer.commit()
 
 
 def run_zero_joint(
@@ -120,12 +136,18 @@ def run_zero_joint(
                     data.test, epoch, cfg.epochs, mode="joint",
                     tsne_datasets=data.tsne_datasets,
                 )
+                writer.commit()
         else:
             results["val_zero"] = trainer.validate(data.val, 0, 0, mode="zero")
             results["test_zero"] = trainer.test(
                 data.test, 0, 0, mode="zero", tsne_datasets=data.tsne_datasets
             )
+    except BaseException:
+        writer.discard()  # un-committed partial-epoch events
+        raise
     finally:
+        # the reference always saves adapters in its finally
+        # (ZERO_JOINT_BOUNDS.py try/finally); keep that even on crash
         _save_final(trainer, writer)
         writer.close()
     results["trainer"] = trainer  # type: ignore[assignment]
@@ -145,9 +167,10 @@ def run_data_incremental(
     parts = split_contiguous(data.train, cfg.parts)
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
-    skip = _maybe_resume(trainer, writer, resume)
+    skip, _ = _maybe_resume(trainer, writer, resume)
     count = skip * cfg.epochs
-    threshold += cfg.adder * count
+    for _ in range(count):  # replay, not multiply: keeps fp accumulation
+        threshold += cfg.adder  # order identical to an uninterrupted run
     try:
         for part in range(1 + skip, cfg.parts + 1):
             for epoch in range(1, cfg.epochs + 1):
@@ -171,8 +194,14 @@ def run_data_incremental(
                 tsne_datasets=data.tsne_datasets,
             )
             _save_unit(trainer, writer, part)
-    finally:
         _save_final(trainer, writer)
+    except BaseException:
+        # Crash mid-unit: drop the partial-unit TB events and leave the
+        # unit-boundary checkpoint from _save_unit intact (overwriting it
+        # with mid-unit state would make resume re-train on a dirty state).
+        writer.discard()
+        raise
+    finally:
         writer.close()
     results["trainer"] = trainer  # type: ignore[assignment]
     return results
@@ -199,10 +228,11 @@ def run_class_incremental(
     tasks_order = list(cfg.tasks_order)
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
-    last_batch = 0
-    skip = _maybe_resume(trainer, writer, resume)
+    skip, aux = _maybe_resume(trainer, writer, resume)
+    last_batch = int(aux.get("last_batch", 0)) if aux else 0
     count = skip * cfg.epochs
-    threshold += cfg.adder * count
+    for _ in range(count):  # replay, not multiply: keeps fp accumulation
+        threshold += cfg.adder  # order identical to an uninterrupted run
     try:
         for actual_task in range(1 + skip, n_tasks + 1):
             for epoch in range(1, cfg.epochs + 1):
@@ -227,9 +257,12 @@ def run_class_incremental(
                 data.test, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
                 tsne_datasets=data.tsne_datasets,
             )
-            _save_unit(trainer, writer, actual_task)
-    finally:
+            _save_unit(trainer, writer, actual_task, extra={"last_batch": last_batch})
         _save_final(trainer, writer)
+    except BaseException:
+        writer.discard()  # see run_data_incremental: keep the unit checkpoint clean
+        raise
+    finally:
         writer.close()
     results["trainer"] = trainer  # type: ignore[assignment]
     return results

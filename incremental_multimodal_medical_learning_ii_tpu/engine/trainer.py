@@ -132,6 +132,36 @@ class Trainer:
         self._epoch_counter = 0
 
     # ------------------------------------------------------------------
+    # Host-side stream state (for bit-reproducible resume)
+    # ------------------------------------------------------------------
+    def aux_state(self) -> dict:
+        """JSON-serializable snapshot of everything host-side that advances
+        during training besides ``state``: the shuffle-rng stream, the
+        TB iteration counters, and the heatmap accumulator rows.  Restoring
+        it makes a resumed run's batch order and TB output byte-match an
+        uninterrupted run's (the reference has no resume at all)."""
+        return {
+            "shuffle_rng": self._shuffle_rng.bit_generator.state,
+            "py_step": self._py_step,
+            "gap_counter": self._gap_counter,
+            "epoch_counter": self._epoch_counter,
+            "val_f1_rows": [r.tolist() for r in self.val_f1_rows],
+            "val_auroc_rows": [r.tolist() for r in self.val_auroc_rows],
+            "test_f1_rows": [r.tolist() for r in self.test_f1_rows],
+            "test_auroc_rows": [r.tolist() for r in self.test_auroc_rows],
+        }
+
+    def load_aux_state(self, aux: dict) -> None:
+        self._shuffle_rng.bit_generator.state = aux["shuffle_rng"]
+        self._py_step = int(aux["py_step"])
+        self._gap_counter = int(aux["gap_counter"])
+        self._epoch_counter = int(aux["epoch_counter"])
+        self.val_f1_rows = [np.asarray(r, np.float64) for r in aux["val_f1_rows"]]
+        self.val_auroc_rows = [np.asarray(r, np.float64) for r in aux["val_auroc_rows"]]
+        self.test_f1_rows = [np.asarray(r, np.float64) for r in aux["test_f1_rows"]]
+        self.test_auroc_rows = [np.asarray(r, np.float64) for r in aux["test_auroc_rows"]]
+
+    # ------------------------------------------------------------------
     # Shared internals
     # ------------------------------------------------------------------
     @property

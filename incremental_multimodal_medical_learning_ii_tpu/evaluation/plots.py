@@ -21,6 +21,17 @@ import matplotlib
 matplotlib.use("Agg")
 
 import matplotlib.pyplot as plt  # noqa: E402
+
+
+def _detach(fig):
+    """Drop the figure from pyplot's global registry before handing it to
+    the (buffering) TB writer — it stays renderable through its Agg canvas,
+    and dozens of pending figures no longer trip pyplot's open-figure
+    warning or pin its registry."""
+    plt.close(fig)
+    return fig
+
+
 import numpy as np  # noqa: E402
 
 CLASS_ABBREVIATIONS = ("ATEL", "CMG", "CONS", "EDE", "PLEF")
@@ -67,7 +78,7 @@ def heatmap_figure(
             color = "white" if im.norm(data[i, j]) > threshold else "black"
             ax.text(j, i, valfmt.format(data[i, j]), ha="center", va="center", color=color)
     fig.tight_layout()
-    return fig
+    return _detach(fig)
 
 
 def roc_curve_figure(y_true: np.ndarray, y_score: np.ndarray, class_index: int):
@@ -81,7 +92,7 @@ def roc_curve_figure(y_true: np.ndarray, y_score: np.ndarray, class_index: int):
     plt.ylabel("True Positive Rate")
     plt.title("ROC Curve for Class " + str(class_index))
     plt.legend(loc="lower right")
-    return fig
+    return _detach(fig)
 
 
 def pr_curve_figure(y_true: np.ndarray, y_score: np.ndarray, class_index: int):
@@ -95,7 +106,7 @@ def pr_curve_figure(y_true: np.ndarray, y_score: np.ndarray, class_index: int):
     plt.ylabel("Precision")
     plt.title("Precision-Recall Curve for Class " + str(class_index))
     plt.legend(loc="lower left")
-    return fig
+    return _detach(fig)
 
 
 def class_scatter_figure(values: np.ndarray, metric: str):
@@ -107,7 +118,7 @@ def class_scatter_figure(values: np.ndarray, metric: str):
     plt.ylabel(metric)
     plt.ylim(0, 1)
     plt.title("Class " + metric)
-    return fig
+    return _detach(fig)
 
 
 def prompt_cosine_heatmap_figure(
@@ -180,7 +191,7 @@ def prompt_projection_figures(pos_embs: np.ndarray, neg_embs: np.ndarray, seed: 
             for m, lbl in (("o", "Positive"), ("v", "Negative"))
         ]
         plt.legend(handles=handles)
-        return fig
+        return _detach(fig)
 
     pca_fig = _scatter(PCA(n_components=2).fit_transform(embs), "PCA multiple-prompts")
     perplexity = min(30.0, (2 * c - 1) / 3)
@@ -228,4 +239,4 @@ def embedding_tsne_figure(
     plt.xticks([])
     plt.yticks([])
     plt.title("t-SNE Plot", fontsize=20)
-    return fig
+    return _detach(fig)

@@ -18,42 +18,74 @@ Figure tags:
 
 The writer is a thin optional wrapper: pass ``log_dir=None`` for a no-op
 writer (tests / benchmarking).
+
+Events are buffered in memory and only hit the event file on
+:meth:`commit` (called by the protocols at every unit checkpoint and on
+clean close); :meth:`discard` drops the buffer.  This makes TB output
+*unit-atomic* for crash-resume: a crashed attempt leaves no partial-unit
+events behind, so a resumed run's merged event stream byte-matches an
+uninterrupted run's (torch's SummaryWriter flushes its queue at
+nondeterministic points, which would leak a random prefix of the crashed
+unit into the file).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
 
 class TBWriter:
     def __init__(self, log_dir: Optional[str]):
         self.log_dir = log_dir
         self._writer = None
-        if log_dir is not None:
-            from torch.utils.tensorboard import SummaryWriter
-
-            self._writer = SummaryWriter(log_dir)
+        self._pending: List[Tuple[str, str, object, int]] = []
 
     @property
     def enabled(self) -> bool:
-        return self._writer is not None
+        return self.log_dir is not None
 
     def add_scalar(self, tag: str, value, step: int) -> None:
-        if self._writer is not None:
-            self._writer.add_scalar(tag, float(value), step)
+        if self.enabled:
+            self._pending.append(("scalar", tag, float(value), step))
 
     def add_figure(self, tag: str, figure, step: int = 0) -> None:
-        if self._writer is not None:
-            self._writer.add_figure(tag, figure, step)
+        if self.enabled:
+            self._pending.append(("figure", tag, figure, step))
         else:  # still release the figure
             import matplotlib.pyplot as plt
 
             plt.close(figure)
 
+    def commit(self) -> None:
+        """Write all buffered events to the event file and flush."""
+        if not self.enabled:
+            return
+        if self._writer is None:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(self.log_dir)
+        for kind, tag, payload, step in self._pending:
+            if kind == "scalar":
+                self._writer.add_scalar(tag, payload, step)
+            else:
+                self._writer.add_figure(tag, payload, step)
+        self._pending = []
+        self._writer.flush()
+
+    def discard(self) -> None:
+        """Drop buffered events (crash path: the unit they belong to was
+        not checkpointed and will be re-run on resume)."""
+        import matplotlib.pyplot as plt
+
+        for kind, _tag, payload, _step in self._pending:
+            if kind == "figure":
+                plt.close(payload)
+        self._pending = []
+
     def flush(self) -> None:
-        if self._writer is not None:
-            self._writer.flush()
+        self.commit()
 
     def close(self) -> None:
+        self.commit()
         if self._writer is not None:
             self._writer.close()

@@ -72,3 +72,16 @@ def test_extract_cli(tmp_path, capsys):
 
     ds = EmbeddingDataset.load(tmp_path / "emb" / "dataset.npz")
     assert ds.embeddings.shape == (12, 128)
+
+
+def test_reproduce_dry_run(tmp_path, capsys):
+    """The BASELINE.md parity-gate runbook command is executable end-to-end
+    today (tiny synthetic data, assertions skipped)."""
+    from incremental_multimodal_medical_learning_ii_tpu.cli.reproduce import main
+
+    main(["--dry-run", "--log-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "zero-shot: test AUROC-macro" in out
+    assert "joint: best test AUROC-macro" in out
+    assert "class-inc curve:" in out
+    assert "dry-run OK" in out

@@ -119,6 +119,7 @@ def _torch_zero_shot_scores(image_model, bert, proj, tokenizer, images):
         return scores.numpy()
 
 
+@pytest.mark.slow
 def test_zero_shot_pipeline_parity(setup):
     image_model, bert, proj, bert_params, dims, tokenizer, images, labels = setup
     expected = _torch_zero_shot_scores(image_model, bert, proj, tokenizer, images)
@@ -145,6 +146,7 @@ def test_zero_shot_pipeline_parity(setup):
     np.testing.assert_allclose(np.asarray(out.scores), expected, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_zero_shot_pipeline_parity_device_preprocess(setup):
     """Same pipeline with the fused device preprocess: the matmul resize
     differs from PIL's fixed-point path by <=1 uint8 level per pixel, which

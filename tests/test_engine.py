@@ -81,6 +81,7 @@ def test_joint_training_learns():
     assert results["test_ep3"]["auroc_macro"] > results["test_ep1"]["auroc_macro"] - 0.02
 
 
+@pytest.mark.slow
 def test_joint_training_max_prompt_mode():
     cfg = joint_config(
         batch_size=128, eval_batch_size=128, epochs=2, lr=1e-3, prompt_mode="max"
@@ -89,6 +90,7 @@ def test_joint_training_max_prompt_mode():
     assert results["test_ep2"]["auroc_macro"] > 0.6
 
 
+@pytest.mark.slow
 def test_data_incremental_with_mycl():
     cfg = data_incremental_config(
         batch_size=128, eval_batch_size=128, epochs=2, parts=3, lr=1e-3,
@@ -98,6 +100,7 @@ def test_data_incremental_with_mycl():
     assert results["test_part3"]["auroc_macro"] > 0.7
 
 
+@pytest.mark.slow
 def test_data_incremental_with_profcl():
     cfg = data_incremental_config(
         batch_size=128, eval_batch_size=128, epochs=2, parts=2, lr=1e-3,
@@ -107,6 +110,7 @@ def test_data_incremental_with_profcl():
     assert "test_part2" in results
 
 
+@pytest.mark.slow
 def test_class_incremental_pos_neg_more_labels():
     cfg = class_incremental_config(
         batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3, more_labels=True
@@ -115,6 +119,7 @@ def test_class_incremental_pos_neg_more_labels():
     assert "test_task5" in results
 
 
+@pytest.mark.slow
 def test_class_incremental_pos_single_class():
     cfg = class_incremental_config(
         batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3,
@@ -125,6 +130,7 @@ def test_class_incremental_pos_single_class():
     assert "test_task5" in results
 
 
+@pytest.mark.slow
 def test_shared_adapter_joint():
     cfg = joint_config(
         batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3, shared=True
@@ -133,6 +139,7 @@ def test_shared_adapter_joint():
     assert "test_ep1" in results
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
         restore_checkpoint,
@@ -153,6 +160,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(trainer.state.step)
 
 
+@pytest.mark.slow
 def test_multichip_matches_single_device():
     """The pjit data-parallel path must be numerically equivalent to the
     single-device path (same batches, same updates)."""

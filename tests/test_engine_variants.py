@@ -1,5 +1,6 @@
 """Less-traveled reference configurations, end-to-end."""
 
+import pytest
 import numpy as np
 
 from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
@@ -55,6 +56,7 @@ def test_only_text_adapter_trains():
     assert res["test_ep2"]["auroc_macro"] > 0.5
 
 
+@pytest.mark.slow
 def test_only_image_adapter_trains():
     cfg = joint_config(
         batch_size=128, eval_batch_size=128, epochs=2, lr=1e-3,
@@ -65,6 +67,7 @@ def test_only_image_adapter_trains():
     assert res["test_ep2"]["auroc_macro"] > 0.6
 
 
+@pytest.mark.slow
 def test_change_labels_mode():
     """Loss trains on {-1,+1} labels (BCE with out-of-domain targets — the
     reference's experimental mode, Trainer.py:1707-1728); metrics stay on
@@ -78,6 +81,7 @@ def test_change_labels_mode():
     assert np.isfinite(m["f1_macro"])
 
 
+@pytest.mark.slow
 def test_single_prompt_mode():
     cfg = joint_config(
         batch_size=128, eval_batch_size=128, epochs=1, lr=1e-3, prompt_mode="single"
@@ -86,6 +90,7 @@ def test_single_prompt_mode():
     assert "test_ep1" in res
 
 
+@pytest.mark.slow
 def test_new_prompts_max_mode():
     """Compositional bank (10 pos / 4 neg, ragged counts) under MAX reduction."""
     cfg = joint_config(
@@ -98,6 +103,7 @@ def test_new_prompts_max_mode():
     assert "test_ep1" in res
 
 
+@pytest.mark.slow
 def test_train_logit_pos_only():
     """TRAIN_LOGIT_DIFF=False: neg mirrors pos, logits are pos-only, and all
     predictions collapse to 0 (pos == neg, strict > tie-break)."""
@@ -111,6 +117,7 @@ def test_train_logit_pos_only():
     assert res["test_ep1"]["auroc_macro"] > 0.5  # scores still rank
 
 
+@pytest.mark.slow
 def test_sgd_optimizer_variant():
     cfg = joint_config(batch_size=128, eval_batch_size=128, epochs=1, lr=0.1, optim="sgd")
     res = _run(cfg)

@@ -62,6 +62,7 @@ def test_extract_shard_checkpoints(image_params, rng, tmp_path):
     np.testing.assert_allclose(glued.embeddings, ds.embeddings, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_extract_on_mesh(image_params, rng):
     from incremental_multimodal_medical_learning_ii_tpu.parallel.mesh import create_mesh
 
@@ -125,6 +126,7 @@ class _FlakyResult:
         return np.asarray(self._arr, dtype=dtype)
 
 
+@pytest.mark.slow
 def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
     """One injected dispatch failure and one injected readback failure must
     not kill the run (VERDICT r1: BENCH_r01 died on a single transient
@@ -182,6 +184,7 @@ def test_extract_retries_exhausted_raises(image_params, rng, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_extract_resume_skips_done_shards(image_params, rng, tmp_path):
     """Crash/restart: a second run with resume=True extracts exactly the
     tail and returns the full dataset (the reference loses all progress on
@@ -219,6 +222,7 @@ def test_extract_resume_skips_done_shards(image_params, rng, tmp_path):
     assert ShardedEmbeddingStore(tmp_path).total_rows() == 7
 
 
+@pytest.mark.slow
 def test_extract_resume_plain_iterable_and_empty_store(image_params, rng, tmp_path):
     imgs = list(_images(5, rng))
     # resume on an empty store is a plain full run; plain iterables work too

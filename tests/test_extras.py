@@ -15,6 +15,7 @@ from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
 )
 
 
+@pytest.mark.slow
 def test_dilated_layer4_keeps_resolution():
     params = init_resnet50(jax.random.PRNGKey(0))
     x = jnp.ones((1, 64, 64, 3))
@@ -24,6 +25,7 @@ def test_dilated_layer4_keeps_resolution():
     assert dilated.shape == (1, 4, 4, 2048)  # layer4 stride removed
 
 
+@pytest.mark.slow
 def test_multitask_head_shapes():
     params = init_multitask_head(jax.random.PRNGKey(0), 2048, num_classes=3, num_tasks=4)
     out = multitask_head_forward(params, jnp.ones((2, 2048)))
@@ -62,6 +64,7 @@ def test_exponential_lr_schedule():
     assert flat(100) == 0.1
 
 
+@pytest.mark.slow
 def test_training_with_lr_schedule_runs(tmp_path):
     from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
     from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
@@ -150,6 +153,7 @@ def test_vlp_similarity_engine(tmp_path, rng):
     assert fig is not None
 
 
+@pytest.mark.slow
 def test_image_inference_engine(tmp_path, rng):
     from PIL import Image
 

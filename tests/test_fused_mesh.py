@@ -20,6 +20,7 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
 )
 
 
+@pytest.mark.slow
 def test_fused_epoch_mesh_matches_single():
     cfg = joint_config(batch_size=64, eval_batch_size=64, epochs=1, lr=1e-3)
     bank = build_prompt_bank(

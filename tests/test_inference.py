@@ -27,6 +27,7 @@ def _bank(rng, c=5, p=4, d=128):
     return PromptBank(jnp.asarray(pos), jnp.asarray(neg), cnt, cnt)
 
 
+@pytest.mark.slow
 def test_classifier_matches_offline_pipeline(rng):
     params = init_biovil_image_model(jax.random.PRNGKey(0))
     bank = _bank(rng)
@@ -50,6 +51,7 @@ def test_classifier_matches_offline_pipeline(rng):
     np.testing.assert_array_equal(preds, np.asarray(out.preds))
 
 
+@pytest.mark.slow
 def test_classifier_with_trained_adapters(rng):
     from incremental_multimodal_medical_learning_ii_tpu.utils.config import joint_config
 

@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from sklearn.metrics import f1_score, roc_auc_score
@@ -34,6 +35,7 @@ def test_per_class_metrics_shapes(rng):
     assert pc["auroc"][0] == roc_auc_score(y_true[:, 0], y_score[:, 0])
 
 
+@pytest.mark.slow
 def test_auroc_device_matches_sklearn(rng):
     y_true, _, y_score = _fake_eval(rng, n=300)
     mask = np.ones(300, np.float32)

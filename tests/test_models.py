@@ -39,6 +39,7 @@ def torch_biovil():
     return model
 
 
+@pytest.mark.slow
 def test_biovil_image_parity(torch_biovil):
     params = convert_biovil_image_state_dict(torch_biovil.state_dict())
     x = np.random.default_rng(0).random((2, 3, 96, 96)).astype(np.float32)
@@ -96,6 +97,7 @@ def test_resnet18_parity():
     assert out.shape == (1, 2, 2, 512)
 
 
+@pytest.mark.slow
 def test_biovil_random_init_shapes():
     params = init_biovil_image_model(jax.random.PRNGKey(0))
     x = jnp.ones((1, 64, 64, 3))
@@ -153,6 +155,7 @@ def _state_dict_with_projection(model, proj):
     return sd
 
 
+@pytest.mark.slow
 def test_cxr_bert_encoder_parity():
     dims = tiny_bert_dims()
     model, proj = _hf_bert_with_projection(dims)

@@ -1,5 +1,6 @@
 """On-device quick AUROC and CL-monitoring TB tags."""
 
+import pytest
 import numpy as np
 
 from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
@@ -27,6 +28,7 @@ def _bank():
     )
 
 
+@pytest.mark.slow
 def test_quick_auroc_matches_sklearn():
     from sklearn.metrics import roc_auc_score
 
@@ -42,6 +44,7 @@ def test_quick_auroc_matches_sklearn():
         np.testing.assert_allclose(quick[c], expected, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cl_monitoring_tags_written(tmp_path):
     cfg = data_incremental_config(
         batch_size=64, eval_batch_size=64, epochs=2, parts=2, lr=1e-3,

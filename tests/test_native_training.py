@@ -22,6 +22,7 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
 pytestmark = pytest.mark.skipif(not native_available(), reason="no g++ toolchain")
 
 
+@pytest.mark.slow
 def test_trainer_runs_on_native_store(tmp_path):
     ds = synthetic_dataset(300, seed=0)
     store = NativeEmbeddingStore.write(tmp_path / "train.embstore", ds)

@@ -23,6 +23,7 @@ def test_pallas_cosine_matches_reference(rng, shape):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_cosine_unaligned_dim(rng):
     # D not a multiple of 128 exercises the zero-pad path
     x = rng.normal(size=(32, 100)).astype(np.float32)
@@ -34,6 +35,7 @@ def test_pallas_cosine_unaligned_dim(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_cosine_sharded_on_mesh(rng):
     """shard_map'ed kernel over an 8-device mesh (interpret mode on CPU)."""
     from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_cosine import (

@@ -6,6 +6,7 @@ import numpy as np
 from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import annotate, maybe_trace
 
 
+@pytest.mark.slow
 def test_maybe_trace_writes_a_trace(tmp_path):
     with maybe_trace(str(tmp_path)):
         with annotate("smoke"):

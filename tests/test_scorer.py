@@ -86,6 +86,7 @@ def test_mean_mode_matches_reference_math(rng):
     )
 
 
+@pytest.mark.slow
 def test_max_mode_matches_reference_math(rng):
     bank = make_bank(rng, p=6, counts=[6, 4, 2, 5, 1])
     x = rng.normal(size=(16, 128)).astype(np.float32)

@@ -148,6 +148,7 @@ def test_tokenizer_max_length_guard(tokenizer):
     tokenizer.max_allowed_input_length = 64
 
 
+@pytest.mark.slow
 def test_text_engine_embeddings_and_sims(tokenizer):
     dims = tiny_bert_dims(vocab_size=tokenizer.tokenizer.vocab_size, max_position_embeddings=64)
     params = init_cxr_bert(jax.random.PRNGKey(0), dims)
@@ -163,6 +164,7 @@ def test_text_engine_embeddings_and_sims(tokenizer):
     assert -1.0001 <= sims[0] <= 1.0001
 
 
+@pytest.mark.slow
 def test_text_engine_mlm_fill(tokenizer):
     dims = tiny_bert_dims(vocab_size=tokenizer.tokenizer.vocab_size, max_position_embeddings=64)
     params = init_cxr_bert(jax.random.PRNGKey(1), dims)

@@ -134,6 +134,7 @@ def test_mycl_training_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_profcl_epoch_reset_matches_torch():
     """profCL: snapshot at epoch start, train normally, reset once at epoch
     end (Trainer.py:1589-1632 + DATA_INCREMENTAL.py:81-86)."""
@@ -185,6 +186,7 @@ def test_profcl_epoch_reset_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_train_step_matches_torch_adam():
     rng = np.random.default_rng(0)
     cfg = joint_config(batch_size=32, epochs=1, lr=1e-3)
