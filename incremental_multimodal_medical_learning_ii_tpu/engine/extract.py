@@ -284,9 +284,16 @@ def extract_embeddings(
                 time.sleep(retry_backoff_s * (2 ** attempt))
                 result = dispatch(prepared)
 
+    # Two-deep device pipeline: dispatch batch N+1 (async upload + compute
+    # enqueue) before reading back batch N, so its transfer/compute overlaps
+    # the readback wait.  NOTE a fully decoupled variant (dedicated reader
+    # thread, dispatch running arbitrarily far ahead) was built and A/B
+    # measured on the tunneled TPU host: interleaving the big raw uploads
+    # with embedding readbacks made the link ~2x SLOWER (median 50 vs 108
+    # imgs/s over 5 alternating rounds) — the tunnel serves one direction
+    # well and thrashes when multiplexed.  The serial two-deep loop is the
+    # fastest shape for this transport; revisit on a direct-PCIe TPU VM.
     with maybe_trace(trace_dir):
-        # Two-deep device pipeline: dispatch batch N+1 before reading back
-        # batch N, so its upload/compute overlaps the readback wait.
         in_flight = None  # (device result, host prepared, labels, n)
         for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
             with annotate("extract_dispatch"):
