@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -40,6 +41,10 @@ def main(argv=None) -> None:
                    help="skip images already covered by shards in --out-dir")
     p.add_argument("--retries", type=int, default=2,
                    help="per-batch re-dispatch attempts on transient backend errors")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="shard the image list across this many extraction hosts; "
+                   "each host writes to <out-dir>/host-<i> (merge with prepare_data)")
+    p.add_argument("--host-index", type=int, default=0)
     args = p.parse_args(argv)
 
     from incremental_multimodal_medical_learning_ii_tpu.cli.common import (
@@ -59,23 +64,38 @@ def main(argv=None) -> None:
         manifest_image_iterator,
     )
 
+    if not (0 <= args.host_index < args.num_hosts):
+        raise SystemExit(f"--host-index {args.host_index} not in [0, {args.num_hosts})")
+
+    def host_bounds(n_total: int):
+        """Contiguous ceil-sized slice of the image list for this host
+        (same partitioning as split_contiguous / Trainer.py:1214-1231)."""
+        import math
+
+        chunk = math.ceil(n_total / args.num_hosts)
+        lo = min(n_total, args.host_index * chunk)
+        return lo, min(n_total, lo + chunk)
+
     if args.synthetic:
         from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
             init_biovil_image_model,
         )
 
         params = init_biovil_image_model(jax.random.PRNGKey(0))
+        lo, hi = host_bounds(args.synthetic)
 
         def iterator(skip=0):
             rng_local = np.random.default_rng(0)
             for i in range(args.synthetic):
                 img = rng_local.integers(0, 256, size=(390, 320), dtype=np.uint8)
                 lbl = (rng_local.random(5) < 0.3).astype(np.float32)
-                if i >= skip:
+                if lo + skip <= i < hi:
                     yield img, lbl
     else:
         if not (args.csv and args.biovil_checkpoint):
             raise SystemExit("--csv and --biovil-checkpoint required (or --synthetic N)")
+        import itertools
+
         from incremental_multimodal_medical_learning_ii_tpu.data.manifest import (
             ChexpertManifest,
         )
@@ -85,14 +105,22 @@ def main(argv=None) -> None:
 
         params = load_biovil_image_checkpoint(args.biovil_checkpoint)
         manifest = ChexpertManifest.from_csv(args.csv, img_dir=args.img_dir)
-        print(f"{len(manifest)} images")
+        lo, hi = host_bounds(len(manifest))
+        print(f"{len(manifest)} images" + (
+            f"; host {args.host_index}/{args.num_hosts} takes [{lo}, {hi})"
+            if args.num_hosts > 1 else ""
+        ))
 
         def iterator(skip=0):
-            return manifest_image_iterator(
-                manifest, workers=args.decode_workers, start=skip
+            it = manifest_image_iterator(
+                manifest, workers=args.decode_workers, start=lo + skip
             )
+            return itertools.islice(it, max(0, (hi - lo) - skip))
 
-    store = ShardedEmbeddingStore(args.out_dir)
+    out_dir = args.out_dir
+    if args.num_hosts > 1:
+        out_dir = str(Path(args.out_dir) / f"host-{args.host_index}")
+    store = ShardedEmbeddingStore(out_dir)
     skipped = store.total_rows() if args.resume else 0
     t0 = time.perf_counter()
     ds = extract_embeddings(

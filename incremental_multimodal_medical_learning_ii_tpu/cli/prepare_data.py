@@ -18,7 +18,10 @@ from pathlib import Path
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--shards", help="directory of extraction shard_*.npz files")
+    p.add_argument("--shards", nargs="+",
+                   help="directory(ies) of extraction shard_*.npz files; "
+                   "multiple dirs (e.g. multi-host host-0 host-1 ...) are "
+                   "glued in the order given")
     p.add_argument("--pt", help="or: a reference-format torch TensorDataset .pt")
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--split-head", type=int, default=0,
@@ -33,7 +36,9 @@ def main(argv=None) -> None:
     )
 
     if args.shards:
-        ds = ShardedEmbeddingStore(args.shards).glue()
+        ds = EmbeddingDataset.concat(
+            [ShardedEmbeddingStore(d).glue() for d in args.shards]
+        )
     elif args.pt:
         ds = EmbeddingDataset.load_torch_pt(args.pt)
     else:

@@ -85,3 +85,43 @@ def test_reproduce_dry_run(tmp_path, capsys):
     assert "joint: best test AUROC-macro" in out
     assert "class-inc curve:" in out
     assert "dry-run OK" in out
+
+
+def test_extract_cli_multi_host(tmp_path, capsys):
+    """--num-hosts/--host-index shard the image list across hosts; the
+    per-host shard dirs glue back (prepare_data) into exactly the
+    single-host result."""
+    import numpy as np
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.extract_embeddings import (
+        main as extract_main,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.cli.prepare_data import (
+        main as prepare_main,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import EmbeddingDataset
+
+    common = ["--synthetic", "10", "--batch-size", "4", "--size", "64",
+              "--pad-to", "512"]
+    extract_main(common + ["--out-dir", str(tmp_path / "single")])
+    for h in range(2):
+        extract_main(common + [
+            "--out-dir", str(tmp_path / "multi"),
+            "--num-hosts", "2", "--host-index", str(h),
+        ])
+    capsys.readouterr()
+    prepare_main([
+        "--shards", str(tmp_path / "multi" / "host-0"), str(tmp_path / "multi" / "host-1"),
+        "--out", str(tmp_path / "merged.npz"),
+    ])
+    assert "10 rows" in capsys.readouterr().out
+    single = EmbeddingDataset.load(tmp_path / "single" / "dataset.npz")
+    merged = EmbeddingDataset.load(tmp_path / "merged.npz")
+    np.testing.assert_allclose(merged.embeddings, single.embeddings, atol=1e-6)
+    np.testing.assert_array_equal(merged.labels, single.labels)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="host-index"):
+        extract_main(common + ["--out-dir", str(tmp_path / "bad"),
+                               "--num-hosts", "2", "--host-index", "2"])
