@@ -110,18 +110,20 @@ def main() -> None:
     retried = 0
     failures = 0
     start = time.perf_counter()
+    # Hard wall: even when MIN_ROUNDS isn't reached (link down mid-run),
+    # never spin past 2x the budget — report whatever was collected.
     while len(samples) < MIN_ROUNDS or (
         len(samples) < MAX_ROUNDS and time.perf_counter() - start < TIME_BUDGET_S
     ):
-        if failures >= MAX_FAILURES and len(samples) == 0:
+        if failures >= MAX_FAILURES or time.perf_counter() - start > 2 * TIME_BUDGET_S:
+            _log(f"[bench] giving up after {failures} failures / "
+                 f"{time.perf_counter() - start:.0f}s with {len(samples)} sample(s)")
             break
         try:
             rate, stats = run(IMAGES_PER_ROUND)
         except Exception as e:  # noqa: BLE001 - keep sampling through hiccups
             failures += 1
             _log(f"[bench] round failed ({failures}): {type(e).__name__}: {e}")
-            if failures >= MAX_FAILURES and len(samples) >= MIN_ROUNDS:
-                break
             time.sleep(2.0 * failures)
             continue
         samples.append(rate)

@@ -82,14 +82,21 @@ def main(argv=None) -> None:
             test=bundle.test.subset(range(256)),
         )
 
+    _bank_cache: list = []
+
     def bank_for(cfg):
-        return common.build_bank(args, cfg)
+        # all three gates use identical prompt banks (same prompt set, seed,
+        # and train_logit_diff); with a real CXR-BERT snapshot, rebuilding
+        # would re-load the weights and re-run the BERT prompt encode per
+        # gate — build once and reuse.
+        if not _bank_cache:
+            _bank_cache.append(common.build_bank(args, cfg))
+        return _bank_cache[0]
 
     mesh = common.make_mesh(args)
     epochs = 1 if args.dry_run else 10
     batch = 512 if args.dry_run else 6144
     failures = []
-    report = []
 
     def check(gate, measured, target):
         delta = measured - target
@@ -97,7 +104,6 @@ def main(argv=None) -> None:
             f"{gate}: {TARGETS[gate][0]} = {measured:.4f} "
             f"(reference {target:.4f}, delta {delta:+.4f})"
         )
-        report.append(line)
         print(line)
         if not args.dry_run and abs(delta) > args.tolerance:
             failures.append(line)

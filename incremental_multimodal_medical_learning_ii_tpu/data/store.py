@@ -109,6 +109,26 @@ class ShardedEmbeddingStore:
     def shard_paths(self) -> List[Path]:
         return sorted(p for p in self.directory.glob("shard_*.npz") if _SHARD_RE.search(p.name))
 
+    @staticmethod
+    def _shard_rows(path: Path) -> int:
+        """Row count of one shard from the .npy header alone — resume must
+        not decompress hundreds of MB of embeddings just to count them."""
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        try:
+            with zipfile.ZipFile(path) as z, z.open("embeddings.npy") as f:
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = npf.read_array_header_1_0(f)
+                else:
+                    shape, _, _ = npf.read_array_header_2_0(f)
+                return int(shape[0])
+        except (zipfile.BadZipFile, KeyError, ValueError):
+            with np.load(path) as z:  # fall back to a full read
+                return len(z["embeddings"])
+
     def total_rows(self) -> int:
         """Number of rows covered by the existing shards, validating that
         they form one contiguous prefix starting at row 0 (the invariant
@@ -122,8 +142,7 @@ class ShardedEmbeddingStore:
                     f"non-contiguous shard {path.name}: starts at {start}, "
                     f"expected {rows} — refusing to resume"
                 )
-            with np.load(path) as z:
-                rows += len(z["embeddings"])
+            rows += self._shard_rows(path)
         return rows
 
     def glue(self) -> EmbeddingDataset:

@@ -89,7 +89,14 @@ def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool):
     completed = load_progress(writer.log_dir)
     aux = load_aux(writer.log_dir)
     if completed > 0:
-        trainer.state = restore_checkpoint(writer.log_dir, trainer.state)
+        name = (aux or {}).get("state_name", "train_state")
+        try:
+            trainer.state = restore_checkpoint(writer.log_dir, trainer.state, name=name)
+        except Exception:
+            if name == "train_state":
+                raise
+            # old-format progress pointing at a since-cleaned staged dir
+            trainer.state = restore_checkpoint(writer.log_dir, trainer.state)
         if aux is not None:
             try:
                 trainer.load_aux_state(aux)
@@ -102,12 +109,24 @@ def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool):
 
 
 def _save_unit(trainer: Trainer, writer: TBWriter, completed: int, extra: Optional[dict] = None) -> None:
+    """Durably commit one finished unit.  The checkpoint is staged under a
+    per-unit name FIRST; the atomic progress.json write then points at it —
+    a crash between the two leaves progress at unit N-1 with its checkpoint
+    intact, so resume re-trains unit N from clean weights instead of
+    silently double-training it."""
     if trainer.cfg.trains_anything and writer.log_dir is not None:
-        save_checkpoint(writer.log_dir, trainer.state)
+        name = f"train_state_unit{completed}"
+        save_checkpoint(writer.log_dir, trainer.state, name=name)
         aux = trainer.aux_state()
         if extra:
             aux.update(extra)
-        save_progress(writer.log_dir, completed, aux)
+        aux["state_name"] = name
+        save_progress(writer.log_dir, completed, aux)  # the atomic commit point
+        import shutil
+
+        for stale in Path(writer.log_dir).glob("train_state_unit*"):
+            if stale.name != name:
+                shutil.rmtree(stale, ignore_errors=True)
     # TB events become durable only at unit boundaries, in lockstep with the
     # checkpoint — a crashed attempt leaves no partial-unit events behind.
     writer.commit()

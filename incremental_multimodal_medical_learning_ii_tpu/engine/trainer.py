@@ -152,14 +152,25 @@ class Trainer:
         }
 
     def load_aux_state(self, aux: dict) -> None:
-        self._shuffle_rng.bit_generator.state = aux["shuffle_rng"]
-        self._py_step = int(aux["py_step"])
-        self._gap_counter = int(aux["gap_counter"])
-        self._epoch_counter = int(aux["epoch_counter"])
-        self.val_f1_rows = [np.asarray(r, np.float64) for r in aux["val_f1_rows"]]
-        self.val_auroc_rows = [np.asarray(r, np.float64) for r in aux["val_auroc_rows"]]
-        self.test_f1_rows = [np.asarray(r, np.float64) for r in aux["test_f1_rows"]]
-        self.test_auroc_rows = [np.asarray(r, np.float64) for r in aux["test_auroc_rows"]]
+        # Parse everything BEFORE assigning anything: a partially-valid aux
+        # (old format, truncated write) must not leave the trainer
+        # half-restored when the caller catches the error and falls back.
+        rng_state = aux["shuffle_rng"]
+        py_step = int(aux["py_step"])
+        gap_counter = int(aux["gap_counter"])
+        epoch_counter = int(aux["epoch_counter"])
+        rows = {
+            key: [np.asarray(r, np.float64) for r in aux[key]]
+            for key in ("val_f1_rows", "val_auroc_rows", "test_f1_rows", "test_auroc_rows")
+        }
+        self._shuffle_rng.bit_generator.state = rng_state
+        self._py_step = py_step
+        self._gap_counter = gap_counter
+        self._epoch_counter = epoch_counter
+        self.val_f1_rows = rows["val_f1_rows"]
+        self.val_auroc_rows = rows["val_auroc_rows"]
+        self.test_f1_rows = rows["test_f1_rows"]
+        self.test_auroc_rows = rows["test_auroc_rows"]
 
     # ------------------------------------------------------------------
     # Shared internals

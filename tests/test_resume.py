@@ -145,3 +145,56 @@ def test_resume_is_bit_reproducible(tmp_path):
     assert set(full) == set(resumed)
     for tag in full:
         assert full[tag] == resumed[tag], f"scalar stream differs at {tag}"
+
+
+def test_progress_file_corruption_is_tolerated(tmp_path):
+    """A truncated/corrupt progress.json must not abort the run — resume
+    degrades to a from-scratch run (code-review finding r2)."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
+        load_aux,
+        load_progress,
+        save_progress,
+    )
+
+    save_progress(tmp_path, 3, {"state_name": "train_state_unit3"})
+    assert load_progress(tmp_path) == 3
+    assert load_aux(tmp_path)["state_name"] == "train_state_unit3"
+
+    (tmp_path / "progress.json").write_text('{"completed": 3, "aux": {tru')
+    assert load_progress(tmp_path) == 0
+    assert load_aux(tmp_path) is None
+    # no stray tmp files from the atomic write
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_unit_checkpoints_are_staged_and_cleaned(tmp_path):
+    """_save_unit stages per-unit checkpoint dirs and progress.json names
+    the one it committed; older staged dirs are removed (finding r3)."""
+    cfg = data_incremental_config(
+        batch_size=64, eval_batch_size=64, epochs=1, parts=2, lr=1e-3,
+    )
+    run_data_incremental(cfg, _bundle(), _bank(), log_dir=str(tmp_path))
+    run_dir = tmp_path / cfg.run_name()
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import load_aux
+
+    aux = load_aux(run_dir)
+    assert aux["state_name"] == "train_state_unit2"
+    assert (run_dir / "train_state_unit2").exists()
+    assert not (run_dir / "train_state_unit1").exists()  # cleaned
+    assert (run_dir / "train_state").exists()  # final artifact for serving
+
+
+def test_load_aux_state_is_all_or_nothing():
+    """A partially-valid aux dict must not half-restore the trainer
+    (finding r6)."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import joint_config
+
+    cfg = joint_config(batch_size=64, eval_batch_size=64, epochs=1, lr=1e-3)
+    trainer = Trainer(cfg, _bank())
+    before = trainer.aux_state()
+    bad = dict(before)
+    del bad["val_f1_rows"]  # missing field discovered only mid-restore before
+    with pytest.raises(KeyError):
+        trainer.load_aux_state(bad)
+    assert trainer.aux_state() == before  # nothing was applied
