@@ -4,6 +4,9 @@
         --biovil-checkpoint biovil.pt \
         --cxr-bert-checkpoint cxr_bert.pt --cxr-bert-vocab vocab.txt \
         [--adapter-checkpoint run_dir] img1.jpg img2.jpg ...
+
+The classifier-construction half (``add_classifier_args`` /
+``build_classifier``) is shared with the HTTP server (``cli/serve.py``).
 """
 
 from __future__ import annotations
@@ -11,10 +14,11 @@ from __future__ import annotations
 import argparse
 
 
-def main(argv=None) -> None:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("images", nargs="+")
-    p.add_argument("--biovil-checkpoint", required=True)
+def add_classifier_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--biovil-checkpoint",
+                   help="biovil_image_resnet50_proj_size_128.pt")
+    p.add_argument("--random-weights", action="store_true",
+                   help="randomly initialised BioViL (smoke runs/demos; scores meaningless)")
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
     p.add_argument("--adapter-checkpoint", help="run dir with a saved TrainState")
@@ -26,16 +30,17 @@ def main(argv=None) -> None:
                    help="adapter architecture of --adapter-checkpoint")
     p.add_argument("--shared", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--new-prompts", action="store_true")
     p.add_argument("--single-prompt", action="store_true")
     p.add_argument("--bank", help="a saved prompt bank .npz (skips CXR-BERT entirely)")
     p.add_argument("--save-bank", help="save the built prompt bank here")
-    args = p.parse_args(argv)
 
+
+def build_classifier(args):
+    """Construct the jitted ChexpertClassifier from parsed CLI args."""
     from incremental_multimodal_medical_learning_ii_tpu.inference import ChexpertClassifier
-    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
-        load_biovil_image_checkpoint,
-    )
     from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
         build_prompt_bank,
         synthetic_encode_fn,
@@ -45,7 +50,24 @@ def main(argv=None) -> None:
         CHEXPERT_COMPETITION_TASKS,
     )
 
-    image_params = load_biovil_image_checkpoint(args.biovil_checkpoint)
+    if args.biovil_checkpoint:
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_biovil_image_checkpoint,
+        )
+
+        image_params = load_biovil_image_checkpoint(args.biovil_checkpoint)
+    elif args.random_weights:
+        import jax
+
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            init_biovil_image_model,
+        )
+
+        print("[warn] --random-weights: scores are meaningless")
+        image_params = init_biovil_image_model(jax.random.PRNGKey(0))
+    else:
+        raise SystemExit("--biovil-checkpoint required (or --random-weights)")
+
     if args.bank:
         from incremental_multimodal_medical_learning_ii_tpu.text.bank import load_prompt_bank
 
@@ -123,10 +145,19 @@ def main(argv=None) -> None:
         template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)
         adapter_params = restore_checkpoint(args.adapter_checkpoint, template).params
 
-    clf = ChexpertClassifier(
+    return ChexpertClassifier(
         image_params, bank, cfg=cfg, adapter_params=adapter_params,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, size=args.size, pad_to=args.pad_to,
     )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("images", nargs="+")
+    add_classifier_args(p)
+    args = p.parse_args(argv)
+
+    clf = build_classifier(args)
     scores, preds = clf.predict_paths(args.images)
     header = "image," + ",".join(c.replace(" ", "_") for c in clf.class_names)
     print(header)

@@ -1,0 +1,147 @@
+"""HTTP serving endpoint: raw CXR images in, per-class scores out.
+
+Wraps the jitted :class:`ChexpertClassifier` (fused preprocess -> frozen
+BioViL ResNet-50 -> optional trained adapter -> prompt-cosine scores) in a
+threaded stdlib HTTP server.  The reference has no serving entry point at
+all; this is the deployable form of its extraction + ``Trainer.test``
+scoring path.
+
+    python -m incremental_multimodal_medical_learning_ii_tpu.cli.serve \
+        --biovil-checkpoint biovil.pt --bank bank.npz \
+        [--reference-image-adapter image_adapter.pt] --port 8000
+
+API:
+  GET  /healthz   -> {"status": "ok", "platform": "...", "classes": [...]}
+  POST /classify  -> {"classes": [...], "scores": [[...]], "preds": [[...]]}
+      body: raw image bytes (Content-Type image/* or application/octet-stream),
+      or JSON {"images_b64": ["<base64 png/jpeg>", ...]} for a batch.
+
+Device access is serialized with a lock (one chip, one queue); the jitted
+program itself batches up to --batch-size images per dispatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+
+
+def _decode_image(data: bytes):
+    """bytes -> (H, W) uint8 grayscale, PIL 'L' convention (the extraction
+    loader's semantics, data/images.py::load_image_raw_uint8)."""
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    if img.mode != "L":
+        img = img.convert("L")
+    return np.asarray(img)
+
+
+def make_server(clf, host: str = "127.0.0.1", port: int = 8000):
+    """Build (not start) the HTTP server around a ChexpertClassifier."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+    classes = list(clf.class_names)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *log_args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._send(200, {
+                    "status": "ok",
+                    "platform": jax.devices()[0].platform,
+                    "classes": classes,
+                })
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/classify":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/json":
+                    payload = json.loads(body)
+                    b64s = payload.get("images_b64")
+                    if not isinstance(b64s, list) or not b64s:
+                        raise ValueError('JSON body must carry a non-empty "images_b64" list')
+                    images = [_decode_image(base64.b64decode(s)) for s in b64s]
+                elif body:
+                    images = [_decode_image(body)]
+                else:
+                    raise ValueError("empty request body")
+            except Exception as e:  # malformed input -> client error
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                with lock:
+                    scores, preds = clf.predict_arrays(images)
+            except Exception as e:  # classifier/backend error -> server error
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send(200, {
+                "classes": classes,
+                "scores": [[round(float(v), 6) for v in row] for row in scores],
+                "preds": [[int(v) for v in row] for row in preds],
+            })
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> None:
+    from incremental_multimodal_medical_learning_ii_tpu.cli.classify import (
+        add_classifier_args,
+        build_classifier,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.cli.common import (
+        enable_compile_cache,
+    )
+
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_classifier_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    enable_compile_cache()
+    clf = build_classifier(args)
+
+    import numpy as np
+
+    # warm the jit so the first request doesn't pay the compile
+    clf.predict_arrays([np.zeros((args.size, args.size), np.uint8)])
+
+    server = make_server(clf, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}  "
+          f"(POST /classify, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()
