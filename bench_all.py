@@ -111,16 +111,38 @@ def main() -> None:
         pallas_pairwise_cosine,
     )
 
-    x = jnp.asarray(rng.normal(size=(6144, 128)).astype(np.float32))
+    # methodology (CLAUDE.md): per-call dispatch latency through the tunnel
+    # is milliseconds — far above the ~0.5 ms kernels — so host-side timing
+    # loops measure the link, not the kernel.  Instead each kernel is timed
+    # INSIDE one jitted lax.scan (iterations chained through an accumulator
+    # perturbing the next input, so XLA cannot parallelise or CSE them),
+    # and per-iteration cost is the difference between a long and a short
+    # scan, cancelling the dispatch + readback overhead.
+    k_long, k_short = (64, 8) if args.quick else (256, 8)
+    xs = jnp.asarray(rng.normal(size=(8, 6144, 128)).astype(np.float32))
     t = jnp.asarray(rng.normal(size=(10, 128)).astype(np.float32))
-    xla_fn = jax.jit(pairwise_cosine)
-    for name, fn in (("pallas_cosine_6144x10_us", pallas_pairwise_cosine), ("xla_cosine_6144x10_us", xla_fn)):
-        fn(x, t).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(100):
-            out = fn(x, t)
-        out.block_until_ready()
-        report(name, (time.perf_counter() - t0) / 100 * 1e6, "us")
+
+    def make_loop(fn, k):
+        @jax.jit
+        def loop(xs_, t_):
+            def body(acc, i):
+                x = xs_[i % xs_.shape[0]] + 0.0 * acc
+                return acc + fn(x, t_).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+        return loop
+
+    for name, fn in (("pallas_cosine_6144x10_us", pallas_pairwise_cosine), ("xla_cosine_6144x10_us", pairwise_cosine)):
+        times = {}
+        for k in (k_short, k_long):
+            loop = make_loop(fn, k)
+            float(np.asarray(loop(xs, t)))  # compile + warm
+            xs_timed = xs + np.float32(k)  # fresh buffers: defeat memoization
+            t0 = time.perf_counter()
+            float(np.asarray(loop(xs_timed, t)))  # readback = the only real barrier
+            times[k] = time.perf_counter() - t0
+        per_iter = (times[k_long] - times[k_short]) / (k_long - k_short)
+        report(name, per_iter * 1e6, "us")
 
 
 if __name__ == "__main__":
