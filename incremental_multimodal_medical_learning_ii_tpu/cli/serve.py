@@ -16,8 +16,11 @@ API:
       body: raw image bytes (Content-Type image/* or application/octet-stream),
       or JSON {"images_b64": ["<base64 png/jpeg>", ...]} for a batch.
 
-Device access is serialized with a lock (one chip, one queue); the jitted
-program itself batches up to --batch-size images per dispatch.
+Concurrent requests are micro-batched (--microbatch-ms, default 5 ms):
+a worker thread coalesces whatever arrives within the window into ONE
+device dispatch and hands each request its slice — one chip serves many
+clients at batch efficiency. --microbatch-ms 0 falls back to a plain
+serialization lock.
 """
 
 from __future__ import annotations
@@ -27,6 +30,72 @@ import base64
 import io
 import json
 import threading
+
+
+class MicroBatcher:
+    """Coalesce concurrent /classify requests into one device dispatch.
+
+    Request threads enqueue their images and block; a single worker thread
+    drains the queue — waiting up to ``max_delay_s`` after the first item
+    to let concurrent requests pile up, capped at ``max_images`` per
+    dispatch — runs ONE ``predict_arrays`` call, and hands each request its
+    slice.  One chip serves many clients at batch efficiency instead of
+    serializing single-image dispatches.
+    """
+
+    def __init__(self, clf, max_delay_s: float = 0.005, max_images: int | None = None):
+        import queue as _queue
+
+        self.clf = clf
+        self.max_delay_s = max_delay_s
+        self.max_images = max_images or clf.batch_size
+        self._q: _queue.Queue = _queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.dispatches = 0  # observability: device calls vs requests served
+
+    def predict(self, images):
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((images, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["scores"], slot["preds"]
+
+    def _run(self):
+        import queue as _queue
+        import time as _time
+
+        while True:
+            batch = [self._q.get()]  # block for the first request
+            deadline = _time.monotonic() + self.max_delay_s
+            n = len(batch[0][0])
+            while n < self.max_images:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except _queue.Empty:
+                    break
+                batch.append(item)
+                n += len(item[0])
+            images = [im for imgs, _, _ in batch for im in imgs]
+            try:
+                scores, preds = self.clf.predict_arrays(images)
+                self.dispatches += 1
+            except Exception as e:
+                for _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()
+                continue
+            off = 0
+            for imgs, done, slot in batch:
+                slot["scores"] = scores[off : off + len(imgs)]
+                slot["preds"] = preds[off : off + len(imgs)]
+                off += len(imgs)
+                done.set()
 
 
 def _decode_image(data: bytes):
@@ -41,11 +110,24 @@ def _decode_image(data: bytes):
     return np.asarray(img)
 
 
-def make_server(clf, host: str = "127.0.0.1", port: int = 8000):
-    """Build (not start) the HTTP server around a ChexpertClassifier."""
+def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
+                microbatch_s: float = 0.0):
+    """Build (not start) the HTTP server around a ChexpertClassifier.
+
+    ``microbatch_s > 0`` routes requests through a :class:`MicroBatcher`
+    with that coalescing window; otherwise device access is serialized
+    with a plain lock."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
+    batcher = MicroBatcher(clf, max_delay_s=microbatch_s) if microbatch_s > 0 else None
+
+    def predict(images):
+        if batcher is not None:
+            return batcher.predict(images)
+        with lock:
+            return clf.predict_arrays(images)
+
     classes = list(clf.class_names)
 
     class Handler(BaseHTTPRequestHandler):
@@ -94,8 +176,7 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000):
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
-                with lock:
-                    scores, preds = clf.predict_arrays(images)
+                scores, preds = predict(images)
             except Exception as e:  # classifier/backend error -> server error
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -122,6 +203,10 @@ def main(argv=None) -> None:
     add_classifier_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--microbatch-ms", type=float, default=5.0,
+                   help="coalesce concurrent requests into one device "
+                   "dispatch, waiting up to this long after the first; "
+                   "0 disables micro-batching")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -132,7 +217,8 @@ def main(argv=None) -> None:
     # warm the jit so the first request doesn't pay the compile
     clf.predict_arrays([np.zeros((args.size, args.size), np.uint8)])
 
-    server = make_server(clf, args.host, args.port)
+    server = make_server(clf, args.host, args.port,
+                         microbatch_s=args.microbatch_ms / 1e3)
     print(f"serving on http://{args.host}:{server.server_address[1]}  "
           f"(POST /classify, GET /healthz)")
     try:

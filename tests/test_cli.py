@@ -125,3 +125,17 @@ def test_extract_cli_multi_host(tmp_path, capsys):
     with _pytest.raises(SystemExit, match="host-index"):
         extract_main(common + ["--out-dir", str(tmp_path / "bad"),
                                "--num-hosts", "2", "--host-index", "2"])
+
+
+def test_sweep_cli(tmp_path, capsys):
+    from incremental_multimodal_medical_learning_ii_tpu.cli.sweep import main
+
+    main([
+        "--synthetic", "--epochs", "1", "--batch-size", "256",
+        "--lrs", "0.001", "0.01", "--optims", "adam",
+        "--adapters", "dense", "--prompt-modes", "mean",
+        "--log-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert out.count("val-AUROC-macro=") == 2
+    assert "best: AUROC" in out

@@ -47,6 +47,20 @@ def server():
     srv.server_close()
 
 
+@pytest.fixture(scope="module")
+def server_mb(server):
+    """Micro-batching variant sharing the module's classifier (same jit)."""
+    from incremental_multimodal_medical_learning_ii_tpu.cli.serve import make_server
+
+    _, clf = server
+    srv = make_server(clf, "127.0.0.1", 0, microbatch_s=0.02)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, clf
+    srv.shutdown()
+    srv.server_close()
+
+
 def _png_bytes(rng, h=70, w=60):
     buf = io.BytesIO()
     Image.fromarray((rng.random((h, w)) * 255).astype(np.uint8), "L").save(buf, "PNG")
@@ -112,3 +126,80 @@ def test_error_paths(server):
     assert status == 404
     status, _ = _request(srv, "POST", "/nope")
     assert status == 404
+
+
+class _CountingClassifier:
+    """predict_arrays stub: scores = per-image checksum so slicing bugs show."""
+
+    batch_size = 64
+    class_names = ["a", "b", "c", "d", "e"]
+
+    def __init__(self):
+        self.calls = 0
+
+    def predict_arrays(self, images):
+        self.calls += 1
+        scores = np.stack([np.full(5, float(im.sum() % 97)) for im in images])
+        return scores, (scores > 48).astype(np.int32)
+
+
+def test_microbatcher_coalesces_and_slices(rng):
+    from incremental_multimodal_medical_learning_ii_tpu.cli.serve import MicroBatcher
+
+    clf = _CountingClassifier()
+    mb = MicroBatcher(clf, max_delay_s=0.05)
+    imgs = [(rng.random((8, 8)) * 255).astype(np.uint8) for _ in range(6)]
+
+    results = {}
+
+    def worker(i):
+        scores, preds = mb.predict([imgs[i]])
+        results[i] = scores[0]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        assert results[i][0] == float(imgs[i].sum() % 97), f"wrong slice for req {i}"
+    # 6 concurrent single-image requests coalesced into far fewer dispatches
+    assert clf.calls < 6
+    assert mb.dispatches == clf.calls
+
+
+def test_microbatcher_propagates_errors():
+    from incremental_multimodal_medical_learning_ii_tpu.cli.serve import MicroBatcher
+
+    class Broken:
+        batch_size = 8
+        class_names = ["a"]
+
+        def predict_arrays(self, images):
+            raise RuntimeError("device gone")
+
+    mb = MicroBatcher(Broken(), max_delay_s=0.01)
+    with pytest.raises(RuntimeError, match="device gone"):
+        mb.predict([np.zeros((4, 4), np.uint8)])
+
+
+def test_server_with_microbatching(server_mb, rng):
+    srv, clf = server_mb
+    pngs = [_png_bytes(rng, h=60 + i, w=50) for i in range(4)]
+
+    out = {}
+
+    def worker(i):
+        out[i] = _request(srv, "POST", "/classify", body=pngs[i], ctype="image/png")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        status, payload = out[i]
+        assert status == 200
+        img = np.asarray(Image.open(io.BytesIO(pngs[i])))
+        scores, _ = clf.predict_arrays([img])
+        np.testing.assert_allclose(payload["scores"][0], scores[0], atol=1e-4)
