@@ -54,7 +54,11 @@ class ChexpertClassifier:
         crop: Optional[int] = None,
         pad_to: int = 1024,
         dtype=jnp.bfloat16,
+        retries: int = 2,
+        retry_backoff_s: float = 0.25,
     ):
+        self.retries = retries
+        self.retry_backoff_s = retry_backoff_s
         self.cfg = cfg or ExperimentConfig(
             adapter="no-head", image_adapter=False, text_adapter=False, epochs=0, mode="zero"
         )
@@ -99,12 +103,27 @@ class ChexpertClassifier:
             while len(chunk) < self.batch_size:  # static shapes
                 chunk.append(chunk[-1])
             raw, w_h, w_w = self.plan.prepare(chunk)
-            scores, preds = self._fn(
-                self.image_params, self.adapter_params, raw, w_h, w_w, self.bank
-            )
-            scores_all.append(np.asarray(scores)[:n])
-            preds_all.append(np.asarray(preds)[:n])
+            scores_np, preds_np = self._dispatch_with_retry(raw, w_h, w_w)
+            scores_all.append(scores_np[:n])
+            preds_all.append(preds_np[:n])
         return np.concatenate(scores_all), np.concatenate(preds_all)
+
+    def _dispatch_with_retry(self, raw, w_h, w_w):
+        """One jitted dispatch + readback, re-dispatched on transient
+        backend errors (same policy as extraction, engine/extract.py —
+        a serving request must survive a tunnel hiccup)."""
+        import time
+
+        for attempt in range(self.retries + 1):
+            try:
+                scores, preds = self._fn(
+                    self.image_params, self.adapter_params, raw, w_h, w_w, self.bank
+                )
+                return np.asarray(scores), np.asarray(preds)
+            except Exception:
+                if attempt >= self.retries:
+                    raise
+                time.sleep(self.retry_backoff_s * (2 ** attempt))
 
     def predict_paths(self, paths: Sequence[str]):
         from incremental_multimodal_medical_learning_ii_tpu.data.images import (

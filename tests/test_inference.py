@@ -70,3 +70,55 @@ def test_classifier_with_trained_adapters(rng):
     scores, _ = clf.predict_arrays(images)
     assert scores.shape == (3, 5)
     assert np.all((0 <= scores) & (scores <= 1))
+
+
+def test_classifier_retries_transient_errors(rng, monkeypatch):
+    """A transient backend error during a serving dispatch is retried with
+    re-dispatch (the extraction loop's policy) instead of failing the
+    request."""
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.inference import ChexpertClassifier
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    clf = ChexpertClassifier(
+        init_biovil_image_model(jax.random.PRNGKey(0)), bank,
+        batch_size=2, size=64, pad_to=128, dtype=jnp.float32,
+        retries=2, retry_backoff_s=0.0,
+    )
+    imgs = [(rng.random((70, 60)) * 255).astype(np.uint8) for _ in range(2)]
+    clean_scores, clean_preds = clf.predict_arrays(imgs)
+
+    real_fn = clf._fn
+    fail = {"n": 1}
+
+    def flaky_fn(*args):
+        if fail["n"] > 0:
+            fail["n"] -= 1
+            raise RuntimeError("injected transient backend error")
+        return real_fn(*args)
+
+    clf._fn = flaky_fn
+    scores, preds = clf.predict_arrays(imgs)
+    assert fail["n"] == 0
+    np.testing.assert_allclose(scores, clean_scores, atol=1e-6)
+    np.testing.assert_array_equal(preds, clean_preds)
+
+    clf._fn = lambda *a: (_ for _ in ()).throw(RuntimeError("permanently down"))
+    with pytest.raises(RuntimeError, match="permanently down"):
+        clf.predict_arrays(imgs)
