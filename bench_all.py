@@ -91,6 +91,49 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / 3
     report("fused_train_epoch_samples_per_sec", n_train / dt, "samples/sec")
 
+    # device-only epoch time: the wall number above is dominated by one
+    # tunnel round-trip per epoch; chain K epochs inside ONE jitted
+    # fori_loop and take the long-minus-short difference so the dispatch +
+    # readback cancels (same methodology as the kernel timings below).
+    fe = trainer._fused_epoch
+    d_embs, d_labels, d_valid = trainer._device_data(ds)
+    class_mask = jnp.ones(5, jnp.float32)
+    # the long run must dwarf the ~0.1s link jitter of a single round-trip
+    k_pair = (32, 4) if args.quick else (64, 8)
+
+    def make_epochs(k):
+        @jax.jit
+        def run(state, key, embs_, labels_, valid_, bank_):
+            def body(i, carry):
+                st, key_ = carry
+                key_, sub = jax.random.split(key_)
+                st, _ = fe(st, embs_, labels_, valid_, bank_, class_mask, 0.0, sub)
+                return (st, key_)
+            st, _ = jax.lax.fori_loop(0, k, body, (state, key))
+            return st
+        return run
+
+    # each timing point is a min over repeats: tunnel jitter only ever ADDS
+    # time, so the min is the honest device estimate
+    times = {}
+    state = trainer.state
+    seed = 0
+    for k in k_pair:
+        run_k = make_epochs(k)
+        args_ = (d_embs, d_labels, d_valid, bank)
+        state = run_k(state, jax.random.PRNGKey(seed), *args_)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            seed += 1
+            t0 = time.perf_counter()
+            state = run_k(state, jax.random.PRNGKey(seed), *args_)  # fresh state buffers
+            float(np.asarray(state.step))  # readback barrier
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    per_epoch = (times[k_pair[0]] - times[k_pair[1]]) / (k_pair[0] - k_pair[1])
+    report("fused_train_epoch_device_samples_per_sec", n_train / max(per_epoch, 1e-9),
+           "samples/sec")
+
     # ------------------------------------------------------------------
     # 3. fused eval
     # ------------------------------------------------------------------
@@ -118,7 +161,8 @@ def main() -> None:
     # perturbing the next input, so XLA cannot parallelise or CSE them),
     # and per-iteration cost is the difference between a long and a short
     # scan, cancelling the dispatch + readback overhead.
-    k_long, k_short = (64, 8) if args.quick else (256, 8)
+    # the long scan must dwarf the ~0.1s link jitter (20us x 16k = 0.33s)
+    k_long, k_short = (4096, 512) if args.quick else (16384, 2048)
     xs = jnp.asarray(rng.normal(size=(8, 6144, 128)).astype(np.float32))
     t = jnp.asarray(rng.normal(size=(10, 128)).astype(np.float32))
 
@@ -137,10 +181,13 @@ def main() -> None:
         for k in (k_short, k_long):
             loop = make_loop(fn, k)
             float(np.asarray(loop(xs, t)))  # compile + warm
-            xs_timed = xs + np.float32(k)  # fresh buffers: defeat memoization
-            t0 = time.perf_counter()
-            float(np.asarray(loop(xs_timed, t)))  # readback = the only real barrier
-            times[k] = time.perf_counter() - t0
+            best = float("inf")
+            for r in range(3):  # min over repeats: jitter only adds time
+                xs_timed = xs + np.float32(k + r)  # fresh buffers: no memoization
+                t0 = time.perf_counter()
+                float(np.asarray(loop(xs_timed, t)))  # readback = the only real barrier
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
         per_iter = (times[k_long] - times[k_short]) / (k_long - k_short)
         report(name, per_iter * 1e6, "us")
 
