@@ -61,6 +61,58 @@ def main() -> None:
         best = max(best, n / (time.perf_counter() - t0))
     report("extraction_images_per_sec_per_chip", best, "images/sec", baseline=1.509)
 
+    # device-only encode throughput: chain K fused preprocess+ResNet batches
+    # inside one jitted lax.scan (sequenced through an accumulator) and take
+    # the long-minus-short difference — isolates the chip from the tunnel,
+    # quantifying how far the wall number above is link-bound.
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        biovil_image_forward,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        SharedSizePreprocessPlan,
+        preprocess_device_shared,
+    )
+
+    plan = SharedSizePreprocessPlan(390, 320, size=512, crop=512)
+    n_slabs = 4
+    raw_all = jnp.asarray(
+        rng.integers(0, 256, size=(n_slabs, batch, 390, 320), dtype=np.uint8)
+    )
+    w_h = jnp.asarray(plan.w_h)
+    w_w = jnp.asarray(plan.w_w)
+
+    def make_encode_loop(k):
+        @jax.jit
+        def loop(raw_, w_h_, w_w_, p):
+            def body(acc, i):
+                wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
+                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_)
+                emb = biovil_image_forward(
+                    p, imgs, dtype=jnp.bfloat16
+                ).projected_global_embedding
+                return acc + emb.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+        return loop
+
+    ek_long, ek_short = (8, 2) if args.quick else (24, 4)
+    etimes = {}
+    for k in (ek_short, ek_long):
+        loop = make_encode_loop(k)
+        float(np.asarray(loop(raw_all, w_h, w_w, params)))  # compile + warm
+        best_t = float("inf")
+        for r in range(3):
+            raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
+            t0 = time.perf_counter()
+            float(np.asarray(loop(raw_t, w_h, w_w, params)))
+            best_t = min(best_t, time.perf_counter() - t0)
+        etimes[k] = best_t
+    per_batch = (etimes[ek_long] - etimes[ek_short]) / (ek_long - ek_short)
+    report(
+        "extraction_device_images_per_sec_per_chip",
+        batch / max(per_batch, 1e-9), "images/sec", baseline=1.509,
+    )
+
     # ------------------------------------------------------------------
     # 2. fused training epoch
     # ------------------------------------------------------------------
