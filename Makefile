@@ -1,10 +1,16 @@
-.PHONY: test bench native clean smoke
+.PHONY: test test-fast bench bench-all native clean smoke dryrun reproduce
 
 test:
 	python -m pytest tests/ -q
 
+test-fast:
+	python -m pytest tests/ -q -m fast
+
 bench:
 	python bench.py
+
+bench-all:
+	python bench_all.py
 
 native:
 	python -c "from incremental_multimodal_medical_learning_ii_tpu.runtime import build_library; print(build_library(force=True))"
@@ -12,6 +18,12 @@ native:
 smoke:
 	python -m incremental_multimodal_medical_learning_ii_tpu.cli.zero_joint_bounds \
 		--synthetic --epochs 1 --batch-size 512 --lr 1e-3 --log-dir /tmp/imml_smoke
+
+dryrun:
+	JAX_PLATFORMS=cpu python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+reproduce:
+	python -m incremental_multimodal_medical_learning_ii_tpu.cli.reproduce --dry-run
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; \
