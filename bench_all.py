@@ -81,36 +81,48 @@ def main() -> None:
     w_h = jnp.asarray(plan.w_h)
     w_w = jnp.asarray(plan.w_w)
 
-    def make_encode_loop(k):
+    def make_encode_loop(k, channels=3, int8=False):
         @jax.jit
         def loop(raw_, w_h_, w_w_, p):
             def body(acc, i):
                 wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
-                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_)
+                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_, channels=channels)
                 emb = biovil_image_forward(
-                    p, imgs, dtype=jnp.bfloat16
+                    p, imgs, dtype=jnp.bfloat16, int8=int8
                 ).projected_global_embedding
                 return acc + emb.sum(), None
             acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
             return acc
         return loop
 
-    ek_long, ek_short = (8, 2) if args.quick else (24, 4)
-    etimes = {}
-    for k in (ek_short, ek_long):
-        loop = make_encode_loop(k)
-        float(np.asarray(loop(raw_all, w_h, w_w, params)))  # compile + warm
-        best_t = float("inf")
-        for r in range(3):
-            raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
-            t0 = time.perf_counter()
-            float(np.asarray(loop(raw_t, w_h, w_w, params)))
-            best_t = min(best_t, time.perf_counter() - t0)
-        etimes[k] = best_t
-    per_batch = (etimes[ek_long] - etimes[ek_short]) / (ek_long - ek_short)
-    report(
-        "extraction_device_images_per_sec_per_chip",
-        batch / max(per_batch, 1e-9), "images/sec", baseline=1.509,
+    def time_encode_loop(metric, p, channels=3, int8=False):
+        ek_long, ek_short = (8, 2) if args.quick else (24, 4)
+        etimes = {}
+        for k in (ek_short, ek_long):
+            loop = make_encode_loop(k, channels=channels, int8=int8)
+            float(np.asarray(loop(raw_all, w_h, w_w, p)))  # compile + warm
+            best_t = float("inf")
+            for r in range(3):
+                raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
+                t0 = time.perf_counter()
+                float(np.asarray(loop(raw_t, w_h, w_w, p)))
+                best_t = min(best_t, time.perf_counter() - t0)
+            etimes[k] = best_t
+        per_batch = (etimes[ek_long] - etimes[ek_short]) / (ek_long - ek_short)
+        report(metric, batch / max(per_batch, 1e-9), "images/sec", baseline=1.509)
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        fold_grayscale_conv1,
+        quantize_biovil_int8,
+    )
+
+    params_gray = fold_grayscale_conv1(params)
+    time_encode_loop("extraction_device_images_per_sec_per_chip", params_gray, channels=1)
+    # opt-in int8 trunk (ops/quant.py): 2x MXU peak, half the activation HBM
+    # traffic; embeddings shift by quantization error (~0.999 cosine)
+    time_encode_loop(
+        "extraction_device_int8_images_per_sec_per_chip",
+        quantize_biovil_int8(params_gray), channels=1, int8=True,
     )
 
     # ------------------------------------------------------------------

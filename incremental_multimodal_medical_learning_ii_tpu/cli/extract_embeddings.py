@@ -36,6 +36,11 @@ def main(argv=None) -> None:
                    help="JPEG-decode process pool size (reference num_workers=4)")
     p.add_argument("--fp32", action="store_true", help="fp32 conv compute (parity runs)")
     p.add_argument("--host-preprocess", action="store_true", help="PIL path instead of fused device path")
+    p.add_argument("--no-grayscale-conv1", action="store_true",
+                   help="disable the folded-conv1 grayscale fast path (keeps 3-channel images on device)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize the frozen trunk (2x MXU peak, ~0.999 embedding "
+                        "cosine vs float; not for bit-parity runs)")
     p.add_argument("--synthetic", type=int, default=0, help="N synthetic images (smoke run)")
     p.add_argument("--resume", action="store_true",
                    help="skip images already covered by shards in --out-dir")
@@ -133,6 +138,8 @@ def main(argv=None) -> None:
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         checkpoint_interval=args.checkpoint_interval,
         device_preprocess=not args.host_preprocess,
+        grayscale_conv1=not args.no_grayscale_conv1,
+        int8=args.int8,
         pad_to=args.pad_to,
         resume=args.resume,
         retries=args.retries,

@@ -46,32 +46,38 @@ from incremental_multimodal_medical_learning_ii_tpu.parallel import mesh as mesh
 ImageLabel = Tuple[np.ndarray, np.ndarray]  # (H, W) uint8, (5,) float32
 
 
-def make_encode_preprocessed_fn(params, dtype=jnp.bfloat16):
+def make_encode_preprocessed_fn(params, dtype=jnp.bfloat16, int8: bool = False):
     """jitted (B, S, S, 3) float images -> (B, 128) embeddings."""
 
     def fn(p, images):
-        return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
+        return biovil_image_forward(p, images, dtype=dtype, int8=int8).projected_global_embedding
 
     return jax.jit(fn)
 
 
-def make_encode_raw_fn(params, dtype=jnp.bfloat16):
-    """jitted (raw u8 (B,P,P), w_h, w_w) -> (B, 128); preprocessing fused in."""
+def make_encode_raw_fn(params, dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
+    """jitted (raw u8 (B,P,P), w_h, w_w) -> (B, 128); preprocessing fused in.
+
+    ``channels=1`` expects conv1 pre-folded for grayscale input
+    (:func:`fold_grayscale_conv1`): the image tensor stays single-channel in
+    HBM and conv1 runs at a third of the FLOPs, with identical math (the
+    reference's ``ExpandChannels`` copies one plane three times).
+    """
 
     def fn(p, raw, w_h, w_w):
-        images = preprocess_device(raw, w_h, w_w)
-        return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
+        images = preprocess_device(raw, w_h, w_w, channels=channels)
+        return biovil_image_forward(p, images, dtype=dtype, int8=int8).projected_global_embedding
 
     return jax.jit(fn)
 
 
-def make_encode_raw_shared_fn(params, dtype=jnp.bfloat16):
+def make_encode_raw_shared_fn(params, dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
     """jitted (raw u8 (B,H,W), shared w_h, w_w) -> (B, 128); the uniform-size
     fast path — only raw uint8 pixels cross the host/device boundary."""
 
     def fn(p, raw, w_h, w_w):
-        images = preprocess_device_shared(raw, w_h, w_w)
-        return biovil_image_forward(p, images, dtype=dtype).projected_global_embedding
+        images = preprocess_device_shared(raw, w_h, w_w, channels=channels)
+        return biovil_image_forward(p, images, dtype=dtype, int8=int8).projected_global_embedding
 
     return jax.jit(fn)
 
@@ -132,6 +138,8 @@ def extract_embeddings(
     dtype=jnp.bfloat16,
     checkpoint_interval: int = 5000,  # images, like the reference's 5000 batches of 1
     device_preprocess: bool = True,
+    grayscale_conv1: bool = True,
+    int8: bool = False,
     pad_to: int = 1024,
     mesh=None,
     prefetch_depth: int = 2,
@@ -166,13 +174,33 @@ def extract_embeddings(
     crop = crop or size
     if stats is not None:
         stats.update(dispatch_s=0.0, readback_s=0.0, batches=0, retried_batches=0)
+    channels = 3
+    if device_preprocess and grayscale_conv1:
+        # The pipeline's 3 channels are identical (ExpandChannels,
+        # DataRetrieval.py:27-40): fold conv1 over its input-channel axis and
+        # keep images single-channel on device — same math, 1/3 the image
+        # HBM traffic and conv1 FLOPs.
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            fold_grayscale_conv1,
+        )
+
+        params = fold_grayscale_conv1(params)
+        channels = 1
+    if int8:
+        # Opt-in post-training quantization of the frozen trunk (ops/quant.py);
+        # folding must happen first — it operates on the float conv1 kernel.
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            quantize_biovil_int8,
+        )
+
+        params = quantize_biovil_int8(params)
     if mesh is not None:
         params = mesh_lib.replicate(mesh, params)
 
     if device_preprocess:
         plan = DevicePreprocessPlan(size=size, crop=crop, pad_to=pad_to)
-        encode = make_encode_raw_fn(params, dtype=dtype)
-        encode_shared = make_encode_raw_shared_fn(params, dtype=dtype)
+        encode = make_encode_raw_fn(params, dtype=dtype, channels=channels, int8=int8)
+        encode_shared = make_encode_raw_shared_fn(params, dtype=dtype, channels=channels, int8=int8)
         shared_plans = {}  # (h, w) -> SharedSizePreprocessPlan
 
         def prepare(batch_imgs):
@@ -198,7 +226,7 @@ def extract_embeddings(
             return encode(params, raw, w_h, w_w)
 
     else:
-        encode_pre = make_encode_preprocessed_fn(params, dtype=dtype)
+        encode_pre = make_encode_preprocessed_fn(params, dtype=dtype, int8=int8)
 
         def prepare(batch_imgs):
             return np.stack([preprocess_host(im, size=size, crop=crop) for im in batch_imgs])

@@ -53,6 +53,28 @@ def init_biovil_image_model(key: jax.Array) -> Params:
     }
 
 
+def fold_grayscale_conv1(params: Params) -> Params:
+    """Fold the 3-channel conv1 kernel for single-channel (grayscale) input.
+
+    The reference pipeline's ``ExpandChannels`` (``DataRetrieval.py:27-40``)
+    feeds the network three *identical* copies of the grayscale image, so
+    ``conv1(repeat(x, 3), W) == conv1(x, sum_c W)`` exactly: summing the
+    (7, 7, 3, 64) kernel over its input-channel axis to (7, 7, 1, 64) lets
+    the extraction path keep images as (B, H, W, 1) — a third of the HBM
+    traffic into conv1 and a third of its FLOPs — with no change in math
+    (fp32 kernel sum; only the accumulation order differs).
+    """
+    k = params["encoder"]["conv1"]["kernel"]
+    if k.shape[2] == 1:
+        return params
+    folded = dict(params)
+    folded["encoder"] = dict(params["encoder"])
+    folded["encoder"]["conv1"] = {
+        "kernel": jnp.sum(k.astype(jnp.float32), axis=2, keepdims=True)
+    }
+    return folded
+
+
 def _projector_forward(proj: Params, patches: jnp.ndarray) -> jnp.ndarray:
     h = conv2d(patches, proj["conv1"]["kernel"], 1, 0)
     h = jax.nn.relu(batch_norm_inference(h, proj["bn"]))
@@ -60,15 +82,41 @@ def _projector_forward(proj: Params, patches: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def quantize_biovil_int8(params: Params) -> Params:
+    """Quantize the ResNet trunk to int8 (ops/quant.py); the tiny 1x1-conv
+    projector stays in float — its output feeds the pooled embedding
+    directly.  Use with ``biovil_image_forward(..., int8=True)``."""
+    from incremental_multimodal_medical_learning_ii_tpu.ops.quant import (
+        quantize_resnet_int8,
+    )
+
+    return {
+        "encoder": quantize_resnet_int8(params["encoder"]),
+        "projector": params["projector"],
+    }
+
+
 def biovil_image_forward(
     params: Params,
     images_nhwc: jnp.ndarray,
     dtype: jnp.dtype = jnp.float32,
+    int8: bool = False,
 ) -> ImageModelOutput:
     """(B, H, W, 3) float images (the reference pipeline's [0,1] tensors)
     -> global + patch embeddings.  Mean/pool accumulations run in fp32 even
-    under bfloat16 conv compute."""
-    patches = resnet50_forward(params["encoder"], images_nhwc, dtype=dtype)
+    under bfloat16 conv compute.  ``int8=True`` expects trunk params from
+    :func:`quantize_biovil_int8` and runs the trunk convs on the int8 MXU
+    path (2x peak, half the activation HBM traffic)."""
+    if int8:
+        from incremental_multimodal_medical_learning_ii_tpu.ops.quant import (
+            conv_apply_int8,
+        )
+
+        patches = resnet50_forward(
+            params["encoder"], images_nhwc, dtype=dtype, conv=conv_apply_int8
+        )
+    else:
+        patches = resnet50_forward(params["encoder"], images_nhwc, dtype=dtype)
     projected = _projector_forward(params["projector"], patches)
     projected32 = projected.astype(jnp.float32)
     global_emb = jnp.mean(projected32, axis=(1, 2))  # model.py:154 mean over grid

@@ -51,6 +51,13 @@ def conv2d(
     )
 
 
+def conv_apply(p: Params, x: jnp.ndarray, stride: int, padding: int, dilation: int = 1) -> jnp.ndarray:
+    """Apply one conv param group.  The forward functions thread this as a
+    ``conv`` argument so alternative executions (int8 MXU path, ops/quant.py)
+    reuse the exact block/layer structure instead of duplicating it."""
+    return conv2d(x, p["kernel"], stride, padding, dilation)
+
+
 def batch_norm_inference(x: jnp.ndarray, bn: Params) -> jnp.ndarray:
     """Frozen BN: precomputable scale/shift, evaluated in fp32 statistics."""
     scale = (bn["scale"] / jnp.sqrt(bn["var"] + BN_EPS)).astype(x.dtype)
@@ -163,13 +170,13 @@ def init_resnet18(key: jax.Array) -> Params:
 # ----------------------------------------------------------------------
 # Forward
 # ----------------------------------------------------------------------
-def _basic_block_forward(block: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    out = conv2d(x, block["conv1"]["kernel"], stride, 1)
+def _basic_block_forward(block: Params, x: jnp.ndarray, stride: int, conv=conv_apply) -> jnp.ndarray:
+    out = conv(block["conv1"], x, stride, 1)
     out = jax.nn.relu(batch_norm_inference(out, block["bn1"]))
-    out = conv2d(out, block["conv2"]["kernel"], 1, 1)
+    out = conv(block["conv2"], out, 1, 1)
     out = batch_norm_inference(out, block["bn2"])
     if "downsample_conv" in block:
-        identity = conv2d(x, block["downsample_conv"]["kernel"], stride, 0)
+        identity = conv(block["downsample_conv"], x, stride, 0)
         identity = batch_norm_inference(identity, block["downsample_bn"])
     else:
         identity = x
@@ -177,16 +184,16 @@ def _basic_block_forward(block: Params, x: jnp.ndarray, stride: int) -> jnp.ndar
 
 
 def _bottleneck_forward(
-    block: Params, x: jnp.ndarray, stride: int, dilation: int = 1
+    block: Params, x: jnp.ndarray, stride: int, dilation: int = 1, conv=conv_apply
 ) -> jnp.ndarray:
-    out = conv2d(x, block["conv1"]["kernel"], 1, 0)
+    out = conv(block["conv1"], x, 1, 0)
     out = jax.nn.relu(batch_norm_inference(out, block["bn1"]))
-    out = conv2d(out, block["conv2"]["kernel"], stride, dilation, dilation=dilation)
+    out = conv(block["conv2"], out, stride, dilation, dilation)
     out = jax.nn.relu(batch_norm_inference(out, block["bn2"]))
-    out = conv2d(out, block["conv3"]["kernel"], 1, 0)
+    out = conv(block["conv3"], out, 1, 0)
     out = batch_norm_inference(out, block["bn3"])
     if "downsample_conv" in block:
-        identity = conv2d(x, block["downsample_conv"]["kernel"], stride, 0)
+        identity = conv(block["downsample_conv"], x, stride, 0)
         identity = batch_norm_inference(identity, block["downsample_bn"])
     else:
         identity = x
@@ -199,6 +206,7 @@ def resnet50_forward(
     dtype: jnp.dtype = jnp.float32,
     return_intermediates: bool = False,
     replace_stride_with_dilation: Sequence[bool] = (False, False, False),
+    conv=conv_apply,
 ):
     """NHWC forward; returns x4 (B, H/32, W/32, 2048), or the x0..x4 tuple
     (``ResNetHIML.forward``, resnet.py:25-47).
@@ -211,7 +219,7 @@ def resnet50_forward(
     dilation.
     """
     x = x.astype(dtype)
-    x0 = conv2d(x, params["conv1"]["kernel"], 2, 3)
+    x0 = conv(params["conv1"], x, 2, 3)
     x0 = jax.nn.relu(batch_norm_inference(x0, params["bn1"]))
     x0 = max_pool_3x3_s2(x0)
     feats = [x0]
@@ -229,6 +237,7 @@ def resnet50_forward(
                 out,
                 stride if bi == 0 else 1,
                 prev_dilation if bi == 0 else dilation,
+                conv=conv,
             )
         feats.append(out)
     if return_intermediates:
@@ -241,10 +250,11 @@ def resnet18_forward(
     x: jnp.ndarray,
     dtype: jnp.dtype = jnp.float32,
     return_intermediates: bool = False,
+    conv=conv_apply,
 ):
     """ResNet-18 NHWC forward (BasicBlocks); x4 is (B, H/32, W/32, 512)."""
     x = x.astype(dtype)
-    x0 = conv2d(x, params["conv1"]["kernel"], 2, 3)
+    x0 = conv(params["conv1"], x, 2, 3)
     x0 = jax.nn.relu(batch_norm_inference(x0, params["bn1"]))
     x0 = max_pool_3x3_s2(x0)
     feats = [x0]
@@ -252,7 +262,7 @@ def resnet18_forward(
     for li in range(4):
         stride = 1 if li == 0 else 2
         for bi, block in enumerate(params[f"layer{li + 1}"]):
-            out = _basic_block_forward(block, out, stride if bi == 0 else 1)
+            out = _basic_block_forward(block, out, stride if bi == 0 else 1, conv=conv)
         feats.append(out)
     if return_intermediates:
         return tuple(feats)

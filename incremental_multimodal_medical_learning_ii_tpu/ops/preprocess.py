@@ -143,15 +143,21 @@ def _crop_rows(mat: np.ndarray, start: int, crop: int) -> np.ndarray:
     return out
 
 
-def preprocess_device(raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray) -> jnp.ndarray:
-    """(B, P, P) u8 + per-image weights -> (B, crop, crop, 3) float32 [0,1].
+def preprocess_device(
+    raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray, channels: int = 3
+) -> jnp.ndarray:
+    """(B, P, P) u8 + per-image weights -> (B, crop, crop, C) float32 [0,1].
 
     One fused XLA program: 2 batched MXU matmuls (resize+crop), uint8
-    rounding parity, /255, 3-channel broadcast.
+    rounding parity, /255, channel broadcast.  ``channels=1`` keeps the
+    grayscale plane un-expanded for the folded-conv1 encoder
+    (:func:`models.biovil_image.fold_grayscale_conv1`).
     """
     resized = batched_matmul_resize(raw, w_h, w_w, round_uint8=True)
     out = (resized / 255.0)[..., None]
-    return jnp.broadcast_to(out, (*out.shape[:3], 3))
+    if channels == 1:
+        return out
+    return jnp.broadcast_to(out, (*out.shape[:3], channels))
 
 
 class SharedSizePreprocessPlan:
@@ -175,14 +181,18 @@ class SharedSizePreprocessPlan:
         return raw
 
 
-def preprocess_device_shared(raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray) -> jnp.ndarray:
+def preprocess_device_shared(
+    raw: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray, channels: int = 3
+) -> jnp.ndarray:
     """(B, H, W) u8 with one shared (crop, H) / (crop, W) matrix pair."""
     x = raw.astype(jnp.float32)
     out = jnp.einsum("oh,bhw->bow", w_h, x, precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("bow,pw->bop", out, w_w, precision=jax.lax.Precision.HIGHEST)
     out = jnp.clip(jnp.round(out), 0.0, 255.0)
     out = (out / 255.0)[..., None]
-    return jnp.broadcast_to(out, (*out.shape[:3], 3))
+    if channels == 1:
+        return out
+    return jnp.broadcast_to(out, (*out.shape[:3], channels))
 
 
 def expand_channels(x: jnp.ndarray) -> jnp.ndarray:

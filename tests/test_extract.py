@@ -48,6 +48,48 @@ def test_extract_device_vs_host_parity(image_params, rng):
     assert cos.min() > 0.999
 
 
+def test_fold_grayscale_conv1_exact(image_params, rng):
+    """conv1 folded over identical channels == the 3-channel forward
+    (ExpandChannels feeds 3 copies of one plane, DataRetrieval.py:27-40)."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        biovil_image_forward,
+        fold_grayscale_conv1,
+    )
+
+    gray = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    full = biovil_image_forward(image_params, jnp.broadcast_to(gray, (2, 64, 64, 3)))
+    folded_params = fold_grayscale_conv1(image_params)
+    assert folded_params["encoder"]["conv1"]["kernel"].shape[2] == 1
+    folded = biovil_image_forward(folded_params, gray)
+    np.testing.assert_allclose(
+        folded.projected_global_embedding, full.projected_global_embedding,
+        rtol=1e-3, atol=1e-4,  # fp32 accumulation-order only; same scale as torch-parity tol
+    )
+    # idempotent on already-folded params
+    again = fold_grayscale_conv1(folded_params)
+    assert again["encoder"]["conv1"]["kernel"].shape[2] == 1
+
+
+def test_extract_grayscale_conv1_parity(image_params, rng):
+    """The grayscale fast path returns the same embeddings as the 3-channel
+    device path, on both the shared-size and per-image preprocess branches."""
+    imgs_mixed = list(_images(5, rng))  # heterogeneous sizes -> per-image plan
+    imgs_same = [(im[:100, :80], lb) for im, lb in _images(4, rng)]  # shared plan
+    for imgs in (imgs_mixed, imgs_same):
+        ds_gray = extract_embeddings(
+            iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+            dtype=jnp.float32, grayscale_conv1=True,
+        )
+        ds_full = extract_embeddings(
+            iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+            dtype=jnp.float32, grayscale_conv1=False,
+        )
+        np.testing.assert_allclose(
+            ds_gray.embeddings, ds_full.embeddings, rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_array_equal(ds_gray.labels, ds_full.labels)
+
+
 def test_extract_shard_checkpoints(image_params, rng, tmp_path):
     store = ShardedEmbeddingStore(tmp_path)
     imgs = list(_images(7, rng))
@@ -142,8 +184,8 @@ def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
     fail = {"dispatch": 1, "readback": 1}
     real_make = ex.make_encode_preprocessed_fn
 
-    def flaky_make(params, dtype=jnp.bfloat16):
-        real = real_make(params, dtype=dtype)
+    def flaky_make(params, dtype=jnp.bfloat16, **kw):
+        real = real_make(params, dtype=dtype, **kw)
 
         def fn(p, images):
             if fail["dispatch"] > 0:
@@ -169,7 +211,7 @@ def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
 def test_extract_retries_exhausted_raises(image_params, rng, monkeypatch):
     import incremental_multimodal_medical_learning_ii_tpu.engine.extract as ex
 
-    def broken_make(params, dtype=jnp.bfloat16):
+    def broken_make(params, dtype=jnp.bfloat16, **kw):
         def fn(p, images):
             raise RuntimeError("permanently broken backend")
 
