@@ -44,6 +44,8 @@ def main(argv=None) -> None:
     p.add_argument("--synthetic", type=int, default=0, help="N synthetic images (smoke run)")
     p.add_argument("--resume", action="store_true",
                    help="skip images already covered by shards in --out-dir")
+    p.add_argument("--readback-interval", type=int, default=4,
+                   help="dispatched batches per device->host sync (batched device_get)")
     p.add_argument("--retries", type=int, default=2,
                    help="per-batch re-dispatch attempts on transient backend errors")
     p.add_argument("--num-hosts", type=int, default=1,
@@ -143,6 +145,7 @@ def main(argv=None) -> None:
         pad_to=args.pad_to,
         resume=args.resume,
         retries=args.retries,
+        readback_interval=args.readback_interval,
     )
     dt = time.perf_counter() - t0
     final = store.directory / "dataset.npz"

@@ -143,6 +143,7 @@ def extract_embeddings(
     pad_to: int = 1024,
     mesh=None,
     prefetch_depth: int = 2,
+    readback_interval: int = 4,
     trace_dir: Optional[str] = None,
     resume: bool = False,
     retries: int = 2,
@@ -170,6 +171,16 @@ def extract_embeddings(
     ``{"dispatch_s", "readback_s", "batches", "retried_batches"}`` — the
     dispatch-vs-readback split that makes a throughput number attributable
     to link phase rather than code.
+
+    ``readback_interval`` is the number of dispatched batches read back per
+    device->host sync (one batched ``device_get``), amortizing per-sync
+    latency; embeddings are 128 floats per image, so even large windows
+    hold trivial device memory.  Measured NEUTRAL through this benchmark
+    host's tunnel (median 125 vs 142 imgs/s across link phases — noise):
+    the per-batch "readback wait" there is the enqueued raw-pixel uploads
+    draining (the tunnel is upload-bandwidth-bound at ~10-20 MB/s), not
+    sync latency, so fewer syncs change nothing.  Kept because on a normal
+    PCIe TPU host the sync cost IS per-call latency and the window is free.
     """
     crop = crop or size
     if stats is not None:
@@ -297,53 +308,62 @@ def extract_embeddings(
                     stats["retried_batches"] += 1
                 time.sleep(retry_backoff_s * (2 ** attempt))
 
-    def readback(result, prepared):
-        """Device->host transfer with retry; a failed readback invalidates
-        the dispatched buffers, so the batch is re-dispatched from the
+    def flush(window, k=None):
+        """One batched device->host transfer for the oldest ``k`` dispatched
+        batches, with retry: a failed readback invalidates the dispatched
+        buffers, so every batch in the head is re-dispatched from the
         still-held host-side ``prepared`` arrays."""
-        for attempt in range(retries + 1):
-            try:
-                return np.asarray(result, dtype=np.float32)
-            except Exception:
-                if attempt >= retries:
-                    raise
-                if stats is not None:
-                    stats["retried_batches"] += 1
-                time.sleep(retry_backoff_s * (2 ** attempt))
-                result = dispatch(prepared)
+        k = len(window) if k is None else min(k, len(window))
+        if k == 0:
+            return
+        head = window[:k]
+        del window[:k]
+        with annotate("extract_readback"):
+            t0 = time.perf_counter()
+            for attempt in range(retries + 1):
+                try:
+                    arrs = jax.device_get([w[0] for w in head])
+                    break
+                except Exception:
+                    if attempt >= retries:
+                        raise
+                    if stats is not None:
+                        stats["retried_batches"] += len(head)
+                    time.sleep(retry_backoff_s * (2 ** attempt))
+                    head = [(dispatch(w[1]), w[1], w[2], w[3]) for w in head]
+            if stats is not None:
+                stats["readback_s"] += time.perf_counter() - t0
+        for (_, _, labels, n), arr in zip(head, arrs):
+            handle(np.asarray(arr, dtype=np.float32), labels, n)
 
-    # Two-deep device pipeline: dispatch batch N+1 (async upload + compute
-    # enqueue) before reading back batch N, so its transfer/compute overlaps
-    # the readback wait.  NOTE a fully decoupled variant (dedicated reader
-    # thread, dispatch running arbitrarily far ahead) was built and A/B
-    # measured on the tunneled TPU host: interleaving the big raw uploads
-    # with embedding readbacks made the link ~2x SLOWER (median 50 vs 108
-    # imgs/s over 5 alternating rounds) — the tunnel serves one direction
-    # well and thrashes when multiplexed.  The serial two-deep loop is the
-    # fastest shape for this transport; revisit on a direct-PCIe TPU VM.
+    # Windowed device pipeline: dispatch up to ``readback_interval`` batches
+    # (async upload + compute enqueue), then read the whole window back in
+    # ONE batched device_get; the window always runs one batch ahead (flush
+    # starts only once a batch beyond it is dispatched), which at interval=1
+    # is exactly the old two-deep loop.  What this buys depends on the
+    # transport: on a normal PCIe host it amortizes per-sync latency; through
+    # this benchmark host's tunnel it measured NEUTRAL, because the flush
+    # wait is dominated by the window's 32 MB/batch raw uploads draining
+    # (upload-bandwidth-bound), not by sync latency — see the docstring.
+    # NOTE a fully decoupled variant (dedicated reader thread, dispatch
+    # running arbitrarily far ahead) was built and A/B measured on the
+    # tunneled TPU host: interleaving the big raw uploads with embedding
+    # readbacks made the link ~2x SLOWER (median 50 vs 108 imgs/s over 5
+    # alternating rounds) — the tunnel serves one direction well and
+    # thrashes when multiplexed.  This loop stays serial: uploads, then one
+    # readback.
     with maybe_trace(trace_dir):
-        in_flight = None  # (device result, host prepared, labels, n)
+        window: list = []  # (device result, host prepared, labels, n)
         for prepared, labels, n in _prefetch(prepared_batches(), depth=prefetch_depth):
             with annotate("extract_dispatch"):
                 t0 = time.perf_counter()
-                current = (dispatch(prepared), prepared, labels, n)
+                window.append((dispatch(prepared), prepared, labels, n))
                 if stats is not None:
                     stats["dispatch_s"] += time.perf_counter() - t0
                     stats["batches"] += 1
-            if in_flight is not None:
-                with annotate("extract_readback"):
-                    t0 = time.perf_counter()
-                    embs_np = readback(in_flight[0], in_flight[1])
-                    if stats is not None:
-                        stats["readback_s"] += time.perf_counter() - t0
-                    handle(embs_np, in_flight[2], in_flight[3])
-            in_flight = current
-        if in_flight is not None:
-            t0 = time.perf_counter()
-            embs_np = readback(in_flight[0], in_flight[1])
-            if stats is not None:
-                stats["readback_s"] += time.perf_counter() - t0
-            handle(embs_np, in_flight[2], in_flight[3])
+            if len(window) > readback_interval:
+                flush(window, readback_interval)  # keep the newest in flight
+        flush(window)
     if store is not None and pending_embs:
         store.write_shard(written, np.concatenate(pending_embs), np.concatenate(pending_labels))
     if not all_embs:

@@ -90,6 +90,25 @@ def test_extract_grayscale_conv1_parity(image_params, rng):
         np.testing.assert_array_equal(ds_gray.labels, ds_full.labels)
 
 
+def test_extract_readback_window_equivalence(image_params, rng):
+    """Windowed batched readback (readback_interval>1) returns bit-identical
+    results to the per-batch sync loop, including the padded final batch."""
+    imgs = list(_images(7, rng))
+    ds_1 = extract_embeddings(
+        iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+        dtype=jnp.float32, readback_interval=1,
+    )
+    for interval in (3, 16):
+        stats = {}
+        ds_k = extract_embeddings(
+            iter(imgs), image_params, batch_size=2, size=64, pad_to=128,
+            dtype=jnp.float32, readback_interval=interval, stats=stats,
+        )
+        np.testing.assert_array_equal(ds_k.embeddings, ds_1.embeddings)
+        np.testing.assert_array_equal(ds_k.labels, ds_1.labels)
+        assert stats["batches"] == 4
+
+
 def test_extract_shard_checkpoints(image_params, rng, tmp_path):
     store = ShardedEmbeddingStore(tmp_path)
     imgs = list(_images(7, rng))
@@ -203,7 +222,9 @@ def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
         retries=2, retry_backoff_s=0.0, stats=stats,
     )
     assert fail == {"dispatch": 0, "readback": 0}  # both faults were hit
-    assert stats["retried_batches"] == 2
+    # 1 re-dispatched batch (dispatch fault) + the whole 3-batch readback
+    # window re-dispatched (readback fault invalidates dispatched buffers)
+    assert stats["retried_batches"] == 4
     np.testing.assert_allclose(ds.embeddings, clean.embeddings, atol=1e-6)
     np.testing.assert_array_equal(ds.labels, clean.labels)
 
