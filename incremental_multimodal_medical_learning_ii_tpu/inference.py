@@ -77,7 +77,9 @@ class ChexpertClassifier:
         cfg_ = self.cfg
 
         def fn(img_p, ad_p, raw, w_h, w_w, bank_):
-            images = preprocess_device(raw, w_h, w_w)
+            # single-channel images + folded conv1 — exact math, 1/3 the
+            # image HBM footprint (models/biovil_image.py::fold_grayscale_conv1)
+            images = preprocess_device(raw, w_h, w_w, channels=1)
             embs = biovil_image_forward(img_p, images, dtype=dtype).projected_global_embedding
             x = self.pair.apply_image(ad_p, embs)
             b = (
@@ -90,8 +92,12 @@ class ChexpertClassifier:
             )
             return out.scores, out.preds
 
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            fold_grayscale_conv1,
+        )
+
         self._fn = jax.jit(fn)
-        self.image_params = image_params
+        self.image_params = fold_grayscale_conv1(image_params)
 
     def predict_arrays(self, images: Sequence[np.ndarray]):
         """images: list of (H, W) uint8 -> (scores (N, 5), preds (N, 5))."""
