@@ -18,14 +18,123 @@ def report(metric, value, unit, baseline=None):
     print(json.dumps(line))
 
 
+def stage_attribution(quick: bool = False) -> None:
+    """Attribute the device-side extraction forward across ResNet stages.
+
+    Chained-scan methodology (see the kernel section below): each program
+    runs preprocess + the forward truncated after stage S, K times
+    sequenced through an accumulator; long-minus-short isolates device
+    time; stage cost = successive differences between truncation levels.
+    Emits one JSON line per stage.  Slow (7 programs x 2 scan lengths to
+    compile) — run on a host with local XLA or a warm compile cache.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        _projector_forward,
+        fold_grayscale_conv1,
+        init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+        _bottleneck_forward,
+        batch_norm_inference,
+        conv_apply,
+        max_pool_3x3_s2,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        SharedSizePreprocessPlan,
+        preprocess_device_shared,
+    )
+
+    rng = np.random.default_rng(0)
+    params = fold_grayscale_conv1(init_biovil_image_model(jax.random.PRNGKey(0)))
+    batch = 128 if quick else 256
+    plan = SharedSizePreprocessPlan(390, 320, size=512, crop=512)
+    n_slabs = 4
+    raw_all = jnp.asarray(
+        rng.integers(0, 256, size=(n_slabs, batch, 390, 320), dtype=np.uint8)
+    )
+    w_h = jnp.asarray(plan.w_h)
+    w_w = jnp.asarray(plan.w_w)
+
+    def truncated_forward(p, imgs, upto):
+        # upto: 0=preprocess only, 1=+stem, 2..5=+layer1..4, 6=+projector
+        x = imgs.astype(jnp.bfloat16)
+        if upto == 0:
+            return x.astype(jnp.float32).sum()
+        enc = p["encoder"]
+        x = conv_apply(enc["conv1"], x, 2, 3)
+        x = jax.nn.relu(batch_norm_inference(x, enc["bn1"]))
+        x = max_pool_3x3_s2(x)
+        if upto == 1:
+            return x.astype(jnp.float32).sum()
+        for li in range(4):
+            stride = 1 if li == 0 else 2
+            for bi, block in enumerate(enc[f"layer{li + 1}"]):
+                x = _bottleneck_forward(block, x, stride if bi == 0 else 1)
+            if upto == 2 + li:
+                return x.astype(jnp.float32).sum()
+        proj = _projector_forward(p["projector"], x)
+        return jnp.mean(proj.astype(jnp.float32), axis=(1, 2)).sum()
+
+    def make_loop(k, upto):
+        @jax.jit
+        def loop(raw_, w_h_, w_w_, p):
+            def body(acc, i):
+                wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
+                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_, channels=1)
+                return acc + truncated_forward(p, imgs, upto), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+
+        return loop
+
+    k_long, k_short = (8, 2) if quick else (24, 4)
+    names = [
+        "preprocess", "stem", "layer1", "layer2", "layer3", "layer4", "projector_pool",
+    ]
+    prev = 0.0
+    for upto, name in enumerate(names):
+        times = {}
+        for k in (k_short, k_long):
+            loop = make_loop(k, upto)
+            float(np.asarray(loop(raw_all, w_h, w_w, params)))  # compile + warm
+            best = float("inf")
+            for r in range(3):
+                raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
+                t0 = time.perf_counter()
+                float(np.asarray(loop(raw_t, w_h, w_w, params)))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        cum = (times[k_long] - times[k_short]) / (k_long - k_short)
+        report(f"stage_{name}_ms_per_batch", (cum - prev) * 1e3, "ms")
+        prev = cum
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--stages", action="store_true",
+        help="per-ResNet-stage device-time attribution only (slow compiles)",
+    )
+    p.add_argument(
+        "--fused-layer1", action="store_true", dest="fused_layer1",
+        help="also time the pallas fused-layer1 encode (adds a long compile)",
+    )
     args = p.parse_args()
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
 
     enable()
+
+    if args.stages:
+        stage_attribution(quick=args.quick)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -81,25 +190,25 @@ def main() -> None:
     w_h = jnp.asarray(plan.w_h)
     w_w = jnp.asarray(plan.w_w)
 
-    def make_encode_loop(k, channels=3, int8=False):
+    def make_encode_loop(k, channels=3, int8=False, fused_layer1=False):
         @jax.jit
         def loop(raw_, w_h_, w_w_, p):
             def body(acc, i):
                 wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
                 imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_, channels=channels)
                 emb = biovil_image_forward(
-                    p, imgs, dtype=jnp.bfloat16, int8=int8
+                    p, imgs, dtype=jnp.bfloat16, int8=int8, fused_layer1=fused_layer1
                 ).projected_global_embedding
                 return acc + emb.sum(), None
             acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
             return acc
         return loop
 
-    def time_encode_loop(metric, p, channels=3, int8=False):
+    def time_encode_loop(metric, p, channels=3, int8=False, fused_layer1=False):
         ek_long, ek_short = (8, 2) if args.quick else (24, 4)
         etimes = {}
         for k in (ek_short, ek_long):
-            loop = make_encode_loop(k, channels=channels, int8=int8)
+            loop = make_encode_loop(k, channels=channels, int8=int8, fused_layer1=fused_layer1)
             float(np.asarray(loop(raw_all, w_h, w_w, p)))  # compile + warm
             best_t = float("inf")
             for r in range(3):
@@ -124,6 +233,11 @@ def main() -> None:
         "extraction_device_int8_images_per_sec_per_chip",
         quantize_biovil_int8(params_gray), channels=1, int8=True,
     )
+    if args.fused_layer1:
+        time_encode_loop(
+            "extraction_device_fused_layer1_images_per_sec_per_chip",
+            params_gray, channels=1, fused_layer1=True,
+        )
 
     # ------------------------------------------------------------------
     # 2. fused training epoch

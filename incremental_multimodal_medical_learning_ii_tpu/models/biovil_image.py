@@ -101,22 +101,37 @@ def biovil_image_forward(
     images_nhwc: jnp.ndarray,
     dtype: jnp.dtype = jnp.float32,
     int8: bool = False,
+    fused_layer1: bool = False,
 ) -> ImageModelOutput:
     """(B, H, W, 3) float images (the reference pipeline's [0,1] tensors)
     -> global + patch embeddings.  Mean/pool accumulations run in fp32 even
     under bfloat16 conv compute.  ``int8=True`` expects trunk params from
     :func:`quantize_biovil_int8` and runs the trunk convs on the int8 MXU
-    path (2x peak, half the activation HBM traffic)."""
+    path (2x peak, half the activation HBM traffic).  ``fused_layer1=True``
+    runs layer1's 3-block chain through the VMEM-resident pallas kernel
+    (``ops/pallas_bottleneck.py``) instead of XLA's per-conv schedule."""
+    layer1_fn = None
+    if fused_layer1:
+        from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_bottleneck import (
+            fold_bottleneck_layer,
+            fused_bottleneck_layer,
+        )
+
+        folded = fold_bottleneck_layer(params["encoder"]["layer1"])
+        layer1_fn = lambda x: fused_bottleneck_layer(x, folded)  # noqa: E731
     if int8:
         from incremental_multimodal_medical_learning_ii_tpu.ops.quant import (
             conv_apply_int8,
         )
 
         patches = resnet50_forward(
-            params["encoder"], images_nhwc, dtype=dtype, conv=conv_apply_int8
+            params["encoder"], images_nhwc, dtype=dtype, conv=conv_apply_int8,
+            layer1_fn=layer1_fn,
         )
     else:
-        patches = resnet50_forward(params["encoder"], images_nhwc, dtype=dtype)
+        patches = resnet50_forward(
+            params["encoder"], images_nhwc, dtype=dtype, layer1_fn=layer1_fn
+        )
     projected = _projector_forward(params["projector"], patches)
     projected32 = projected.astype(jnp.float32)
     global_emb = jnp.mean(projected32, axis=(1, 2))  # model.py:154 mean over grid

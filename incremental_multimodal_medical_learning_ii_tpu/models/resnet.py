@@ -207,6 +207,7 @@ def resnet50_forward(
     return_intermediates: bool = False,
     replace_stride_with_dilation: Sequence[bool] = (False, False, False),
     conv=conv_apply,
+    layer1_fn=None,
 ):
     """NHWC forward; returns x4 (B, H/32, W/32, 2048), or the x0..x4 tuple
     (``ResNetHIML.forward``, resnet.py:25-47).
@@ -217,6 +218,9 @@ def resnet50_forward(
     (False, False, True)): the layer's stride becomes 1, its first block
     convolves at the previous dilation, subsequent blocks at the doubled
     dilation.
+
+    ``layer1_fn``, if given, replaces the whole stride-1 layer1 block chain
+    (hook for the fused pallas kernel, ``ops/pallas_bottleneck.py``).
     """
     x = x.astype(dtype)
     x0 = conv(params["conv1"], x, 2, 3)
@@ -231,6 +235,10 @@ def resnet50_forward(
         if li > 0 and replace_stride_with_dilation[li - 1]:
             dilation *= stride
             stride = 1
+        if li == 0 and layer1_fn is not None:
+            out = layer1_fn(out)
+            feats.append(out)
+            continue
         for bi, block in enumerate(params[f"layer{li + 1}"]):
             out = _bottleneck_forward(
                 block,
