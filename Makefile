@@ -12,6 +12,9 @@ bench:
 bench-all:
 	python bench_all.py
 
+bench-stages:
+	python bench_all.py --stages
+
 native:
 	python -c "from incremental_multimodal_medical_learning_ii_tpu.runtime import build_library; print(build_library(force=True))"
 

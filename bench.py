@@ -33,6 +33,7 @@ down for the whole budget reports value 0.0 with the failure count).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -136,6 +137,19 @@ def main() -> None:
 
     best = max(samples) if samples else 0.0
     median = float(np.median(samples)) if samples else 0.0
+
+    # Device-side truth: the same fused preprocess+encode timed INSIDE one
+    # jitted chained lax.scan (long-minus-short difference cancels dispatch
+    # and readback) — the chip's real throughput, vs the tunnel-capped wall
+    # number above.  Uses bench_all.py's exact program shapes so the
+    # persistent compile cache is warm.  Soft-fails to None on any error.
+    device_rate = None
+    if os.environ.get("IMML_BENCH_DEVICE", "1") != "0":
+        try:
+            device_rate = _device_side_rate(rng)
+        except Exception as e:  # noqa: BLE001
+            _log(f"[bench] device-side measurement skipped: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
@@ -149,9 +163,69 @@ def main() -> None:
                 "readback_ms_per_batch": [round(x, 1) for x in readback_ms],
                 "retried_batches": retried,
                 "failed_rounds": failures,
+                "device_images_per_sec_per_chip": (
+                    round(device_rate, 1) if device_rate else None
+                ),
             }
         )
     )
+
+
+def _device_side_rate(rng) -> float:
+    """Chained-scan device-only encode throughput (imgs/sec/chip); mirrors
+    bench_all.py's `extraction_device_images_per_sec_per_chip` exactly
+    (batch 256, grayscale folded conv1, bf16) for compile-cache reuse."""
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        biovil_image_forward,
+        fold_grayscale_conv1,
+        init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        SharedSizePreprocessPlan,
+        preprocess_device_shared,
+    )
+
+    batch = 256
+    params = fold_grayscale_conv1(init_biovil_image_model(jax.random.PRNGKey(0)))
+    plan = SharedSizePreprocessPlan(IMG_H, IMG_W, size=SIZE, crop=CROP)
+    n_slabs = 4
+    raw_all = jnp.asarray(
+        rng.integers(0, 256, size=(n_slabs, batch, IMG_H, IMG_W), dtype=np.uint8)
+    )
+    w_h = jnp.asarray(plan.w_h)
+    w_w = jnp.asarray(plan.w_w)
+
+    def make_encode_loop(k):
+        @jax.jit
+        def loop(raw_, w_h_, w_w_, p):
+            def body(acc, i):
+                wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
+                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_, channels=1)
+                emb = biovil_image_forward(
+                    p, imgs, dtype=jnp.bfloat16, int8=False
+                ).projected_global_embedding
+                return acc + emb.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+        return loop
+
+    ek_long, ek_short = 24, 4
+    etimes = {}
+    for k in (ek_short, ek_long):
+        loop = make_encode_loop(k)
+        float(np.asarray(loop(raw_all, w_h, w_w, params)))  # compile + warm
+        best_t = float("inf")
+        for r in range(3):
+            raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
+            t0 = time.perf_counter()
+            float(np.asarray(loop(raw_t, w_h, w_w, params)))
+            best_t = min(best_t, time.perf_counter() - t0)
+        etimes[k] = best_t
+    per_batch = (etimes[ek_long] - etimes[ek_short]) / (ek_long - ek_short)
+    return batch / max(per_batch, 1e-9)
 
 
 if __name__ == "__main__":

@@ -126,6 +126,10 @@ def main() -> None:
         "--fused-layer1", action="store_true", dest="fused_layer1",
         help="also time the pallas fused-layer1 encode (adds a long compile)",
     )
+    p.add_argument(
+        "--text", action="store_true",
+        help="also time the CXR-BERT text tower (adds a long first compile)",
+    )
     args = p.parse_args()
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
@@ -238,6 +242,57 @@ def main() -> None:
             "extraction_device_fused_layer1_images_per_sec_per_chip",
             params_gray, channels=1, fused_layer1=True,
         )
+
+    # ------------------------------------------------------------------
+    # 1b. text tower: CXR-BERT (BERT-base dims) sequence encode throughput
+    # ------------------------------------------------------------------
+    if args.text:
+        from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+            BertDims,
+            get_projected_text_embeddings,
+            init_cxr_bert,
+        )
+
+        dims = BertDims()
+        bert = init_cxr_bert(jax.random.PRNGKey(7), dims)
+        tb, ts = (64, 32) if args.quick else (256, 32)  # batch, seq (prompt-bank shape)
+        ids_all = jnp.asarray(
+            rng.integers(0, dims.vocab_size, size=(n_slabs, tb, ts)), jnp.int32
+        )
+        mask = jnp.ones((tb, ts), jnp.int32)
+
+        def make_text_loop(k, dtype):
+            @jax.jit
+            def loop(ids_, mask_, p):
+                def body(acc, i):
+                    # chain: the accumulator perturbs the mask's dtype-safe copy
+                    m = mask_ + (0 * acc).astype(jnp.int32)
+                    emb = get_projected_text_embeddings(
+                        p, ids_[i % n_slabs], m, dims, normalize=True, dtype=dtype
+                    )
+                    return acc + emb.sum(), None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+                return acc
+            return loop
+
+        tk_long, tk_short = (8, 2) if args.quick else (24, 4)
+        for metric, dtype in (
+            ("text_device_prompts_per_sec_per_chip", jnp.float32),
+            ("text_device_bf16_prompts_per_sec_per_chip", jnp.bfloat16),
+        ):
+            ttimes = {}
+            for k in (tk_short, tk_long):
+                loop = make_text_loop(k, dtype)
+                float(np.asarray(loop(ids_all, mask, bert)))
+                best_t = float("inf")
+                for r in range(3):
+                    ids_t = (ids_all + r + 1) % dims.vocab_size
+                    t0 = time.perf_counter()
+                    float(np.asarray(loop(ids_t, mask, bert)))
+                    best_t = min(best_t, time.perf_counter() - t0)
+                ttimes[k] = best_t
+            per_batch = (ttimes[tk_long] - ttimes[tk_short]) / (tk_long - tk_short)
+            report(metric, tb / max(per_batch, 1e-9), "prompts/sec")
 
     # ------------------------------------------------------------------
     # 2. fused training epoch

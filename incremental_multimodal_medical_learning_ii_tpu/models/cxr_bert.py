@@ -113,13 +113,21 @@ def init_cxr_bert(key: jax.Array, dims: BertDims) -> Params:
 # Forward
 # ----------------------------------------------------------------------
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(x, p["kernel"], precision=_HIGHEST) + p["bias"]
+    # kernel follows the activation dtype (bf16 fast path casts weights at
+    # the matmul operand load); precision pinned as everywhere else — it is
+    # a near-no-op for bf16 operands but prevents fp32 truncation.
+    out = jnp.matmul(x, p["kernel"].astype(x.dtype), precision=_HIGHEST)
+    return out + p["bias"].astype(out.dtype)
 
 
 def _layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) / jnp.sqrt(var + LN_EPS) * p["scale"] + p["bias"]
+    # moment accumulation always in fp32 (bit-identical for fp32 inputs,
+    # numerically required for the bf16 fast path)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) / jnp.sqrt(var + LN_EPS) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def _self_attention(
@@ -164,14 +172,19 @@ def bert_encode(
     dims: BertDims,
     token_type_ids: Optional[jnp.ndarray] = None,
     use_flash_attention: bool = False,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """(B, S) ids + mask -> (B, S, H) last hidden state."""
+    """(B, S) ids + mask -> (B, S, H) last hidden state.
+
+    ``dtype=jnp.bfloat16`` runs the layer-stack matmuls in bf16 (the same
+    parity-default / speed-opt-in design as the image encoders'' ``dtype``
+    knob); softmax and LayerNorm moments always accumulate in fp32."""
     b, s = input_ids.shape
     emb = params["embeddings"]
     x = emb["word"][input_ids] + emb["position"][None, :s]
     tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
     x = x + emb["token_type"][tt]
-    x = _layer_norm(emb["ln"], x)
+    x = _layer_norm(emb["ln"], x).astype(dtype)
 
     # HF-style additive mask: 0 where attended, large negative where padded.
     mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * jnp.finfo(
@@ -201,11 +214,14 @@ def get_projected_text_embeddings(
     attention_mask: jnp.ndarray,
     dims: BertDims,
     normalize: bool = False,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """(B, S) -> (B, projection_size); [CLS] of the last hidden state through
-    the projection head (modelling_cxrbert.py:117-141)."""
-    hidden = bert_encode(params, input_ids, attention_mask, dims)
-    proj = cls_projection(params, hidden[:, 0, :])
+    the projection head (modelling_cxrbert.py:117-141).  ``dtype`` selects
+    the layer-stack compute dtype; the tiny projection head and the L2
+    normalisation always run in fp32."""
+    hidden = bert_encode(params, input_ids, attention_mask, dims, dtype=dtype)
+    proj = cls_projection(params, hidden[:, 0, :].astype(jnp.float32))
     if normalize:
         proj = proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-12)
     return proj

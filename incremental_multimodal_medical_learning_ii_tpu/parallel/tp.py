@@ -123,18 +123,24 @@ def make_tp_text_encode(
     normalize: bool = True,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
+    dtype=None,
 ):
     """jitted (sharded params, (B, S) ids, (B, S) mask) -> (B, proj) CLS
-    projections, batch sharded over ``data``, TP over ``model``."""
+    projections, batch sharded over ``data``, TP over ``model``.  ``dtype``
+    composes with TP (``jnp.bfloat16`` = bf16 layer stack, fp32 softmax/LN,
+    see ``models/cxr_bert.py::bert_encode``)."""
+    import jax.numpy as jnp
+
     check_tp_divisibility(dims, mesh.shape[model_axis])
     batch_sh = NamedSharding(mesh, P(data_axis, None))
+    dtype = dtype or jnp.float32
 
     @jax.jit
     def encode(params, input_ids, attention_mask):
         input_ids = jax.lax.with_sharding_constraint(input_ids, batch_sh)
         attention_mask = jax.lax.with_sharding_constraint(attention_mask, batch_sh)
         return get_projected_text_embeddings(
-            params, input_ids, attention_mask, dims, normalize=normalize
+            params, input_ids, attention_mask, dims, normalize=normalize, dtype=dtype
         )
 
     return encode

@@ -37,18 +37,25 @@ from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
 
 
 class TextInferenceEngine:
-    def __init__(self, params, dims: BertDims, tokenizer: PromptTokenizer):
+    def __init__(
+        self, params, dims: BertDims, tokenizer: PromptTokenizer, dtype=None
+    ):
+        """``dtype=jnp.bfloat16`` opts the BERT layer stack into the bf16
+        fast path (parity default is fp32, as on the image side)."""
+        dtype = dtype or jnp.float32
         self.params = params
         self.dims = dims
         self.tokenizer = tokenizer
         tokenizer.max_allowed_input_length = dims.max_position_embeddings
         self._embed = jax.jit(
             lambda p, ids, mask, normalize: get_projected_text_embeddings(
-                p, ids, mask, dims, normalize=normalize
+                p, ids, mask, dims, normalize=normalize, dtype=dtype
             ),
             static_argnames=("normalize",),
         )
-        self._encode = jax.jit(lambda p, ids, mask: bert_encode(p, ids, mask, dims))
+        self._encode = jax.jit(
+            lambda p, ids, mask: bert_encode(p, ids, mask, dims, dtype=dtype)
+        )
 
     def get_embeddings_from_prompt(
         self, prompts: TypePrompts, normalize: bool = True

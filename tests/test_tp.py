@@ -42,6 +42,22 @@ def test_tp_matches_single_device(rng, data, model):
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_tp_composes_with_bf16(rng):
+    """TP sharding + the bf16 layer stack produce directions matching the
+    fp32 single-device forward."""
+    dims = tiny_bert_dims(num_heads=8, intermediate_size=64, hidden_size=32)
+    params = init_cxr_bert(jax.random.PRNGKey(0), dims)
+    ids, mask = _inputs(rng, dims)
+    ref = np.asarray(get_projected_text_embeddings(params, ids, mask, dims, normalize=True))
+    mesh = create_mesh_2d(2, 4)
+    sharded = shard_bert_tp(params, mesh, dims)
+    out = np.asarray(
+        make_tp_text_encode(dims, mesh, dtype=jnp.bfloat16)(sharded, ids, mask)
+    )
+    cos = np.sum(out * ref, axis=-1)
+    assert cos.min() > 0.995, cos.min()
+
+
 def test_tp_program_contains_all_reduce(rng):
     """With the model axis >1 the row-parallel projections must reduce
     partial sums across devices — assert the collective exists in the
@@ -57,6 +73,26 @@ def test_tp_program_contains_all_reduce(rng):
     # and the kernels really live sharded on device
     qk = sharded["layers"][0]["q"]["kernel"]
     assert not qk.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_tp_bert_base_dims(rng):
+    """Production CXR-BERT dims (768 hidden, 12 heads, 64-dim heads) over a
+    4-way model axis: 3 heads per device, uneven vs the lane width — the
+    case GSPMD must partition without silent replication."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import BertDims
+
+    dims = BertDims(num_layers=2)  # full width, shallow depth for CPU time
+    params = init_cxr_bert(jax.random.PRNGKey(4), dims)
+    ids, mask = _inputs(rng, dims, batch=4, seq=16)
+    ref = np.asarray(get_projected_text_embeddings(params, ids, mask, dims, normalize=True))
+    mesh = create_mesh_2d(2, 4)
+    sharded = shard_bert_tp(params, mesh, dims)
+    encode = make_tp_text_encode(dims, mesh)
+    hlo = encode.lower(sharded, ids, mask).compile().as_text()
+    assert "all-reduce" in hlo
+    out = np.asarray(encode(sharded, ids, mask))
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=5e-5)
 
 
 def test_tp_sharded_params_match_structure():
