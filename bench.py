@@ -212,20 +212,18 @@ def _device_side_rate(rng) -> float:
             return acc
         return loop
 
-    ek_long, ek_short = 24, 4
-    etimes = {}
-    for k in (ek_short, ek_long):
-        loop = make_encode_loop(k)
-        float(np.asarray(loop(raw_all, w_h, w_w, params)))  # compile + warm
-        best_t = float("inf")
-        for r in range(3):
-            raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
-            t0 = time.perf_counter()
-            float(np.asarray(loop(raw_t, w_h, w_w, params)))
-            best_t = min(best_t, time.perf_counter() - t0)
-        etimes[k] = best_t
-    per_batch = (etimes[ek_long] - etimes[ek_short]) / (ek_long - ek_short)
-    return batch / max(per_batch, 1e-9)
+    from incremental_multimodal_medical_learning_ii_tpu.utils.chained_timing import (
+        rate_or_none,
+        time_chained,
+    )
+
+    per_batch = time_chained(
+        make_encode_loop,
+        lambda r: (jnp.bitwise_xor(raw_all, np.uint8(r + 1)), w_h, w_w, params),
+        k_short=4,
+        k_long=24,
+    )
+    return rate_or_none(per_batch, batch)
 
 
 if __name__ == "__main__":

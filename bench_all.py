@@ -12,6 +12,13 @@ import numpy as np
 
 
 def report(metric, value, unit, baseline=None):
+    """value=None marks an invalid chained-scan sample (the long scan timed
+    no slower than the short one — a link-phase artifact, see
+    utils/chained_timing.py); it is reported as null, never clamped."""
+    if value is None:
+        print(json.dumps({"metric": metric, "value": None, "unit": unit,
+                          "note": "invalid sample (link phase straddle)"}))
+        return
     line = {"metric": metric, "value": round(value, 3), "unit": unit}
     if baseline:
         line["vs_baseline"] = round(value / baseline, 2)
@@ -28,8 +35,6 @@ def stage_attribution(quick: bool = False) -> None:
     Emits one JSON line per stage.  Slow (7 programs x 2 scan lengths to
     compile) — run on a host with local XLA or a warm compile cache.
     """
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +42,9 @@ def stage_attribution(quick: bool = False) -> None:
         _projector_forward,
         fold_grayscale_conv1,
         init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.utils.chained_timing import (
+        time_chained,
     )
     from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
         _bottleneck_forward,
@@ -99,18 +107,14 @@ def stage_attribution(quick: bool = False) -> None:
     ]
     prev = 0.0
     for upto, name in enumerate(names):
-        times = {}
-        for k in (k_short, k_long):
-            loop = make_loop(k, upto)
-            float(np.asarray(loop(raw_all, w_h, w_w, params)))  # compile + warm
-            best = float("inf")
-            for r in range(3):
-                raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
-                t0 = time.perf_counter()
-                float(np.asarray(loop(raw_t, w_h, w_w, params)))
-                best = min(best, time.perf_counter() - t0)
-            times[k] = best
-        cum = (times[k_long] - times[k_short]) / (k_long - k_short)
+        cum = time_chained(
+            lambda k: make_loop(k, upto),
+            lambda r: (jnp.bitwise_xor(raw_all, np.uint8(r + 1)), w_h, w_w, params),
+            k_short=k_short, k_long=k_long,
+        )
+        if cum is None:
+            report(f"stage_{name}_ms_per_batch", None, "ms")
+            continue
         report(f"stage_{name}_ms_per_batch", (cum - prev) * 1e3, "ms")
         prev = cum
 
@@ -142,6 +146,11 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.utils.chained_timing import (
+        rate_or_none,
+        time_chained,
+    )
 
     rng = np.random.default_rng(0)
 
@@ -210,19 +219,14 @@ def main() -> None:
 
     def time_encode_loop(metric, p, channels=3, int8=False, fused_layer1=False):
         ek_long, ek_short = (8, 2) if args.quick else (24, 4)
-        etimes = {}
-        for k in (ek_short, ek_long):
-            loop = make_encode_loop(k, channels=channels, int8=int8, fused_layer1=fused_layer1)
-            float(np.asarray(loop(raw_all, w_h, w_w, p)))  # compile + warm
-            best_t = float("inf")
-            for r in range(3):
-                raw_t = jnp.bitwise_xor(raw_all, np.uint8(r + 1))  # fresh buffers
-                t0 = time.perf_counter()
-                float(np.asarray(loop(raw_t, w_h, w_w, p)))
-                best_t = min(best_t, time.perf_counter() - t0)
-            etimes[k] = best_t
-        per_batch = (etimes[ek_long] - etimes[ek_short]) / (ek_long - ek_short)
-        report(metric, batch / max(per_batch, 1e-9), "images/sec", baseline=1.509)
+        per_batch = time_chained(
+            lambda k: make_encode_loop(
+                k, channels=channels, int8=int8, fused_layer1=fused_layer1
+            ),
+            lambda r: (jnp.bitwise_xor(raw_all, np.uint8(r + 1)), w_h, w_w, p),
+            k_short=ek_short, k_long=ek_long,
+        )
+        report(metric, rate_or_none(per_batch, batch), "images/sec", baseline=1.509)
 
     from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
         fold_grayscale_conv1,
@@ -280,19 +284,12 @@ def main() -> None:
             ("text_device_prompts_per_sec_per_chip", jnp.float32),
             ("text_device_bf16_prompts_per_sec_per_chip", jnp.bfloat16),
         ):
-            ttimes = {}
-            for k in (tk_short, tk_long):
-                loop = make_text_loop(k, dtype)
-                float(np.asarray(loop(ids_all, mask, bert)))
-                best_t = float("inf")
-                for r in range(3):
-                    ids_t = (ids_all + r + 1) % dims.vocab_size
-                    t0 = time.perf_counter()
-                    float(np.asarray(loop(ids_t, mask, bert)))
-                    best_t = min(best_t, time.perf_counter() - t0)
-                ttimes[k] = best_t
-            per_batch = (ttimes[tk_long] - ttimes[tk_short]) / (tk_long - tk_short)
-            report(metric, tb / max(per_batch, 1e-9), "prompts/sec")
+            per_batch = time_chained(
+                lambda k: make_text_loop(k, dtype),
+                lambda r: ((ids_all + r + 1) % dims.vocab_size, mask, bert),
+                k_short=tk_short, k_long=tk_long,
+            )
+            report(metric, rate_or_none(per_batch, tb), "prompts/sec")
 
     # ------------------------------------------------------------------
     # 2. fused training epoch
@@ -346,26 +343,29 @@ def main() -> None:
             return st
         return run
 
-    # each timing point is a min over repeats: tunnel jitter only ever ADDS
-    # time, so the min is the honest device estimate
-    times = {}
-    state = trainer.state
-    seed = 0
-    for k in k_pair:
+    # state threads through the repeats (evolving params = fresh buffers,
+    # defeating memoization); timing/guarding via utils/chained_timing.
+    holder = {"state": trainer.state, "seed": 0}
+
+    def epochs_loop_factory(k):
         run_k = make_epochs(k)
-        args_ = (d_embs, d_labels, d_valid, bank)
-        state = run_k(state, jax.random.PRNGKey(seed), *args_)  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            seed += 1
-            t0 = time.perf_counter()
-            state = run_k(state, jax.random.PRNGKey(seed), *args_)  # fresh state buffers
-            float(np.asarray(state.step))  # readback barrier
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    per_epoch = (times[k_pair[0]] - times[k_pair[1]]) / (k_pair[0] - k_pair[1])
-    report("fused_train_epoch_device_samples_per_sec", n_train / max(per_epoch, 1e-9),
-           "samples/sec")
+
+        def loop(key):
+            st = run_k(holder["state"], key, d_embs, d_labels, d_valid, bank)
+            holder["state"] = st
+            return st.step  # np.asarray(step) inside time_chained = barrier
+
+        return loop
+
+    def epochs_args(_r):
+        holder["seed"] += 1
+        return (jax.random.PRNGKey(holder["seed"]),)
+
+    per_epoch = time_chained(
+        epochs_loop_factory, epochs_args, k_short=k_pair[1], k_long=k_pair[0]
+    )
+    report("fused_train_epoch_device_samples_per_sec",
+           rate_or_none(per_epoch, n_train), "samples/sec")
 
     # ------------------------------------------------------------------
     # 3. fused eval
@@ -410,19 +410,12 @@ def main() -> None:
         return loop
 
     for name, fn in (("pallas_cosine_6144x10_us", pallas_pairwise_cosine), ("xla_cosine_6144x10_us", pairwise_cosine)):
-        times = {}
-        for k in (k_short, k_long):
-            loop = make_loop(fn, k)
-            float(np.asarray(loop(xs, t)))  # compile + warm
-            best = float("inf")
-            for r in range(3):  # min over repeats: jitter only adds time
-                xs_timed = xs + np.float32(k + r)  # fresh buffers: no memoization
-                t0 = time.perf_counter()
-                float(np.asarray(loop(xs_timed, t)))  # readback = the only real barrier
-                best = min(best, time.perf_counter() - t0)
-            times[k] = best
-        per_iter = (times[k_long] - times[k_short]) / (k_long - k_short)
-        report(name, per_iter * 1e6, "us")
+        per_iter = time_chained(
+            lambda k: make_loop(fn, k),
+            lambda r: (xs + np.float32(r + 1), t),  # fresh buffers: no memoization
+            k_short=k_short, k_long=k_long,
+        )
+        report(name, per_iter * 1e6 if per_iter else None, "us")
 
 
 if __name__ == "__main__":

@@ -31,6 +31,8 @@ import io
 import json
 import threading
 
+MAX_BODY_BYTES = 64 * 2**20  # request bodies beyond this get 413, not buffered
+
 
 class MicroBatcher:
     """Coalesce concurrent /classify requests into one device dispatch.
@@ -160,6 +162,15 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, {"error": "bad Content-Length"})
+                return
+            if length > MAX_BODY_BYTES:
+                # bound per-request memory BEFORE buffering the body — each
+                # ThreadingHTTPServer thread reads independently
+                self._send(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
+                return
+            try:
                 body = self.rfile.read(length)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 if ctype == "application/json":
@@ -172,6 +183,17 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
                     images = [_decode_image(body)]
                 else:
                     raise ValueError("empty request body")
+                # validate HERE so an oversized image is a 400 for ITS
+                # request only — inside the micro-batch dispatch it would
+                # fail the whole coalesced batch and surface as 500 to
+                # innocent concurrent requests
+                pad_to = clf.plan.pad_to
+                for i, im in enumerate(images):
+                    if im.shape[0] > pad_to or im.shape[1] > pad_to:
+                        raise ValueError(
+                            f"image {i} ({im.shape[0]}x{im.shape[1]}) exceeds "
+                            f"pad_to={pad_to}"
+                        )
             except Exception as e:  # malformed input -> client error
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 return

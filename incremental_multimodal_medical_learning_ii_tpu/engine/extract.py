@@ -42,6 +42,7 @@ from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
     preprocess_host,
 )
 from incremental_multimodal_medical_learning_ii_tpu.parallel import mesh as mesh_lib
+from incremental_multimodal_medical_learning_ii_tpu.utils.retry import retry_call
 
 ImageLabel = Tuple[np.ndarray, np.ndarray]  # (H, W) uint8, (5,) float32
 
@@ -183,6 +184,11 @@ def extract_embeddings(
     PCIe TPU host the sync cost IS per-call latency and the window is free.
     """
     crop = crop or size
+    if readback_interval < 1:
+        # 0 would make every flush a no-op: the window (and its ~32 MB/batch
+        # of host raw buffers) grows unboundedly and no shard checkpoint is
+        # ever written.
+        raise ValueError(f"readback_interval must be >= 1, got {readback_interval}")
     if stats is not None:
         stats.update(dispatch_s=0.0, readback_s=0.0, batches=0, retried_batches=0)
     channels = 3
@@ -298,15 +304,14 @@ def extract_embeddings(
     def dispatch(prepared):
         """run() with retry — a transient backend error (tunnel hiccup,
         FAILED_PRECONDITION) re-dispatches with exponential backoff."""
-        for attempt in range(retries + 1):
-            try:
-                return run(prepared)
-            except Exception:
-                if attempt >= retries:
-                    raise
-                if stats is not None:
-                    stats["retried_batches"] += 1
-                time.sleep(retry_backoff_s * (2 ** attempt))
+
+        def count(_attempt, _e):
+            if stats is not None:
+                stats["retried_batches"] += 1
+
+        return retry_call(
+            lambda: run(prepared), retries, retry_backoff_s, on_retry=count
+        )
 
     def flush(window, k=None):
         """One batched device->host transfer for the oldest ``k`` dispatched
@@ -320,17 +325,19 @@ def extract_embeddings(
         del window[:k]
         with annotate("extract_readback"):
             t0 = time.perf_counter()
-            for attempt in range(retries + 1):
-                try:
-                    arrs = jax.device_get([w[0] for w in head])
-                    break
-                except Exception:
-                    if attempt >= retries:
-                        raise
-                    if stats is not None:
-                        stats["retried_batches"] += len(head)
-                    time.sleep(retry_backoff_s * (2 ** attempt))
-                    head = [(dispatch(w[1]), w[1], w[2], w[3]) for w in head]
+
+            def redispatch(_attempt, _e):
+                # failed readback invalidates the dispatched buffers: rebuild
+                # the head from the still-held host-side prepared arrays
+                nonlocal head
+                if stats is not None:
+                    stats["retried_batches"] += len(head)
+                head = [(dispatch(w[1]), w[1], w[2], w[3]) for w in head]
+
+            arrs = retry_call(
+                lambda: jax.device_get([w[0] for w in head]),
+                retries, retry_backoff_s, on_retry=redispatch,
+            )
             if stats is not None:
                 stats["readback_s"] += time.perf_counter() - t0
         for (_, _, labels, n), arr in zip(head, arrs):

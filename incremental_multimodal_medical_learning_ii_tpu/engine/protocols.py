@@ -10,8 +10,13 @@ including threshold scheduling (``threshold += adder`` before every epoch),
 profCL snapshot/reset hooks, per-part loader freeing (irrelevant here: parts
 are index views), and the end-of-run checkpoint save.  Exceptions propagate
 (the reference's bare ``except`` that silently swallows training errors,
-``DATA_INCREMENTAL.py:91-92``, is intentionally not reproduced), but the
-checkpoint save still runs in a ``finally``.
+``DATA_INCREMENTAL.py:91-92``, is intentionally not reproduced).
+
+Crash contract for the incremental protocols: the FINAL save runs only on
+success — on a crash the partial-unit TB events are discarded and the last
+*unit-boundary* checkpoint (written by ``_save_unit`` after every completed
+part/task) is left as the durable state, so ``resume=True`` re-trains the
+interrupted unit from clean weights instead of a dirty mid-unit state.
 """
 
 from __future__ import annotations
@@ -248,7 +253,19 @@ def run_class_incremental(
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
     skip, aux = _maybe_resume(trainer, writer, resume)
-    last_batch = int(aux.get("last_batch", 0)) if aux else 0
+    if aux is not None:
+        last_batch = int(aux.get("last_batch", 0))
+    else:
+        # aux missing/unreadable (old-format progress.json): reconstruct the
+        # TB train-iteration counter from the completed tasks' batch counts
+        # instead of restarting at 0, which would re-log train/Loss over
+        # global steps the finished units already committed.
+        last_batch = sum(
+            -(-len(tasks[t]) // cfg.batch_size) * cfg.epochs for t in range(skip)
+        )
+        if skip:
+            print(f"[resume] no aux state; reconstructed last_batch={last_batch} "
+                  "from completed tasks' batch counts")
     count = skip * cfg.epochs
     for _ in range(count):  # replay, not multiply: keeps fp accumulation
         threshold += cfg.adder  # order identical to an uninterrupted run

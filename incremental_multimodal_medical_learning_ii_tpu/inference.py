@@ -116,20 +116,19 @@ class ChexpertClassifier:
 
     def _dispatch_with_retry(self, raw, w_h, w_w):
         """One jitted dispatch + readback, re-dispatched on transient
-        backend errors (same policy as extraction, engine/extract.py —
+        backend errors (utils/retry.py — the same policy as extraction:
         a serving request must survive a tunnel hiccup)."""
-        import time
+        from incremental_multimodal_medical_learning_ii_tpu.utils.retry import (
+            retry_call,
+        )
 
-        for attempt in range(self.retries + 1):
-            try:
-                scores, preds = self._fn(
-                    self.image_params, self.adapter_params, raw, w_h, w_w, self.bank
-                )
-                return np.asarray(scores), np.asarray(preds)
-            except Exception:
-                if attempt >= self.retries:
-                    raise
-                time.sleep(self.retry_backoff_s * (2 ** attempt))
+        def attempt():
+            scores, preds = self._fn(
+                self.image_params, self.adapter_params, raw, w_h, w_w, self.bank
+            )
+            return np.asarray(scores), np.asarray(preds)
+
+        return retry_call(attempt, self.retries, self.retry_backoff_s)
 
     def predict_paths(self, paths: Sequence[str]):
         from incremental_multimodal_medical_learning_ii_tpu.data.images import (

@@ -112,6 +112,10 @@ def biovil_image_forward(
     (``ops/pallas_bottleneck.py``) instead of XLA's per-conv schedule."""
     layer1_fn = None
     if fused_layer1:
+        if int8:
+            # quantize_biovil_int8 replaces float kernels with kernel_q/scale
+            # pairs, which fold_bottleneck_layer cannot fold.
+            raise ValueError("fused_layer1 is incompatible with the int8 trunk")
         from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_bottleneck import (
             fold_bottleneck_layer,
             fused_bottleneck_layer,

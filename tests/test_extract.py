@@ -327,3 +327,25 @@ def test_manifest_utilities(tmp_path):
     assert counts[(1, 0, 0, 0, 0)] == 1
     head, tail = m.split(2)
     assert len(head) == 2 and len(tail) == 1
+
+
+def test_extract_rejects_readback_interval_zero(image_params):
+    from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
+        extract_embeddings,
+    )
+
+    with pytest.raises(ValueError, match="readback_interval"):
+        extract_embeddings(iter([]), image_params, readback_interval=0)
+
+
+def test_int8_and_fused_layer1_are_mutually_exclusive(image_params):
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        biovil_image_forward,
+    )
+
+    with pytest.raises(ValueError, match="int8"):
+        biovil_image_forward(
+            image_params, jnp.zeros((1, 64, 64, 3)), int8=True, fused_layer1=True
+        )

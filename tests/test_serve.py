@@ -203,3 +203,28 @@ def test_server_with_microbatching(server_mb, rng):
         img = np.asarray(Image.open(io.BytesIO(pngs[i])))
         scores, _ = clf.predict_arrays([img])
         np.testing.assert_allclose(payload["scores"][0], scores[0], atol=1e-4)
+
+
+def test_oversized_image_is_client_error(server, rng):
+    """An image exceeding pad_to must be ITS request's 400 at decode time —
+    never a 500, and never broadcast to a coalesced micro-batch."""
+    srv, clf = server
+    too_big = _png_bytes(rng, h=clf.plan.pad_to + 8, w=40)
+    status, payload = _request(srv, "POST", "/classify", body=too_big, ctype="image/png")
+    assert status == 400
+    assert "exceeds pad_to" in payload["error"]
+
+
+def test_huge_content_length_rejected_before_buffering(server):
+    srv, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+    conn.putrequest("POST", "/classify")
+    conn.putheader("Content-Type", "application/octet-stream")
+    conn.putheader("Content-Length", str(10**10))  # claims 10 GB
+    conn.endheaders()
+    # send nothing further: the server must answer 413 without reading the body
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 413
+    assert "exceeds" in payload["error"]
