@@ -240,3 +240,33 @@ def embedding_tsne_figure(
     plt.yticks([])
     plt.title("t-SNE Plot", fontsize=20)
     return _detach(fig)
+
+
+def label_pattern_frequency_figure(pattern_counts, class_names: Sequence[str],
+                                   title: str = "Pattern Frequencies"):
+    """Bar plot of multi-hot label-pattern frequencies — the reference's
+    ``faq-patterns/{train,val,test}_patterns.png`` artifacts
+    (``CSV_reformatting/count_pos_neg_V2.py:20-47``): x labels join each
+    pattern's positive-class abbreviations with '+' (empty string for the
+    all-negative pattern), y is the pattern's fraction of the dataset,
+    sorted most-frequent first.
+
+    ``pattern_counts``: the Counter from
+    ``ChexpertManifest.label_pattern_counts()`` (or any {tuple: count}).
+    """
+    total = sum(pattern_counts.values()) or 1
+    items = sorted(pattern_counts.items(), key=lambda kv: -kv[1])
+    abbrevs = [
+        "+".join(CLASS_ABBREVIATIONS[i] for i, v in enumerate(pat) if v)
+        for pat, _ in items
+    ]
+    freqs = [cnt / total for _, cnt in items]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.bar(range(len(freqs)), freqs)
+    ax.set_xticks(range(len(freqs)))
+    ax.set_xticklabels(abbrevs, rotation=90)
+    ax.set_title(title)
+    ax.set_xlabel("Condition Combinations")
+    ax.set_ylabel("Frequency")
+    fig.tight_layout()
+    return _detach(fig)

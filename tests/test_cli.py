@@ -139,3 +139,25 @@ def test_sweep_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("val-AUROC-macro=") == 2
     assert "best: AUROC" in out
+
+
+def test_dataset_stats_cli(tmp_path, capsys):
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "Path": ["a.jpg", "b.jpg", "c.jpg"],
+        "Atelectasis": [1, 0, 0], "Cardiomegaly": [0, 0, 0],
+        "Consolidation": [0, 0, 0], "Edema": [0, 0, 0],
+        "Pleural Effusion": [1, 0, 0],
+    })
+    csv = tmp_path / "labels.csv"
+    df.to_csv(csv, index=False)
+    png = tmp_path / "patterns.png"
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.dataset_stats import main
+
+    main(["--csv", str(csv), "--patterns-png", str(png)])
+    out = capsys.readouterr().out
+    assert "Atelectasis 1 0.333333 2 0.666667" in out  # count_pos_neg_V2.py:50-51
+    assert "2 distinct patterns over 3 rows" in out
+    assert png.exists() and png.stat().st_size > 0

@@ -72,3 +72,28 @@ def test_joint_run_emits_reference_figure_tags(tmp_path):
         "val/joint train/F1 score Heatmap",
     ):
         assert any(t.startswith(tag) for t in image_tags), f"missing figure tag {tag}: {sorted(image_tags)}"
+
+
+def test_label_pattern_frequency_figure():
+    """faq-patterns bar chart (count_pos_neg_V2.py:20-47): '+'-joined
+    abbreviations of positive classes, frequency-sorted."""
+    from collections import Counter
+
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation.plots import (
+        label_pattern_frequency_figure,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+    counts = Counter({
+        (0, 0, 0, 0, 0): 6,
+        (1, 0, 0, 0, 1): 3,
+        (0, 1, 0, 0, 0): 1,
+    })
+    fig = label_pattern_frequency_figure(counts, CHEXPERT_COMPETITION_TASKS)
+    ax = fig.axes[0]
+    ticklabels = [t.get_text() for t in ax.get_xticklabels()]
+    assert ticklabels == ["", "ATEL+PLEF", "CMG"]  # frequency order
+    heights = [p.get_height() for p in ax.patches]
+    np.testing.assert_allclose(heights, [0.6, 0.3, 0.1])
