@@ -5,6 +5,7 @@ and LayerNorm moments always accumulate in fp32."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
     bert_encode,
@@ -24,6 +25,7 @@ def _setup(rng, batch=4, seq=16):
     return dims, params, ids, mask
 
 
+@pytest.mark.slow
 def test_bf16_encode_close_to_fp32(rng):
     dims, params, ids, mask = _setup(rng)
     ref = np.asarray(bert_encode(params, ids, mask, dims))

@@ -29,6 +29,7 @@ def _images(n, rng, h=100, w=80):
         yield img, label
 
 
+@pytest.mark.slow
 def test_extract_device_vs_host_parity(image_params, rng):
     imgs = list(_images(5, rng))
     ds_dev = extract_embeddings(
@@ -70,6 +71,7 @@ def test_fold_grayscale_conv1_exact(image_params, rng):
     assert again["encoder"]["conv1"]["kernel"].shape[2] == 1
 
 
+@pytest.mark.slow
 def test_extract_grayscale_conv1_parity(image_params, rng):
     """The grayscale fast path returns the same embeddings as the 3-channel
     device path, on both the shared-size and per-image preprocess branches."""
@@ -90,6 +92,7 @@ def test_extract_grayscale_conv1_parity(image_params, rng):
         np.testing.assert_array_equal(ds_gray.labels, ds_full.labels)
 
 
+@pytest.mark.slow
 def test_extract_readback_window_equivalence(image_params, rng):
     """Windowed batched readback (readback_interval>1) returns bit-identical
     results to the per-batch sync loop, including the padded final batch."""

@@ -51,6 +51,7 @@ def test_fused_layer_matches_xla(rng, h, w, rows):
     assert cos > 0.9999
 
 
+@pytest.mark.slow
 def test_biovil_forward_fused_layer1_matches(rng):
     """fused_layer1=True through the FULL BioViL forward (auto-interpret on
     CPU) matches the stock bf16 forward."""

@@ -66,6 +66,7 @@ def test_quantize_resnet_walks_blocks(image_params):
     np.testing.assert_array_equal(blk["bn1"]["mean"], image_params["encoder"]["layer3"][0]["bn1"]["mean"])
 
 
+@pytest.mark.slow
 def test_biovil_int8_embedding_fidelity(image_params, rng):
     images = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
     ref = biovil_image_forward(image_params, images).projected_global_embedding
@@ -75,6 +76,7 @@ def test_biovil_int8_embedding_fidelity(image_params, rng):
     assert cos.min() > 0.99, cos
 
 
+@pytest.mark.slow
 def test_extract_int8_end_to_end(image_params, rng):
     from incremental_multimodal_medical_learning_ii_tpu.engine.extract import (
         extract_embeddings,
