@@ -17,6 +17,9 @@ import argparse
 def add_classifier_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--biovil-checkpoint",
                    help="biovil_image_resnet50_proj_size_128.pt")
+    p.add_argument("--biovil-npz",
+                   help="torch-free converted bundle (cli.convert_weights); "
+                   "loads without torch installed")
     p.add_argument("--random-weights", action="store_true",
                    help="randomly initialised BioViL (smoke runs/demos; scores meaningless)")
     p.add_argument("--cxr-bert-checkpoint")
@@ -50,7 +53,13 @@ def build_classifier(args):
         CHEXPERT_COMPETITION_TASKS,
     )
 
-    if args.biovil_checkpoint:
+    if getattr(args, "biovil_npz", None):
+        from incremental_multimodal_medical_learning_ii_tpu.utils.serialization import (
+            load_params_npz,
+        )
+
+        image_params, _ = load_params_npz(args.biovil_npz)
+    elif args.biovil_checkpoint:
         from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
             load_biovil_image_checkpoint,
         )
@@ -66,7 +75,9 @@ def build_classifier(args):
         print("[warn] --random-weights: scores are meaningless")
         image_params = init_biovil_image_model(jax.random.PRNGKey(0))
     else:
-        raise SystemExit("--biovil-checkpoint required (or --random-weights)")
+        raise SystemExit(
+            "--biovil-checkpoint or --biovil-npz required (or --random-weights)"
+        )
 
     if args.bank:
         from incremental_multimodal_medical_learning_ii_tpu.text.bank import load_prompt_bank

@@ -116,6 +116,10 @@ def biovil_image_forward(
             # quantize_biovil_int8 replaces float kernels with kernel_q/scale
             # pairs, which fold_bottleneck_layer cannot fold.
             raise ValueError("fused_layer1 is incompatible with the int8 trunk")
+        if dtype != jnp.bfloat16:
+            # the kernel computes in bf16 (fp32 accumulation); running it
+            # inside an fp32 forward would silently downgrade layer1
+            raise ValueError("fused_layer1 requires dtype=jnp.bfloat16")
         from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_bottleneck import (
             fold_bottleneck_layer,
             fused_bottleneck_layer,

@@ -76,3 +76,14 @@ def test_fused_layer_rejects_bad_tile(rng):
     x = jnp.zeros((1, 48, 32, 64), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         fused_bottleneck_layer(x, folded, rows_per_tile=32, interpret=True)
+
+
+def test_fused_layer1_requires_bf16(rng):
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        biovil_image_forward,
+        init_biovil_image_model,
+    )
+
+    params = init_biovil_image_model(jax.random.PRNGKey(5))
+    with pytest.raises(ValueError, match="bfloat16"):
+        biovil_image_forward(params, jnp.zeros((1, 96, 96, 3)), fused_layer1=True)
