@@ -161,3 +161,28 @@ def test_dataset_stats_cli(tmp_path, capsys):
     assert "Atelectasis 1 0.333333 2 0.666667" in out  # count_pos_neg_V2.py:50-51
     assert "2 distinct patterns over 3 rows" in out
     assert png.exists() and png.stat().st_size > 0
+
+
+def test_ground_cli_smoke(tmp_path, capsys, rng):
+    """Phrase-grounding CLI over random weights: score + map + overlay PNG."""
+    from PIL import Image
+
+    img_path = tmp_path / "cxr.png"
+    Image.fromarray((rng.random((120, 100)) * 255).astype("uint8"), "L").save(img_path)
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.ground import main
+
+    out_png = tmp_path / "overlay.png"
+    out_map = tmp_path / "map.npy"
+    main([
+        "--image", str(img_path), "--query", "pleural effusion",
+        "--random-weights", "--resize", "64", "--crop", "64",
+        "--out", str(out_png), "--save-map", str(out_map),
+    ])
+    out = capsys.readouterr().out
+    assert "similarity score:" in out
+    assert out_png.exists() and out_png.stat().st_size > 0
+    import numpy as np
+
+    m = np.load(out_map)
+    assert m.shape == (120, 100)  # back-projected to original image geometry
