@@ -15,6 +15,12 @@ bench-all:
 bench-stages:
 	python bench_all.py --stages
 
+bench-serve:
+	python bench_all.py --serve
+
+bench-text:
+	python bench_all.py --text
+
 native:
 	python -c "from incremental_multimodal_medical_learning_ii_tpu.runtime import build_library; print(build_library(force=True))"
 
