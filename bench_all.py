@@ -221,6 +221,10 @@ def serving_benchmark(quick: bool = False) -> None:
         report(f"{metric}_requests_per_sec", len(latencies) / wall, "req/s")
         report(f"{metric}_latency_p50_ms", float(np.percentile(lat_ms, 50)), "ms")
         report(f"{metric}_latency_p99_ms", float(np.percentile(lat_ms, 99)), "ms")
+        if srv.microbatcher is not None:
+            # how many requests each device call served (incl. warm-up req)
+            report(f"{metric}_requests_per_dispatch",
+                   (len(latencies) + 1) / max(srv.microbatcher.dispatches, 1), "req")
 
 
 def main() -> None:

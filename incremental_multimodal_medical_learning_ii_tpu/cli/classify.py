@@ -53,31 +53,11 @@ def build_classifier(args):
         CHEXPERT_COMPETITION_TASKS,
     )
 
-    if getattr(args, "biovil_npz", None):
-        from incremental_multimodal_medical_learning_ii_tpu.utils.serialization import (
-            load_params_npz,
-        )
+    from incremental_multimodal_medical_learning_ii_tpu.cli.common import (
+        load_image_tower,
+    )
 
-        image_params, _ = load_params_npz(args.biovil_npz)
-    elif args.biovil_checkpoint:
-        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
-            load_biovil_image_checkpoint,
-        )
-
-        image_params = load_biovil_image_checkpoint(args.biovil_checkpoint)
-    elif args.random_weights:
-        import jax
-
-        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
-            init_biovil_image_model,
-        )
-
-        print("[warn] --random-weights: scores are meaningless")
-        image_params = init_biovil_image_model(jax.random.PRNGKey(0))
-    else:
-        raise SystemExit(
-            "--biovil-checkpoint or --biovil-npz required (or --random-weights)"
-        )
+    image_params = load_image_tower(args)
 
     if args.bank:
         from incremental_multimodal_medical_learning_ii_tpu.text.bank import load_prompt_bank

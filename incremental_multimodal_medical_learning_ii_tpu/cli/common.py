@@ -36,6 +36,38 @@ def enable_compile_cache() -> None:
     enable()
 
 
+def load_image_tower(args):
+    """BioViL image params from the CLI's weight-source flags, in precedence
+    order: --biovil-npz (torch-free bundle) > --biovil-checkpoint (torch
+    state dict) > --random-weights (smoke/demo).  Shared by classify/serve
+    and ground so a new weight-source lands everywhere at once."""
+    if getattr(args, "biovil_npz", None):
+        from incremental_multimodal_medical_learning_ii_tpu.utils.serialization import (
+            load_params_npz,
+        )
+
+        params, _ = load_params_npz(args.biovil_npz)
+        return params
+    if getattr(args, "biovil_checkpoint", None):
+        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+            load_biovil_image_checkpoint,
+        )
+
+        return load_biovil_image_checkpoint(args.biovil_checkpoint)
+    if getattr(args, "random_weights", False):
+        import jax
+
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            init_biovil_image_model,
+        )
+
+        print("[warn] --random-weights: scores are meaningless")
+        return init_biovil_image_model(jax.random.PRNGKey(0))
+    raise SystemExit(
+        "--biovil-checkpoint or --biovil-npz required (or --random-weights)"
+    )
+
+
 def add_common_args(p: argparse.ArgumentParser) -> None:
     enable_compile_cache()
     p.add_argument("--batch-size", type=int, default=6144)

@@ -28,6 +28,9 @@ def main(argv=None) -> None:
 
     m = ChexpertManifest.from_csv(args.csv)
     n = len(m.frame)
+    if n == 0:
+        print("0 rows — nothing to report")
+        return
     # per-class pos/neg printout (count_pos_neg_V2.py:50-51)
     for name, pos in zip(m.label_names, m.positive_counts()):
         pos = int(pos)

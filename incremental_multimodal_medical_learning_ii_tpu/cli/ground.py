@@ -42,30 +42,11 @@ def main(argv=None) -> None:
 
     enable_compile_cache()
 
-    # image tower
-    if args.biovil_npz:
-        from incremental_multimodal_medical_learning_ii_tpu.utils.serialization import (
-            load_params_npz,
-        )
+    from incremental_multimodal_medical_learning_ii_tpu.cli.common import (
+        load_image_tower,
+    )
 
-        image_params, _ = load_params_npz(args.biovil_npz)
-    elif args.biovil_checkpoint:
-        from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
-            load_biovil_image_checkpoint,
-        )
-
-        image_params = load_biovil_image_checkpoint(args.biovil_checkpoint)
-    elif args.random_weights:
-        import jax
-
-        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
-            init_biovil_image_model,
-        )
-
-        print("[warn] --random-weights: the map is meaningless")
-        image_params = init_biovil_image_model(jax.random.PRNGKey(0))
-    else:
-        raise SystemExit("--biovil-checkpoint/--biovil-npz required (or --random-weights)")
+    image_params = load_image_tower(args)
 
     # text tower
     if args.cxr_bert_snapshot:
@@ -126,8 +107,7 @@ def main(argv=None) -> None:
     engine = ImageTextInferenceEngine(
         image_params, text_engine, resize_size=args.resize, crop_size=args.crop
     )
-    score = engine.get_similarity_score_from_raw_data(args.image, args.query)
-    sim_map = engine.get_similarity_map_from_raw_data(args.image, args.query)
+    score, sim_map = engine.get_score_and_map_from_raw_data(args.image, args.query)
     print(f"similarity score: {score:.4f}")
     print(f"map: shape={sim_map.shape} max={float(__import__('numpy').nanmax(sim_map)):.4f}")
 

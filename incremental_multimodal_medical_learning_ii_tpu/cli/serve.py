@@ -208,7 +208,9 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
                 "preds": [[int(v) for v in row] for row in preds],
             })
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.microbatcher = batcher  # observability: .dispatches vs requests served
+    return srv
 
 
 def main(argv=None) -> None:

@@ -254,10 +254,22 @@ def label_pattern_frequency_figure(pattern_counts, class_names: Sequence[str],
     ``pattern_counts``: the Counter from
     ``ChexpertManifest.label_pattern_counts()`` (or any {tuple: count}).
     """
+    class_names = list(class_names)
+    # the reference's 5 competition classes keep their canonical short
+    # forms; any other label set falls back to prefix abbreviations
+    if len(class_names) == len(CLASS_ABBREVIATIONS) and class_names[0] == "Atelectasis":
+        abbr = CLASS_ABBREVIATIONS
+    else:
+        abbr = tuple(n[:4].upper() for n in class_names)
+    for pat in pattern_counts:
+        if len(pat) != len(class_names):
+            raise ValueError(
+                f"pattern of length {len(pat)} vs {len(class_names)} classes"
+            )
     total = sum(pattern_counts.values()) or 1
     items = sorted(pattern_counts.items(), key=lambda kv: -kv[1])
     abbrevs = [
-        "+".join(CLASS_ABBREVIATIONS[i] for i, v in enumerate(pat) if v)
+        "+".join(abbr[i] for i, v in enumerate(pat) if v)
         for pat, _ in items
     ]
     freqs = [cnt / total for _, cnt in items]

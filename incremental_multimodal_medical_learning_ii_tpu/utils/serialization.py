@@ -10,7 +10,10 @@ load with numpy alone.
 Layout: dict keys join with ``/``; list/tuple elements use their index as
 a key segment (``encoder/layer1/0/conv1/kernel``).  Lists are recovered
 by contiguous integer segments, so round-tripping preserves the exact
-structure the model code expects.
+structure the model code expects.  Trees that could NOT round-trip are
+rejected at save time with a clear error: empty dicts/lists (their key
+would vanish), digit-string dict keys (ambiguous with list indices), and
+the reserved metadata key.
 """
 
 from __future__ import annotations
@@ -25,11 +28,22 @@ _META_KEY = "__meta_json__"
 
 def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
     if isinstance(tree, dict):
+        if not tree:
+            raise ValueError(f"empty dict at {prefix!r} cannot round-trip")
         for k, v in tree.items():
-            if "/" in str(k):
+            k = str(k)
+            if "/" in k:
                 raise ValueError(f"key {k!r} contains '/'")
+            if k == _META_KEY:
+                raise ValueError(f"key {k!r} is reserved for metadata")
+            if k.isdigit():
+                # digit-string dict keys are indistinguishable from list
+                # indices on load and would silently come back as a list
+                raise ValueError(f"digit-string dict key {k!r} at {prefix!r}")
             _flatten(v, f"{prefix}{k}/", out)
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            raise ValueError(f"empty list at {prefix!r} cannot round-trip")
         for i, v in enumerate(tree):
             _flatten(v, f"{prefix}{i}/", out)
     else:

@@ -98,13 +98,33 @@ class ImageTextInferenceEngine:
     ) -> np.ndarray:
         assert isinstance(query_text, str)
         img, (width, height) = self._load(image_path)
-        patches = self._patches(self.image_params, jnp.asarray(img))[0]  # (h, w, D)
         txt = self.text_engine.get_embeddings_from_prompt([query_text], normalize=True)[0]
-        sim = jnp.einsum("hwd,d->hw", patches, jnp.asarray(txt))
+        return self._map_from(img, (width, height), txt, interpolation)
+
+    def _map_from(self, img, size_wh, txt_norm, interpolation="nearest") -> np.ndarray:
+        patches = self._patches(self.image_params, jnp.asarray(img))[0]  # (h, w, D)
+        sim = jnp.einsum("hwd,d->hw", patches, jnp.asarray(txt_norm))
         smoothed = np.asarray(gaussian_smooth_2d(sim, sigma=1.5))
+        width, height = size_wh
         return convert_similarity_to_image_size(
             smoothed, width, height, self.resize_size, self.crop_size, interpolation
         )
+
+    def get_score_and_map_from_raw_data(
+        self, image_path, query_text: str, interpolation: str = "nearest"
+    ):
+        """(global similarity score, grounding map) with ONE image load /
+        preprocess and ONE text encode — the two separate raw-data methods
+        each pay those again (and two extra dispatch round-trips on a
+        tunneled host)."""
+        assert isinstance(query_text, str)
+        img, size_wh = self._load(image_path)
+        img_emb = np.asarray(self._global(self.image_params, jnp.asarray(img)))[0]
+        img_emb = img_emb / max(np.linalg.norm(img_emb), 1e-12)
+        txt = self.text_engine.get_embeddings_from_prompt([query_text], normalize=False)[0]
+        txt_norm = txt / max(np.linalg.norm(txt), 1e-12)
+        score = float(img_emb @ txt_norm)
+        return score, self._map_from(img, size_wh, txt_norm, interpolation)
 
 
 def convert_similarity_to_image_size(

@@ -152,6 +152,17 @@ def test_vlp_similarity_engine(tmp_path, rng):
     fig = plot_phrase_grounding_similarity_map(img_path, sim_map)
     assert fig is not None
 
+    # single-pass variant: one load + one text encode, same outputs
+    score1, map1 = engine.get_score_and_map_from_raw_data(
+        img_path, "findings suggesting edema"
+    )
+    np.testing.assert_allclose(
+        score1,
+        engine.get_similarity_score_from_raw_data(img_path, "findings suggesting edema"),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(map1, sim_map, atol=1e-6)
+
 
 @pytest.mark.slow
 def test_image_inference_engine(tmp_path, rng):

@@ -66,6 +66,18 @@ def test_rejects_slash_in_key(tmp_path):
         save_params_npz(tmp_path / "x.npz", {"a/b": np.zeros(1)})
 
 
+def test_rejects_unroundtrippable_trees(tmp_path):
+    """Trees that would silently corrupt on load are rejected at save."""
+    with pytest.raises(ValueError, match="digit-string"):
+        save_params_npz(tmp_path / "a.npz", {"heads": {"0": np.zeros(1)}})
+    with pytest.raises(ValueError, match="reserved"):
+        save_params_npz(tmp_path / "b.npz", {"__meta_json__": np.zeros(1)})
+    with pytest.raises(ValueError, match="empty dict"):
+        save_params_npz(tmp_path / "c.npz", {"a": np.zeros(1), "extra": {}})
+    with pytest.raises(ValueError, match="empty list"):
+        save_params_npz(tmp_path / "d.npz", {"a": np.zeros(1), "xs": []})
+
+
 REF = Path("/root/reference")
 
 
@@ -93,6 +105,7 @@ def test_convert_weights_cli_real_adapter(tmp_path, capsys):
     _trees_equal(direct, loaded)
 
 
+@pytest.mark.slow
 def test_classifier_from_npz_bundle_matches_torch_path(tmp_path, rng):
     """End-to-end: torch checkpoint -> convert_weights npz -> classifier
     built with --biovil-npz produces the same scores as the torch-loaded

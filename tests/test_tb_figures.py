@@ -97,3 +97,19 @@ def test_label_pattern_frequency_figure():
     assert ticklabels == ["", "ATEL+PLEF", "CMG"]  # frequency order
     heights = [p.get_height() for p in ax.patches]
     np.testing.assert_allclose(heights, [0.6, 0.3, 0.1])
+
+
+def test_label_pattern_frequency_figure_guards_and_custom_names():
+    from collections import Counter
+
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation.plots import (
+        label_pattern_frequency_figure,
+    )
+
+    with pytest.raises(ValueError, match="pattern of length"):
+        label_pattern_frequency_figure(Counter({(1, 0): 1}), ["A", "B", "C"])
+    fig = label_pattern_frequency_figure(
+        Counter({(1, 0, 1): 2, (0, 0, 0): 1}), ["Nodule", "Mass", "Fibrosis"]
+    )
+    labels = [t.get_text() for t in fig.axes[0].get_xticklabels()]
+    assert labels == ["NODU+FIBR", ""]
