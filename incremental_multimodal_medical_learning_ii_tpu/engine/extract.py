@@ -47,8 +47,12 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.retry import retry_cal
 ImageLabel = Tuple[np.ndarray, np.ndarray]  # (H, W) uint8, (5,) float32
 
 
-def make_encode_preprocessed_fn(params, dtype=jnp.bfloat16, int8: bool = False):
-    """jitted (B, S, S, 3) float images -> (B, 128) embeddings."""
+def make_encode_preprocessed_fn(dtype=jnp.bfloat16, int8: bool = False):
+    """jitted (params, (B, S, S, 3) float images) -> (B, 128) embeddings.
+
+    Params are an ARGUMENT of the returned fn, never a captured closure
+    constant — capturing them would burn the weights into the executable
+    at trace time."""
 
     def fn(p, images):
         return biovil_image_forward(p, images, dtype=dtype, int8=int8).projected_global_embedding
@@ -56,8 +60,9 @@ def make_encode_preprocessed_fn(params, dtype=jnp.bfloat16, int8: bool = False):
     return jax.jit(fn)
 
 
-def make_encode_raw_fn(params, dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
-    """jitted (raw u8 (B,P,P), w_h, w_w) -> (B, 128); preprocessing fused in.
+def make_encode_raw_fn(dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
+    """jitted (params, raw u8 (B,P,P), w_h, w_w) -> (B, 128); preprocessing
+    fused in (params per call, as above).
 
     ``channels=1`` expects conv1 pre-folded for grayscale input
     (:func:`fold_grayscale_conv1`): the image tensor stays single-channel in
@@ -72,9 +77,10 @@ def make_encode_raw_fn(params, dtype=jnp.bfloat16, channels: int = 3, int8: bool
     return jax.jit(fn)
 
 
-def make_encode_raw_shared_fn(params, dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
-    """jitted (raw u8 (B,H,W), shared w_h, w_w) -> (B, 128); the uniform-size
-    fast path — only raw uint8 pixels cross the host/device boundary."""
+def make_encode_raw_shared_fn(dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
+    """jitted (params, raw u8 (B,H,W), shared w_h, w_w) -> (B, 128); the
+    uniform-size fast path — only raw uint8 pixels cross the host/device
+    boundary (params per call, as above)."""
 
     def fn(p, raw, w_h, w_w):
         images = preprocess_device_shared(raw, w_h, w_w, channels=channels)
@@ -216,8 +222,8 @@ def extract_embeddings(
 
     if device_preprocess:
         plan = DevicePreprocessPlan(size=size, crop=crop, pad_to=pad_to)
-        encode = make_encode_raw_fn(params, dtype=dtype, channels=channels, int8=int8)
-        encode_shared = make_encode_raw_shared_fn(params, dtype=dtype, channels=channels, int8=int8)
+        encode = make_encode_raw_fn(dtype=dtype, channels=channels, int8=int8)
+        encode_shared = make_encode_raw_shared_fn(dtype=dtype, channels=channels, int8=int8)
         shared_plans = {}  # (h, w) -> SharedSizePreprocessPlan
 
         def prepare(batch_imgs):
@@ -243,7 +249,7 @@ def extract_embeddings(
             return encode(params, raw, w_h, w_w)
 
     else:
-        encode_pre = make_encode_preprocessed_fn(params, dtype=dtype, int8=int8)
+        encode_pre = make_encode_preprocessed_fn(dtype=dtype, int8=int8)
 
         def prepare(batch_imgs):
             return np.stack([preprocess_host(im, size=size, crop=crop) for im in batch_imgs])

@@ -102,6 +102,14 @@ def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool):
                 raise
             # old-format progress pointing at a since-cleaned staged dir
             trainer.state = restore_checkpoint(writer.log_dir, trainer.state)
+        if trainer.mesh is not None:
+            # restore_checkpoint returns host numpy; re-establish the
+            # replicated-params placement Trainer.__init__ guarantees
+            from incremental_multimodal_medical_learning_ii_tpu.parallel import (
+                mesh as mesh_lib,
+            )
+
+            trainer.state = mesh_lib.replicate(trainer.mesh, trainer.state)
         if aux is not None:
             try:
                 trainer.load_aux_state(aux)
@@ -122,6 +130,12 @@ def _save_unit(trainer: Trainer, writer: TBWriter, completed: int, extra: Option
     if trainer.cfg.trains_anything and writer.log_dir is not None:
         name = f"train_state_unit{completed}"
         save_checkpoint(writer.log_dir, trainer.state, name=name)
+        # TB events BEFORE the progress pointer (redo-log order): a crash
+        # between the two re-trains unit N on resume and re-appends its
+        # (identical-valued) events — recoverable.  The reverse order would
+        # mark unit N complete while its events were still in the discardable
+        # buffer, losing them permanently.
+        writer.commit()
         aux = trainer.aux_state()
         if extra:
             aux.update(extra)
@@ -132,9 +146,10 @@ def _save_unit(trainer: Trainer, writer: TBWriter, completed: int, extra: Option
         for stale in Path(writer.log_dir).glob("train_state_unit*"):
             if stale.name != name:
                 shutil.rmtree(stale, ignore_errors=True)
-    # TB events become durable only at unit boundaries, in lockstep with the
-    # checkpoint — a crashed attempt leaves no partial-unit events behind.
-    writer.commit()
+    else:
+        # TB events become durable only at unit boundaries — a crashed
+        # attempt leaves no partial-unit events behind.
+        writer.commit()
 
 
 def run_zero_joint(
@@ -287,11 +302,12 @@ def run_class_incremental(
                 if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
                     trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
             results[f"val_task{actual_task}"] = trainer.validate(
-                data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order
+                data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
+                final_unit=n_tasks,
             )
             results[f"test_task{actual_task}"] = trainer.test(
                 data.test, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
-                tsne_datasets=data.tsne_datasets,
+                tsne_datasets=data.tsne_datasets, final_unit=n_tasks,
             )
             _save_unit(trainer, writer, actual_task, extra={"last_batch": last_batch})
         _save_final(trainer, writer)

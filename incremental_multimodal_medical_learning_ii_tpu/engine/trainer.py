@@ -92,6 +92,14 @@ class Trainer:
         self._eval_step = build_eval_step(self.pair, cfg, on_mesh=mesh is not None)
         self._embed = build_embed_fn(self.pair, cfg)
         self._epoch_reset = build_epoch_reset(cfg)
+        if cfg.lr_schedule is not None:
+            from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+                lr_schedule_fn,
+            )
+
+            self._lr_sched = lr_schedule_fn(cfg)
+        else:
+            self._lr_sched = None
 
         if mesh is not None:
             bank = mesh_lib.replicate(mesh, bank)
@@ -189,8 +197,14 @@ class Trainer:
         exposing ``iterate_batches`` (e.g. the native mmap store,
         data/native.py)."""
         if hasattr(dataset, "iterate_batches"):
+            # per-epoch seed drawn from the persistent shuffle stream: a
+            # fixed cfg.seed would replay the IDENTICAL permutation every
+            # epoch (unlike the numpy path / the reference's DataLoader
+            # reshuffle), and drawing from the stream keeps resume
+            # bit-reproducible (the stream state lives in aux_state)
+            seed = int(self._shuffle_rng.integers(2**31)) if shuffle else self.cfg.seed
             return dataset.iterate_batches(
-                batch_size, shuffle=shuffle, seed=self.cfg.seed,
+                batch_size, shuffle=shuffle, seed=seed,
                 pad_multiple=self._pad_multiple,
             )
         return iterate_batches(
@@ -217,15 +231,12 @@ class Trainer:
 
         fetched = _jax.device_get([m for _, m in pending])
         last = None
+        sched = self._lr_sched
         for (iteration, _), metrics in zip(pending, fetched):
             self.writer.add_scalar("train/Loss", float(metrics["loss"]), iteration)
-            if cfg.lr_schedule is not None:
-                from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
-                    lr_schedule_fn,
-                )
-
+            if sched is not None:
                 self.writer.add_scalar(
-                    "train/LR", float(lr_schedule_fn(cfg)(metrics["_step"])), iteration
+                    "train/LR", float(sched(metrics["_step"])), iteration
                 )
             if "max_mean_gap_pos" in metrics and self.writer.enabled:
                 self._gap_counter += 1
@@ -359,16 +370,18 @@ class Trainer:
         )
         fetched = jax.device_get(stacked)
         n_b = len(fetched["loss"])
+        if n_b == 0:
+            # empty unit (split_contiguous tail / class with no positives):
+            # nothing trained, nothing to log — mirror the non-fused path's
+            # last_metrics-is-None skip instead of indexing empty arrays
+            return 0
+        sched = self._lr_sched
         for i in range(n_b):
             iteration = iteration_of(i)
             self.writer.add_scalar("train/Loss", float(fetched["loss"][i]), iteration)
-            if cfg.lr_schedule is not None:
-                from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
-                    lr_schedule_fn,
-                )
-
+            if sched is not None:
                 self.writer.add_scalar(
-                    "train/LR", float(lr_schedule_fn(cfg)(self._py_step)), iteration
+                    "train/LR", float(sched(self._py_step)), iteration
                 )
             if "max_mean_gap_pos" in fetched and self.writer.enabled:
                 self._gap_counter += 1
@@ -493,16 +506,21 @@ class Trainer:
             y_score.append(scores[valid])
         return np.concatenate(y_true), np.concatenate(y_pred), np.concatenate(y_score)
 
-    def _emit_heatmaps_if_due(self, val_test, mode, epoch, epochs, tasks_order, f1_rows, auroc_rows):
+    def _emit_heatmaps_if_due(self, val_test, mode, epoch, epochs, tasks_order,
+                              f1_rows, auroc_rows, final_unit=None):
         """Epoch x class (joint/data-inc) and task x class (class-inc)
-        forgetting heatmaps (Trainer.py:944-984)."""
+        forgetting heatmaps (Trainer.py:944-984).  The reference hardcodes
+        the class-incremental milestone at task 5 (Trainer.py:965);
+        ``final_unit`` makes it follow the run's actual task count when the
+        protocol is invoked with n_tasks != 5 (default preserves parity)."""
         if epoch == epochs and mode in ("joint", "zero", "data-inc"):
             # label only the rows actually accumulated (differs from
             # range(1, epochs+1) only after a mid-run resume)
             rows = [str(i) for i in range(epochs - len(f1_rows) + 1, epochs + 1)]
             cols = self.class_names
             tag = f"{val_test}/joint train/"
-        elif epoch == 5 and mode in ("class-pos-neg", "class-pos"):
+        elif (epoch == (final_unit if final_unit is not None else 5)
+              and mode in ("class-pos-neg", "class-pos")):
             order = list(tasks_order or range(NUM_CLASSES))
             rows = [self.class_names[i] for i in order][-len(f1_rows):]
             cols = [self.class_names[i] for i in order]
@@ -521,7 +539,8 @@ class Trainer:
         )
 
     def evaluate_model(
-        self, y_true, y_pred, y_score, mode, epoch, val_test, epochs, tasks_order
+        self, y_true, y_pred, y_score, mode, epoch, val_test, epochs, tasks_order,
+        final_unit=None,
     ):
         metrics = compute_metrics(y_true, y_pred, y_score)
         w = self.writer
@@ -564,7 +583,8 @@ class Trainer:
             self.test_auroc_rows.append(pc["auroc"])
             rows = (self.test_f1_rows, self.test_auroc_rows)
         if w.enabled and self.cfg.plot_figures != "off":
-            self._emit_heatmaps_if_due(val_test, mode, epoch, epochs, tasks_order, *rows)
+            self._emit_heatmaps_if_due(val_test, mode, epoch, epochs, tasks_order,
+                                       *rows, final_unit=final_unit)
         return metrics
 
     def quick_auroc(self, dataset: EmbeddingDataset) -> np.ndarray:
@@ -587,9 +607,11 @@ class Trainer:
         _, scores, _ = self._fused_eval(self.state.params, d_embs, d_labels, d_valid, self.bank)
         return np.asarray(jax.device_get(auroc_device(scores, d_labels, d_valid)))
 
-    def validate(self, dataset, epoch, epochs, mode="joint", tasks_order=None):
+    def validate(self, dataset, epoch, epochs, mode="joint", tasks_order=None,
+                 final_unit=None):
         y_true, y_pred, y_score = self._eval_pass(dataset, epoch, log_loss_prefix="val")
-        return self.evaluate_model(y_true, y_pred, y_score, mode, epoch, "val", epochs, tasks_order)
+        return self.evaluate_model(y_true, y_pred, y_score, mode, epoch, "val",
+                                   epochs, tasks_order, final_unit=final_unit)
 
     def test(
         self,
@@ -599,14 +621,23 @@ class Trainer:
         mode="joint",
         tasks_order=None,
         tsne_datasets: Optional[Sequence[EmbeddingDataset]] = None,
+        final_unit=None,
     ):
         y_true, y_pred, y_score = self._eval_pass(dataset, epoch, log_loss_prefix=None)
         metrics = self.evaluate_model(
-            y_true, y_pred, y_score, mode, epoch, "test", epochs, tasks_order
+            y_true, y_pred, y_score, mode, epoch, "test", epochs, tasks_order,
+            final_unit=final_unit,
         )
+        # 'final' milestone: last epoch/part for joint/data-inc, last TASK
+        # for class-incremental (where `epoch` carries the task index and
+        # `epochs` the per-task epoch count, following the reference's
+        # argument convention, CLASS_INCREMENTAL.py:89)
+        last = final_unit if (
+            final_unit is not None and mode in ("class-pos-neg", "class-pos")
+        ) else epochs
         plot_now = self.writer.enabled and (
             self.cfg.plot_figures == "reference"
-            or (self.cfg.plot_figures == "final" and epoch == epochs)
+            or (self.cfg.plot_figures == "final" and epoch == last)
         )
         if plot_now:
             self._plot_text_embedding_figures(epoch)

@@ -206,8 +206,8 @@ def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
     fail = {"dispatch": 1, "readback": 1}
     real_make = ex.make_encode_preprocessed_fn
 
-    def flaky_make(params, dtype=jnp.bfloat16, **kw):
-        real = real_make(params, dtype=dtype, **kw)
+    def flaky_make(dtype=jnp.bfloat16, **kw):
+        real = real_make(dtype=dtype, **kw)
 
         def fn(p, images):
             if fail["dispatch"] > 0:
@@ -235,7 +235,7 @@ def test_extract_retries_transient_errors(image_params, rng, monkeypatch):
 def test_extract_retries_exhausted_raises(image_params, rng, monkeypatch):
     import incremental_multimodal_medical_learning_ii_tpu.engine.extract as ex
 
-    def broken_make(params, dtype=jnp.bfloat16, **kw):
+    def broken_make(dtype=jnp.bfloat16, **kw):
         def fn(p, images):
             raise RuntimeError("permanently broken backend")
 
