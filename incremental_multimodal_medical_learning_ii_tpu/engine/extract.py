@@ -38,6 +38,7 @@ from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
     DevicePreprocessPlan,
     SharedSizePreprocessPlan,
     preprocess_device,
+    preprocess_device_indexed,
     preprocess_device_shared,
     preprocess_host,
 )
@@ -55,6 +56,20 @@ def make_encode_preprocessed_fn(dtype=jnp.bfloat16, int8: bool = False):
     at trace time."""
 
     def fn(p, images):
+        return biovil_image_forward(p, images, dtype=dtype, int8=int8).projected_global_embedding
+
+    return jax.jit(fn)
+
+
+def make_encode_raw_indexed_fn(dtype=jnp.bfloat16, channels: int = 3, int8: bool = False):
+    """jitted (params, raw u8 (B,P,P), uniq_w_h (U,crop,P), uniq_w_w, idx)
+    -> (B, 128) for heterogeneous-shape batches: per-image resize matrices
+    are gathered on device from U unique pairs
+    (DevicePreprocessPlan.prepare_deduped), so the host uploads U matrix
+    pairs instead of B dense ones (~4 MB each)."""
+
+    def fn(p, raw, uniq_w_h, uniq_w_w, idx):
+        images = preprocess_device_indexed(raw, uniq_w_h, uniq_w_w, idx, channels=channels)
         return biovil_image_forward(p, images, dtype=dtype, int8=int8).projected_global_embedding
 
     return jax.jit(fn)
@@ -222,7 +237,7 @@ def extract_embeddings(
 
     if device_preprocess:
         plan = DevicePreprocessPlan(size=size, crop=crop, pad_to=pad_to)
-        encode = make_encode_raw_fn(dtype=dtype, channels=channels, int8=int8)
+        encode_indexed = make_encode_raw_indexed_fn(dtype=dtype, channels=channels, int8=int8)
         encode_shared = make_encode_raw_shared_fn(dtype=dtype, channels=channels, int8=int8)
         shared_plans = {}  # (h, w) -> SharedSizePreprocessPlan
 
@@ -234,19 +249,26 @@ def extract_embeddings(
                 if sp is None:
                     sp = shared_plans[hw] = SharedSizePreprocessPlan(*hw, size=size, crop=crop)
                 return ("shared", sp.prepare(batch_imgs), sp.w_h, sp.w_w)
-            raw, w_h, w_w = plan.prepare(batch_imgs)
-            return ("per-image", raw, w_h, w_w)
+            # heterogeneous batch: one matrix pair per DISTINCT shape + a
+            # per-image gather index (uploading B dense pairs is ~4 MB/image
+            # — 30x the raw pixels — on an upload-bound link)
+            raw, uniq_w_h, uniq_w_w, idx = plan.prepare_deduped(batch_imgs)
+            return ("indexed", raw, (uniq_w_h, uniq_w_w), idx)
 
         def run(prepared):
-            kind, raw, w_h, w_w = prepared
+            kind, raw, wpair, extra = prepared
             if kind == "shared":
+                w_h, w_w = wpair, extra  # (w_h, w_w) positional reuse
                 if mesh is not None:
                     raw = mesh_lib.shard_batch(mesh, raw)
                     w_h, w_w = mesh_lib.replicate(mesh, (w_h, w_w))
                 return encode_shared(params, raw, w_h, w_w)
+            uniq_w_h, uniq_w_w = wpair
+            idx = extra
             if mesh is not None:
-                raw, w_h, w_w = mesh_lib.shard_batch(mesh, (raw, w_h, w_w))
-            return encode(params, raw, w_h, w_w)
+                raw, idx = mesh_lib.shard_batch(mesh, (raw, idx))
+                uniq_w_h, uniq_w_w = mesh_lib.replicate(mesh, (uniq_w_h, uniq_w_w))
+            return encode_indexed(params, raw, uniq_w_h, uniq_w_w, idx)
 
     else:
         encode_pre = make_encode_preprocessed_fn(dtype=dtype, int8=int8)

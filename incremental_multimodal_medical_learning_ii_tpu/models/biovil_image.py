@@ -29,7 +29,10 @@ from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
     _init_conv,
 )
 
-JOINT_FEATURE_SIZE = 128
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    JOINT_FEATURE_SIZE,  # single definition; adapters/config use the same
+)
+
 TRUNK_FEATURES = 2048
 
 

@@ -188,7 +188,11 @@ def fused_bottleneck_layer(
         # Mosaic lowering runs the pallas interpreter
         interpret = jax.default_backend() not in ("tpu", "axon")
     if rows_per_tile is None:
-        rows_per_tile = min(32, x.shape[1])
+        # largest divisor of H that is <= 32: 128 -> 32, but the vendored
+        # 480-crop geometry gives layer1 H=120 -> 30 (a bare min(32, H)
+        # would raise on any H not divisible by 32)
+        rows_per_tile = next(r for r in range(min(32, x.shape[1]), 0, -1)
+                             if x.shape[1] % r == 0)
     n_blocks = len(folded["w1"])
     bsz, h, w, cin = x.shape
     cout = folded["w3"][0].shape[1]

@@ -65,6 +65,17 @@ def center_crop_bounds(h: int, w: int, crop: int) -> Tuple[int, int]:
     return top, left
 
 
+def _effective_crop_start(out: int, crop: int) -> int:
+    """Fused resize+crop row start for one dim, INCLUDING torchvision's
+    pad-when-smaller rule: CenterCrop first pads by floor((crop-out)/2) then
+    crops at offset 0, so the content start is -((crop-out)//2) — NOT the
+    banker's-rounded negative bound (round((out-crop)/2) differs by one
+    whenever crop-out is 3 mod 4, e.g. out=89, crop=96: -3 vs -4)."""
+    if out >= crop:
+        return int(round((out - crop) / 2.0))
+    return -((crop - out) // 2)
+
+
 def preprocess_host(image_u8: np.ndarray, size: int = 512, crop: Optional[int] = None) -> np.ndarray:
     """(H, W) uint8 -> (crop, crop, 3) float32 in [0,1]; exact reference
     pipeline via PIL (Resize smaller edge -> CenterCrop -> /255 -> 3ch)."""
@@ -122,14 +133,66 @@ class DevicePreprocessPlan:
             if h > p or w > p:
                 raise ValueError(f"image {i} ({h}x{w}) exceeds pad_to={p}")
             raw[i, :h, :w] = img
-            out_h, out_w = resize_shape_for_smaller_edge(h, w, self.size)
-            top, left = center_crop_bounds(out_h, out_w, self.crop)
-            full_h = resize_matrix(h, out_h, padded_in=p)
-            full_w = resize_matrix(w, out_w, padded_in=p)
-            # fuse the center crop: keep only the crop window's rows/cols
-            w_h[i] = _crop_rows(full_h, top, self.crop)
-            w_w[i] = _crop_rows(full_w, left, self.crop)
+            w_h[i], w_w[i] = self._matrices(h, w)
         return raw, w_h, w_w
+
+    def _matrices(self, h: int, w: int):
+        """Cropped resize-matrix pair for one raw shape, cached per shape
+        (images repeat shapes heavily; the matrices are pure functions of
+        (h, w, size, crop, pad_to))."""
+        cached = getattr(self, "_matrix_cache", None)
+        if cached is None:
+            cached = self._matrix_cache = {}
+        pair = cached.get((h, w))
+        if pair is None:
+            out_h, out_w = resize_shape_for_smaller_edge(h, w, self.size)
+            top = _effective_crop_start(out_h, self.crop)
+            left = _effective_crop_start(out_w, self.crop)
+            full_h = resize_matrix(h, out_h, padded_in=self.pad_to)
+            full_w = resize_matrix(w, out_w, padded_in=self.pad_to)
+            # fuse the center crop: keep only the crop window's rows/cols
+            pair = cached[(h, w)] = (
+                _crop_rows(full_h, top, self.crop),
+                _crop_rows(full_w, left, self.crop),
+            )
+        return pair
+
+    def prepare_deduped(self, images: Sequence[np.ndarray]):
+        """Like :meth:`prepare`, but ships ONE matrix pair per DISTINCT
+        image shape plus a per-image index: ``(raw (B,P,P) u8,
+        uniq_w_h (U,crop,P), uniq_w_w (U,crop,P), idx (B,) i32)``.
+
+        Why: the dense per-image pairs are ~4 MB/image — 30x the raw
+        pixels — which murders an upload-bandwidth-bound link when a batch
+        mixes shapes.  Real batches repeat a handful of shapes, so U << B.
+        ``U`` is padded to the next power of two (capped at B) with zero
+        matrices so the device program compiles once per bucket, not once
+        per distinct U.
+        """
+        b = len(images)
+        p = self.pad_to
+        raw = np.zeros((b, p, p), np.uint8)
+        idx = np.zeros(b, np.int32)
+        order: dict = {}
+        for i, img in enumerate(images):
+            h, w = img.shape
+            if h > p or w > p:
+                raise ValueError(f"image {i} ({h}x{w}) exceeds pad_to={p}")
+            raw[i, :h, :w] = img
+            key = (h, w)
+            if key not in order:
+                order[key] = len(order)
+            idx[i] = order[key]
+        u = len(order)
+        u_pad = 1
+        while u_pad < u:
+            u_pad *= 2
+        u_pad = min(u_pad, b)
+        uniq_w_h = np.zeros((u_pad, self.crop, p), np.float32)
+        uniq_w_w = np.zeros((u_pad, self.crop, p), np.float32)
+        for (h, w), j in order.items():
+            uniq_w_h[j], uniq_w_w[j] = self._matrices(h, w)
+        return raw, uniq_w_h, uniq_w_w, idx
 
 
 def _crop_rows(mat: np.ndarray, start: int, crop: int) -> np.ndarray:
@@ -160,6 +223,20 @@ def preprocess_device(
     return jnp.broadcast_to(out, (*out.shape[:3], channels))
 
 
+def preprocess_device_indexed(
+    raw: jnp.ndarray,
+    uniq_w_h: jnp.ndarray,
+    uniq_w_w: jnp.ndarray,
+    idx: jnp.ndarray,
+    channels: int = 3,
+) -> jnp.ndarray:
+    """(B,P,P) u8 + (U,crop,P) unique weights + (B,) index -> preprocessed
+    batch.  The per-image matrices are gathered ON DEVICE from the U unique
+    pairs (see :meth:`DevicePreprocessPlan.prepare_deduped`), so the host
+    uploads U matrix pairs instead of B."""
+    return preprocess_device(raw, uniq_w_h[idx], uniq_w_w[idx], channels=channels)
+
+
 class SharedSizePreprocessPlan:
     """Fast path for uniform-size batches (CheXpert-small is mostly one
     geometry): one weight-matrix pair shared by the whole batch, so the
@@ -170,7 +247,8 @@ class SharedSizePreprocessPlan:
         self.size = size
         self.crop = crop or size
         out_h, out_w = resize_shape_for_smaller_edge(height, width, size)
-        top, left = center_crop_bounds(out_h, out_w, self.crop)
+        top = _effective_crop_start(out_h, self.crop)
+        left = _effective_crop_start(out_w, self.crop)
         self.w_h = _crop_rows(resize_matrix(height, out_h), top, self.crop)
         self.w_w = _crop_rows(resize_matrix(width, out_w), left, self.crop)
 

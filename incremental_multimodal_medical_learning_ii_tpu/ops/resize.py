@@ -26,14 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def resize_support(in_size: int, out_size: int) -> int:
-    """Max number of taps any output pixel needs (PIL ksize)."""
-    scale = in_size / out_size
-    filterscale = max(scale, 1.0)
-    support = filterscale  # bilinear filter support = 1.0, scaled
-    return int(np.ceil(support)) * 2 + 1
-
-
 def resize_matrix(in_size: int, out_size: int, padded_in: int | None = None) -> np.ndarray:
     """(out_size, padded_in) dense PIL-bilinear weight matrix."""
     padded_in = padded_in or in_size
@@ -56,10 +48,16 @@ def resize_matrix(in_size: int, out_size: int, padded_in: int | None = None) -> 
 
 
 def resize_shape_for_smaller_edge(h: int, w: int, size: int) -> Tuple[int, int]:
-    """torchvision ``Resize(int)``: scale the smaller edge to ``size``."""
+    """torchvision ``Resize(int)``: scale the smaller edge to ``size``.
+
+    The long edge TRUNCATES — ``int(size * long / short)`` in every
+    torchvision backend (PIL path ``oh = int(size * h / w)``; tensor path
+    ``_compute_resized_output_size``) — NOT round: 320x451 at size=512 is
+    721, not 722.  Rounding here would shift the whole pixel grid vs the
+    reference pipeline for any aspect ratio with fractional part >= .5."""
     if h <= w:
-        return size, max(1, int(round(size * w / h)))
-    return max(1, int(round(size * h / w))), size
+        return size, max(1, int(size * w / h))
+    return max(1, int(size * h / w)), size
 
 
 def matmul_resize(

@@ -105,3 +105,49 @@ def test_expand_channels_validation():
         expand_channels(jnp.ones((4, 4, 2)))
     out = expand_channels(jnp.ones((4, 4, 1)))
     assert out.shape == (4, 4, 3)
+
+
+def test_resize_shape_truncates_like_torchvision():
+    """torchvision computes the long edge with int() truncation, not round
+    (PIL path ``oh = int(size * h / w)``): 320x451 at 512 -> 721, not 722."""
+    assert resize_shape_for_smaller_edge(320, 451, 512) == (512, 721)
+    assert resize_shape_for_smaller_edge(451, 320, 512) == (721, 512)
+
+
+def test_device_preprocess_pad_path_matches_host(rng):
+    """crop LARGER than the resized edge (torchvision pads by
+    floor((crop-out)/2)): the device matrices must place content at the
+    same offset as preprocess_host — out=89 vs crop=96 is the
+    crop-out == 3 (mod 4) case where banker's rounding is one pixel off."""
+    # h=200,w=206 at size=89 -> out=(89, 91); crop 96 pads both dims
+    img = _rand_img(rng, 200, 206)
+    plan = DevicePreprocessPlan(size=89, crop=96, pad_to=256)
+    raw, w_h, w_w = plan.prepare([img])
+    device_out = np.asarray(preprocess_device(jnp.asarray(raw), jnp.asarray(w_h), jnp.asarray(w_w)))
+    host_out = preprocess_host(img, size=89, crop=96)
+    assert np.abs(device_out[0] - host_out).max() <= (1.0 / 255.0) + 1e-6
+
+
+def test_prepare_deduped_matches_dense(rng):
+    """The deduped path gathers per-image matrices from U unique pairs and
+    must produce the identical preprocessed batch; U reflects the distinct
+    shapes, not the batch size."""
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        preprocess_device_indexed,
+    )
+
+    imgs = [
+        _rand_img(rng, 200, 160), _rand_img(rng, 120, 300),
+        _rand_img(rng, 200, 160), _rand_img(rng, 120, 300),
+        _rand_img(rng, 200, 160),
+    ]
+    plan = DevicePreprocessPlan(size=96, pad_to=320)
+    raw_d, w_h, w_w = plan.prepare(imgs)
+    dense = np.asarray(preprocess_device(jnp.asarray(raw_d), jnp.asarray(w_h), jnp.asarray(w_w)))
+    raw, uw_h, uw_w, idx = plan.prepare_deduped(imgs)
+    assert uw_h.shape[0] == 2  # two distinct shapes -> U=2 (padded pow2)
+    assert list(idx) == [0, 1, 0, 1, 0]
+    indexed = np.asarray(preprocess_device_indexed(
+        jnp.asarray(raw), jnp.asarray(uw_h), jnp.asarray(uw_w), jnp.asarray(idx)
+    ))
+    np.testing.assert_array_equal(indexed, dense)
