@@ -23,7 +23,7 @@ def load_image(path: str | Path, percentiles: Optional[Tuple[float, float]] = No
         from PIL import Image
 
         image = np.asarray(Image.open(path))
-    elif path.suffixes[-2:] == [".nii", ".gz"] or suffix == ".nii":
+    elif [s.lower() for s in path.suffixes[-2:]] == [".nii", ".gz"] or suffix == ".nii":
         try:
             import SimpleITK as sitk
         except ImportError as e:

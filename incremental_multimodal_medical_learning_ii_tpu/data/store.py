@@ -49,7 +49,10 @@ class EmbeddingDataset:
         return len(self.embeddings)
 
     def subset(self, indices) -> "EmbeddingDataset":
-        indices = np.asarray(indices)
+        # dtype pinned: an EMPTY range/list would default to float64, which
+        # numpy rejects as an index — empty subsets are legal (contiguous
+        # split tails, classes with no positives), matching torch Subset
+        indices = np.asarray(indices, dtype=np.intp)
         return EmbeddingDataset(self.embeddings[indices], self.labels[indices])
 
     # ------------------------------------------------------------------

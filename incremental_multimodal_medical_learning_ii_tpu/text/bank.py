@@ -38,6 +38,13 @@ def build_prompt_bank(
     for c in class_names:
         pos_lists.append(list(prompts[c]["positive"]))
         if train_logit_diff:
+            if "negative" not in prompts[c]:
+                raise ValueError(
+                    f"prompt bank for {c!r} has no negatives but "
+                    "train_logit_diff=True needs them — build the prompts "
+                    "with include_negatives=True (create_prompts wires this "
+                    "from the same flag)"
+                )
             neg_lists.append(list(prompts[c]["negative"]))
         else:
             neg_lists.append(list(prompts[c]["positive"]))
@@ -100,9 +107,15 @@ def synthetic_encode_fn(seed: int = 0, emb_dim: int = 128) -> EncodeFn:
     each distinct prompt string maps to a fixed pseudo-random embedding."""
 
     def encode(texts: List[str]) -> np.ndarray:
+        import hashlib
+
         out = np.empty((len(texts), emb_dim), np.float32)
         for i, t in enumerate(texts):
-            h = abs(hash((seed, t))) % (2**32)
+            # hashlib, NOT hash(): Python string hashing is salted per
+            # process, so hash() would give a trained adapter one bank and
+            # a later serving process another
+            digest = hashlib.sha256(f"{seed}|{t}".encode()).digest()
+            h = int.from_bytes(digest[:8], "little") % (2**32)
             out[i] = np.random.default_rng(h).normal(size=emb_dim)
         return out
 

@@ -77,7 +77,11 @@ class TextInferenceEngine:
     ) -> np.ndarray:
         e1 = self.get_embeddings_from_prompt(prompt_set_1, normalize=True)
         e2 = self.get_embeddings_from_prompt(prompt_set_2, normalize=True)
-        return np.sum(e1 * e2, axis=-1)  # diag of e1 @ e2.T
+        # torch.diag(e1 @ e2.T) semantics (inference_engine.py:72-82):
+        # min(N1, N2) diagonal entries — broadcasting would raise for
+        # unequal sizes and silently over-return for N1 == 1
+        n = min(len(e1), len(e2))
+        return np.sum(e1[:n] * e2[:n], axis=-1)
 
     def predict_masked_tokens(self, prompts: TypePrompts) -> List[List[str]]:
         ids, mask = self.tokenizer.tokenize_prompts(prompts)

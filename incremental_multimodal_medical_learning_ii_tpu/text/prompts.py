@@ -195,14 +195,3 @@ def create_prompts(
     return template_prompts(class_names)
 
 
-def flatten_prompts(prompts: Prompts, class_names: Sequence[str]):
-    """Flatten a bank into (texts, (class, polarity, count) index) for batched
-    encoding; used to build the on-device prompt cache in one BERT forward."""
-    texts: List[str] = []
-    index = []
-    for c in class_names:
-        for polarity in ("positive", "negative"):
-            plist = prompts[c].get(polarity, prompts[c]["positive"])
-            index.append((c, polarity, len(plist)))
-            texts.extend(plist)
-    return texts, index

@@ -103,3 +103,27 @@ def test_filter_sani_malati():
 def test_count_positive_labels():
     ds = synthetic_dataset(50, seed=1)
     np.testing.assert_array_equal(count_positive_labels(ds), ds.labels.sum(0))
+
+
+def test_empty_subsets_are_legal():
+    """Contiguous-split tails and no-match filters must yield EMPTY datasets
+    (torch Subset semantics), not IndexError from a float64 empty index."""
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        filter_multiclass,
+        split_contiguous,
+        synthetic_dataset,
+    )
+
+    ds = synthetic_dataset(101, seed=0)
+    parts = split_contiguous(ds, 20)  # size=ceil(101/20)=6 -> tail parts empty
+    assert len(parts) == 20
+    assert sum(len(p) for p in parts) == 101
+    assert len(parts[-1]) == 0
+    empty = ds.subset([])
+    assert len(empty) == 0
+    # no-match filter: all-zero labels -> no single-positive rows
+    import numpy as np_
+
+    zeros = synthetic_dataset(8, seed=1)
+    zeros.labels[:] = 0
+    assert len(filter_multiclass(zeros, per_class=3)) == 0

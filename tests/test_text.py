@@ -173,3 +173,46 @@ def test_text_engine_mlm_fill(tokenizer):
     assert len(out) == 2
     assert len(out[0]) == 1  # one [MASK]
     assert out[1] == []
+
+
+def test_synthetic_encode_fn_cross_process_deterministic():
+    """The synthetic encoder must NOT depend on Python's per-process string
+    hash salt: an adapter trained against a bank in one process is served
+    against a bank rebuilt in another."""
+    import subprocess
+    import sys
+
+    code = (
+        "from incremental_multimodal_medical_learning_ii_tpu.text.bank import "
+        "synthetic_encode_fn; import numpy as np; "
+        "print(np.round(synthetic_encode_fn(0)(['hello'])[0, :3], 6).tolist())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd="/root/repo", check=True,
+        ).stdout.strip()
+        for _ in range(2)
+    }
+    assert len(outs) == 1, outs
+
+
+def test_pairwise_similarities_diag_semantics(tokenizer):
+    """torch.diag semantics: min(N1, N2) similarities, no broadcast error."""
+    import jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+        init_cxr_bert,
+        tiny_bert_dims,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+        TextInferenceEngine,
+    )
+
+    dims = tiny_bert_dims(vocab_size=tokenizer.tokenizer.vocab_size)
+    eng = TextInferenceEngine(init_cxr_bert(jax.random.PRNGKey(0), dims), dims, tokenizer)
+    sims = eng.get_pairwise_similarities(
+        ["there is edema", "no edema"], ["no edema", "there is edema", "edema"]
+    )
+    assert sims.shape == (2,)
+    assert np.all(np.abs(sims) <= 1.0 + 1e-5)
