@@ -64,12 +64,16 @@ class TBWriter:
             from torch.utils.tensorboard import SummaryWriter
 
             self._writer = SummaryWriter(self.log_dir)
-        for kind, tag, payload, step in self._pending:
+        # pop as written: if an event raises mid-commit (figure render, IO),
+        # already-written events must NOT stay buffered — a retried commit
+        # would duplicate them, breaking the byte-match resume guarantee
+        while self._pending:
+            kind, tag, payload, step = self._pending[0]
             if kind == "scalar":
                 self._writer.add_scalar(tag, payload, step)
             else:
                 self._writer.add_figure(tag, payload, step)
-        self._pending = []
+            self._pending.pop(0)
         self._writer.flush()
 
     def discard(self) -> None:

@@ -28,6 +28,10 @@ def create_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # silently truncating would run a different sharding/padding
+            # than the user asked for (same contract as tp.create_mesh_2d)
+            raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

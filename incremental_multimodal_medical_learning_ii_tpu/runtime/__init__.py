@@ -22,11 +22,21 @@ _build_error: Optional[str] = None
 def build_library(force: bool = False) -> Path:
     if _LIB.exists() and not force and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
+    # compile to a per-pid temp path and rename atomically: two concurrent
+    # processes (multi-host extraction on one machine) racing the build must
+    # never dlopen a half-written .so
+    import os
+
+    tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        str(_SRC), "-o", str(_LIB),
+        str(_SRC), "-o", str(tmp),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+    finally:
+        tmp.unlink(missing_ok=True)
     return _LIB
 
 
@@ -39,10 +49,12 @@ def load_library() -> Optional[ctypes.CDLL]:
         return None
     try:
         path = build_library()
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        lib = ctypes.CDLL(str(path))
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+        # OSError covers a present-but-unloadable .so (foreign arch/ABI from
+        # a checkout); the numpy fallback must win, not a crash
         _build_error = str(e)
         return None
-    lib = ctypes.CDLL(str(path))
     u64, i64 = ctypes.c_uint64, ctypes.c_int64
     p = ctypes.c_void_p
     fp = ctypes.POINTER(ctypes.c_float)

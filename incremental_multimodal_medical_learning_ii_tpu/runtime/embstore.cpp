@@ -125,6 +125,13 @@ struct Batcher {
     ++epoch;
     cursor = 0;
     consume_idx = 0;
+    // a prior epoch abandoned mid-way leaves `worker` joinable; assigning a
+    // new thread over it would std::terminate
+    if (worker.joinable()) {
+      stop.store(true);
+      cv.notify_all();
+      worker.join();
+    }
     stop.store(false);
     for (auto& s : slots) s.ready = false;
     worker = std::thread([this] {
@@ -215,8 +222,19 @@ void* embstore_open(const char* path) {
   s->fd = fd;
   s->map = map;
   s->map_size = static_cast<size_t>(st.st_size);
+  if (s->map_size < sizeof(Header)) {
+    ::munmap(map, s->map_size);
+    ::close(fd);
+    delete s;
+    return nullptr;
+  }
   std::memcpy(&s->hdr, map, sizeof(Header));
-  if (s->hdr.magic != kMagic) {
+  // reject truncated files (crash/disk-full mid-write leaves a valid header
+  // with n promising more rows than the payload holds): reading past the
+  // mapping would SIGBUS instead of failing cleanly
+  const uint64_t need = sizeof(Header) +
+      s->hdr.n * (s->hdr.emb_dim + s->hdr.n_labels) * sizeof(float);
+  if (s->hdr.magic != kMagic || s->map_size < need) {
     ::munmap(map, s->map_size);
     ::close(fd);
     delete s;

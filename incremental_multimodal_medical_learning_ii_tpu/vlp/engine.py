@@ -49,9 +49,11 @@ def gaussian_smooth_2d(grid: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
     def smooth_axis(x, axis):
         x = jnp.moveaxis(x, axis, -1)
         pad = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="symmetric")
-        out = jax.vmap(lambda row: jnp.correlate(row, k, mode="valid"))(
-            pad.reshape(-1, pad.shape[-1])
-        ).reshape(x.shape)
+        out = jax.vmap(
+            lambda row: jnp.correlate(
+                row, k, mode="valid", precision=jax.lax.Precision.HIGHEST
+            )
+        )(pad.reshape(-1, pad.shape[-1])).reshape(x.shape)
         return jnp.moveaxis(out, -1, axis)
 
     return smooth_axis(smooth_axis(grid, 0), 1)
@@ -103,7 +105,10 @@ class ImageTextInferenceEngine:
 
     def _map_from(self, img, size_wh, txt_norm, interpolation="nearest") -> np.ndarray:
         patches = self._patches(self.image_params, jnp.asarray(img))[0]  # (h, w, D)
-        sim = jnp.einsum("hwd,d->hw", patches, jnp.asarray(txt_norm))
+        sim = jnp.einsum(
+            "hwd,d->hw", patches, jnp.asarray(txt_norm),
+            precision=jax.lax.Precision.HIGHEST,
+        )
         smoothed = np.asarray(gaussian_smooth_2d(sim, sigma=1.5))
         width, height = size_wh
         return convert_similarity_to_image_size(
@@ -153,11 +158,19 @@ def convert_similarity_to_image_size(
 
 
 def _interpolate(grid: np.ndarray, size: Tuple[int, int], mode: str) -> np.ndarray:
-    method = {"nearest": "nearest", "bilinear": "bilinear", "linear": "bilinear"}.get(mode)
-    if method is None:
-        raise ValueError(f"unsupported interpolation {mode!r}")
-    out = jax.image.resize(jnp.asarray(grid), size, method=method)
-    return np.asarray(out)
+    if mode == "nearest":
+        # torch F.interpolate(mode='nearest') convention (the reference,
+        # vlp/inference_engine.py:139-144): src = floor(dst * in / out).
+        # jax.image.resize's half-pixel-center nearest picks DIFFERENT
+        # source pixels at non-integer scales (2.5-14% of pixels measured),
+        # so index explicitly.
+        h_idx = (np.arange(size[0]) * grid.shape[0] // size[0]).astype(np.intp)
+        w_idx = (np.arange(size[1]) * grid.shape[1] // size[1]).astype(np.intp)
+        return np.asarray(grid)[np.ix_(h_idx, w_idx)]
+    if mode in ("bilinear", "linear"):
+        out = jax.image.resize(jnp.asarray(grid), size, method="bilinear")
+        return np.asarray(out)
+    raise ValueError(f"unsupported interpolation {mode!r}")
 
 
 def plot_phrase_grounding_similarity_map(image_path, similarity_map: np.ndarray):

@@ -85,3 +85,24 @@ def test_batcher_pad_multiple(tmp_path):
     batches = list(store.iterate_batches(6, shuffle=False, pad_multiple=8))
     assert all(b[0].shape[0] == 8 for b in batches)
     store.close()
+
+
+def test_truncated_store_rejected(tmp_path):
+    """A crash/disk-full mid-write leaves a valid header promising more rows
+    than the payload holds; open must fail cleanly, not SIGBUS later."""
+    from incremental_multimodal_medical_learning_ii_tpu.runtime import load_library
+
+    lib = load_library()
+    if lib is None:
+        pytest.skip("no native toolchain")
+    from incremental_multimodal_medical_learning_ii_tpu.data.native import (
+        NativeEmbeddingStore,
+    )
+
+    path = tmp_path / "store.embstore"
+    NativeEmbeddingStore.write(path, synthetic_dataset(64, seed=0)).close()
+    data = path.read_bytes()
+    truncated = tmp_path / "trunc.embstore"
+    truncated.write_bytes(data[: len(data) // 2])  # header intact, payload cut
+    assert lib.embstore_open(str(truncated).encode()) in (None, 0)
+    assert lib.embstore_open(str(path).encode()) not in (None, 0)  # intact OK

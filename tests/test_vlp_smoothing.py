@@ -3,6 +3,7 @@ phrase-grounding similarity map with scipy.ndimage.gaussian_filter,
 sigma=1.5, vlp/inference_engine.py:108-112)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy import ndimage
 
@@ -23,3 +24,22 @@ def test_gaussian_smooth_small_grid(rng):
     expected = ndimage.gaussian_filter(grid, sigma=(1.5, 1.5), order=0)
     got = np.asarray(gaussian_smooth_2d(jnp.asarray(grid), sigma=1.5))
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_nearest_interpolation_matches_torch(rng):
+    """torch F.interpolate(mode='nearest') parity (the reference's map
+    upsampling, vlp/inference_engine.py:139-144): jax.image.resize's
+    half-pixel-center nearest picks different pixels at non-integer scales."""
+    import torch
+    import torch.nn.functional as F
+
+    from incremental_multimodal_medical_learning_ii_tpu.vlp.engine import _interpolate
+
+    for out in (468, 433, 299, 97):
+        g = rng.normal(size=(15, 15)).astype(np.float32)
+        ours = _interpolate(g, (out, out), "nearest")
+        ref = F.interpolate(
+            torch.tensor(g)[None, None], size=(out, out), mode="nearest"
+        )[0, 0].numpy()
+        np.testing.assert_array_equal(ours, ref)
