@@ -146,7 +146,7 @@ def main() -> None:
     device_rate = None
     if os.environ.get("IMML_BENCH_DEVICE", "1") != "0":
         try:
-            device_rate = _device_side_rate(rng)
+            device_rate = _device_side_rate()
         except Exception as e:  # noqa: BLE001
             _log(f"[bench] device-side measurement skipped: {type(e).__name__}: {e}")
 
@@ -171,59 +171,26 @@ def main() -> None:
     )
 
 
-def _device_side_rate(rng) -> float:
-    """Chained-scan device-only encode throughput (imgs/sec/chip); mirrors
-    bench_all.py's `extraction_device_images_per_sec_per_chip` exactly
-    (batch 256, grayscale folded conv1, bf16) for compile-cache reuse."""
+def _device_side_rate() -> float:
+    """Chained-scan device-only encode throughput (imgs/sec/chip) via the
+    canonical shared loop (utils/device_bench.py — same program as
+    bench_all.py's `extraction_device_images_per_sec_per_chip`, so the
+    persistent compile cache is shared and the numbers are comparable)."""
     import jax
-    import jax.numpy as jnp
 
     from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
-        biovil_image_forward,
         fold_grayscale_conv1,
         init_biovil_image_model,
     )
-    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
-        SharedSizePreprocessPlan,
-        preprocess_device_shared,
+    from incremental_multimodal_medical_learning_ii_tpu.utils.device_bench import (
+        device_encode_rate,
     )
 
-    batch = 256
     params = fold_grayscale_conv1(init_biovil_image_model(jax.random.PRNGKey(0)))
-    plan = SharedSizePreprocessPlan(IMG_H, IMG_W, size=SIZE, crop=CROP)
-    n_slabs = 4
-    raw_all = jnp.asarray(
-        rng.integers(0, 256, size=(n_slabs, batch, IMG_H, IMG_W), dtype=np.uint8)
+    return device_encode_rate(
+        params, batch=256, img_h=IMG_H, img_w=IMG_W, size=SIZE, crop=CROP,
+        channels=1,
     )
-    w_h = jnp.asarray(plan.w_h)
-    w_w = jnp.asarray(plan.w_w)
-
-    def make_encode_loop(k):
-        @jax.jit
-        def loop(raw_, w_h_, w_w_, p):
-            def body(acc, i):
-                wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
-                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_, channels=1)
-                emb = biovil_image_forward(
-                    p, imgs, dtype=jnp.bfloat16, int8=False
-                ).projected_global_embedding
-                return acc + emb.sum(), None
-            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
-            return acc
-        return loop
-
-    from incremental_multimodal_medical_learning_ii_tpu.utils.chained_timing import (
-        rate_or_none,
-        time_chained,
-    )
-
-    per_batch = time_chained(
-        make_encode_loop,
-        lambda r: (jnp.bitwise_xor(raw_all, np.uint8(r + 1)), w_h, w_w, params),
-        k_short=4,
-        k_long=24,
-    )
-    return rate_or_none(per_batch, batch)
 
 
 if __name__ == "__main__":

@@ -299,50 +299,21 @@ def main() -> None:
         best = max(best, n / (time.perf_counter() - t0))
     report("extraction_images_per_sec_per_chip", best, "images/sec", baseline=1.509)
 
-    # device-only encode throughput: chain K fused preprocess+ResNet batches
-    # inside one jitted lax.scan (sequenced through an accumulator) and take
-    # the long-minus-short difference — isolates the chip from the tunnel,
-    # quantifying how far the wall number above is link-bound.
-    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
-        biovil_image_forward,
+    # device-only encode throughput: the canonical chained-scan loop
+    # (utils/device_bench.py, shared with bench.py) — isolates the chip
+    # from the tunnel, quantifying how far the wall number is link-bound.
+    n_slabs = 4  # also used by the text section below
+    from incremental_multimodal_medical_learning_ii_tpu.utils.device_bench import (
+        device_encode_rate,
     )
-    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
-        SharedSizePreprocessPlan,
-        preprocess_device_shared,
-    )
-
-    plan = SharedSizePreprocessPlan(390, 320, size=512, crop=512)
-    n_slabs = 4
-    raw_all = jnp.asarray(
-        rng.integers(0, 256, size=(n_slabs, batch, 390, 320), dtype=np.uint8)
-    )
-    w_h = jnp.asarray(plan.w_h)
-    w_w = jnp.asarray(plan.w_w)
-
-    def make_encode_loop(k, channels=3, int8=False, fused_layer1=False):
-        @jax.jit
-        def loop(raw_, w_h_, w_w_, p):
-            def body(acc, i):
-                wh = w_h_ + 0.0 * acc  # chain: forces sequential execution
-                imgs = preprocess_device_shared(raw_[i % n_slabs], wh, w_w_, channels=channels)
-                emb = biovil_image_forward(
-                    p, imgs, dtype=jnp.bfloat16, int8=int8, fused_layer1=fused_layer1
-                ).projected_global_embedding
-                return acc + emb.sum(), None
-            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
-            return acc
-        return loop
 
     def time_encode_loop(metric, p, channels=3, int8=False, fused_layer1=False):
         ek_long, ek_short = (8, 2) if args.quick else (24, 4)
-        per_batch = time_chained(
-            lambda k: make_encode_loop(
-                k, channels=channels, int8=int8, fused_layer1=fused_layer1
-            ),
-            lambda r: (jnp.bitwise_xor(raw_all, np.uint8(r + 1)), w_h, w_w, p),
-            k_short=ek_short, k_long=ek_long,
+        rate = device_encode_rate(
+            p, batch=batch, channels=channels, int8=int8,
+            fused_layer1=fused_layer1, k_short=ek_short, k_long=ek_long,
         )
-        report(metric, rate_or_none(per_batch, batch), "images/sec", baseline=1.509)
+        report(metric, rate, "images/sec", baseline=1.509)
 
     from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
         fold_grayscale_conv1,

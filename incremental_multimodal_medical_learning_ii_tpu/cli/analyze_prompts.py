@@ -87,7 +87,12 @@ def main(argv=None) -> None:
         pos, None if args.pos_only else neg, args.single_prompt
     )
     fig.savefig(out / "cosine_similarity_heat_map.png", dpi=150)
-    pca_fig, tsne_fig = plots.prompt_projection_figures(pos, neg, seed=args.seed)
+    # --pos-only: the 'negatives' are mirrored positives (bank.py mirrors
+    # them when train_logit_diff is off); plotting them would fabricate 5
+    # duplicate 'Negative' markers that were never encoded
+    pca_fig, tsne_fig = plots.prompt_projection_figures(
+        pos, None if args.pos_only else neg, seed=args.seed
+    )
     pca_fig.savefig(out / "pca_multiple_prompts.png", dpi=150)
     tsne_fig.savefig(out / "tsne_multiple_prompts.png", dpi=150)
     print(f"wrote 3 figures to {out}")

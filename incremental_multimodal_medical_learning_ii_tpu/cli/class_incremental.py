@@ -30,6 +30,7 @@ def main(argv=None) -> None:
     p.add_argument("--adder", type=float, default=0.001)
     p.add_argument("--threshold-scheduling", action="store_true")
     args = p.parse_args(argv)
+    common.enable_compile_cache()
 
     cfg = ExperimentConfig(
         mode=args.mode,

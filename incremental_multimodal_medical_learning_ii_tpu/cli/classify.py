@@ -37,6 +37,10 @@ def add_classifier_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--new-prompts", action="store_true")
     p.add_argument("--single-prompt", action="store_true")
+    p.add_argument("--max-emb", action="store_true", dest="max_emb",
+                   help="MAX prompt-ensemble reduction — must match how the "
+                   "served adapter was TRAINED (the reference headline joint "
+                   "run uses MAX; default is MEAN)")
     p.add_argument("--bank", help="a saved prompt bank .npz (skips CXR-BERT entirely)")
     p.add_argument("--save-bank", help="save the built prompt bank here")
 
@@ -96,6 +100,18 @@ def build_classifier(args):
 
     cfg = None
     adapter_params = None
+    if args.max_emb and not (args.reference_image_adapter
+                             or args.reference_text_adapter
+                             or args.adapter_checkpoint):
+        # zero-shot serving with MAX prompt reduction
+        from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+            ExperimentConfig,
+        )
+
+        cfg = ExperimentConfig(
+            adapter="no-head", image_adapter=False, text_adapter=False,
+            epochs=0, mode="zero", prompt_mode="max",
+        )
     if args.reference_image_adapter or args.reference_text_adapter:
         from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
             load_reference_adapter,
@@ -114,6 +130,7 @@ def build_classifier(args):
             adapter=kind,
             image_adapter="image" in adapter_params,
             text_adapter="text" in adapter_params,
+            prompt_mode="max" if args.max_emb else "mean",
         )
     elif args.adapter_checkpoint:
         from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
@@ -131,7 +148,8 @@ def build_classifier(args):
 
         import jax
 
-        cfg = joint_config(adapter=args.adapter, shared=args.shared)
+        cfg = joint_config(adapter=args.adapter, shared=args.shared,
+                           prompt_mode="max" if args.max_emb else "mean")
         pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
         template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)
         adapter_params = restore_checkpoint(args.adapter_checkpoint, template).params

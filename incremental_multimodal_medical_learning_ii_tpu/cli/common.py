@@ -69,7 +69,6 @@ def load_image_tower(args):
 
 
 def add_common_args(p: argparse.ArgumentParser) -> None:
-    enable_compile_cache()
     p.add_argument("--batch-size", type=int, default=6144)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=10)

@@ -60,6 +60,20 @@ def main(argv=None) -> None:
     p.add_argument("--dry-run", action="store_true",
                    help="tiny synthetic data, no assertions (plumbing smoke)")
     args = p.parse_args(argv)
+    common.enable_compile_cache()
+
+    # every gate hard-codes the reference's hyperparameters by design —
+    # warn loudly if the user tried to override one of them so a pass/fail
+    # is never attributed to settings that were silently ignored
+    defaults = {
+        "batch_size": 6144, "lr": 1e-4, "epochs": 10, "adapter": "mlp",
+        "optim": "adam", "single_prompt": False, "max_emb": False,
+        "shared": False, "train_logit_pos": False, "pred_logit_diff": False,
+    }
+    ignored = [k for k, v in defaults.items() if getattr(args, k) != v]
+    if ignored:
+        print(f"[warn] reproduce pins the reference's hyperparameters; "
+              f"ignoring overridden flag(s): {', '.join(ignored)}")
 
     from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
         run_class_incremental,

@@ -165,6 +165,10 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
             except ValueError:
                 self._send(400, {"error": "bad Content-Length"})
                 return
+            if length < 0:
+                # rfile.read(-1) would read to EOF, bypassing the size cap
+                self._send(400, {"error": "bad Content-Length"})
+                return
             if length > MAX_BODY_BYTES:
                 # bound per-request memory BEFORE buffering the body — each
                 # ThreadingHTTPServer thread reads independently

@@ -26,6 +26,7 @@ def main(argv=None) -> None:
     p.add_argument("--adapters", nargs="+", default=["mlp", "dense"])
     p.add_argument("--prompt-modes", nargs="+", default=["mean", "max"])
     args = p.parse_args(argv)
+    common.enable_compile_cache()
 
     from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
     from incremental_multimodal_medical_learning_ii_tpu.utils.config import ExperimentConfig
@@ -36,6 +37,9 @@ def main(argv=None) -> None:
 
     results = []
     t0 = time.perf_counter()
+    bank = None  # invariant across the grid (depends only on un-swept flags);
+    # building it per config would re-encode the prompts through CXR-BERT
+    # once per grid point
     for lr, optim, adapter, pm in itertools.product(
         args.lrs, args.optims, args.adapters, args.prompt_modes
     ):
@@ -43,7 +47,8 @@ def main(argv=None) -> None:
             mode="joint", lr=lr, optim=optim, adapter=adapter, prompt_mode=pm,
             plot_figures="off", **base,
         )
-        bank = common.build_bank(args, cfg)
+        if bank is None:
+            bank = common.build_bank(args, cfg)
         trainer = Trainer(cfg, bank)
         for epoch in range(1, cfg.epochs + 1):
             trainer.train(bundle.train, epoch)

@@ -23,6 +23,7 @@ def main(argv=None) -> None:
     common.add_common_args(p)
     p.add_argument("--folder-name", default="zero-and-joint")
     args = p.parse_args(argv)
+    common.enable_compile_cache()
 
     kw = common.config_kwargs(args)
     if args.epochs == 0 and not args.shared:

@@ -162,39 +162,51 @@ def prompt_cosine_heatmap_figure(
     )
 
 
-def prompt_projection_figures(pos_embs: np.ndarray, neg_embs: np.ndarray, seed: int = 27):
-    """PCA + t-SNE scatter of the 10 adapted mean prompt embeddings
-    (Trainer.py:1310-1420). Returns (pca_fig, tsne_fig)."""
+def prompt_projection_figures(
+    pos_embs: np.ndarray, neg_embs: Optional[np.ndarray], seed: int = 27
+):
+    """PCA + t-SNE scatter of the adapted mean prompt embeddings
+    (Trainer.py:1310-1420). Returns (pca_fig, tsne_fig).  ``neg_embs=None``
+    plots positives only (pos-only analyses have no real negatives to
+    show — the bank's mirrored ones are duplicates)."""
     from sklearn.decomposition import PCA
     from sklearn.manifold import TSNE
 
     c = pos_embs.shape[0]
-    embs = np.empty((2 * c, pos_embs.shape[1]), pos_embs.dtype)
-    embs[0::2] = pos_embs
-    embs[1::2] = neg_embs
-    shapes = ["o", "v"] * c
-    group_colors = ["r", "g", "b", "c", "m"]
-    colors = [group_colors[i // 2] for i in range(2 * c)]
+    if neg_embs is None:
+        embs = np.asarray(pos_embs)
+        shapes = ["o"] * c
+        colors = list(["r", "g", "b", "c", "m"][:c])
+        polarity_handles = (("o", "Positive"),)
+    else:
+        embs = np.empty((2 * c, pos_embs.shape[1]), pos_embs.dtype)
+        embs[0::2] = pos_embs
+        embs[1::2] = neg_embs
+        shapes = ["o", "v"] * c
+        group_colors = ["r", "g", "b", "c", "m"]
+        colors = [group_colors[i // 2] for i in range(2 * c)]
+        polarity_handles = (("o", "Positive"), ("v", "Negative"))
+    n = len(embs)
 
     def _scatter(reduced, title):
         fig = plt.figure()
-        for i in range(2 * c):
+        for i in range(n):
             plt.scatter(reduced[i, 0], reduced[i, 1], marker=shapes[i], c=colors[i])
         plt.title(title)
-        legend_categories = dict(zip(group_colors, CLASS_ABBREVIATIONS))
+        legend_categories = dict(zip(["r", "g", "b", "c", "m"], CLASS_ABBREVIATIONS))
         handles = [
             plt.Line2D([0], [0], marker="o", color="w", label=cat, markerfacecolor=col, markersize=10)
             for col, cat in legend_categories.items()
         ]
         handles += [
             plt.Line2D([0], [0], marker=m, color="w", label=lbl, markerfacecolor="k", markersize=10)
-            for m, lbl in (("o", "Positive"), ("v", "Negative"))
+            for m, lbl in polarity_handles
         ]
         plt.legend(handles=handles)
         return _detach(fig)
 
     pca_fig = _scatter(PCA(n_components=2).fit_transform(embs), "PCA multiple-prompts")
-    perplexity = min(30.0, (2 * c - 1) / 3)
+    perplexity = min(30.0, (n - 1) / 3)
     tsne = TSNE(
         n_components=2, metric="cosine", init="pca", learning_rate="auto",
         perplexity=perplexity, random_state=seed,

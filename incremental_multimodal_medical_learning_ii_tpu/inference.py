@@ -103,6 +103,9 @@ class ChexpertClassifier:
         """images: list of (H, W) uint8 -> (scores (N, 5), preds (N, 5))."""
         scores_all: List[np.ndarray] = []
         preds_all: List[np.ndarray] = []
+        if not images:
+            n_cls = len(self.class_names)
+            return np.empty((0, n_cls), np.float32), np.empty((0, n_cls), np.int64)
         for start in range(0, len(images), self.batch_size):
             chunk = list(images[start : start + self.batch_size])
             n = len(chunk)
