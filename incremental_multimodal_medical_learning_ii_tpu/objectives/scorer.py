@@ -92,11 +92,15 @@ def _pairwise(x: jnp.ndarray, t: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
     """(B, D) x (T, D) -> (B, T); Pallas fused kernel on TPU (no-grad paths
     only — the kernel has no VJP), jnp reference otherwise."""
     if use_pallas:
+        import jax
+
         from incremental_multimodal_medical_learning_ii_tpu.ops.pallas_cosine import (
             pallas_pairwise_cosine,
         )
 
-        return pallas_pairwise_cosine(x, t)
+        # interpret off-TPU so the flag is testable (and safe) on CPU
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return pallas_pairwise_cosine(x, t, interpret=interpret)
     return pairwise_cosine(x, t)
 
 

@@ -9,15 +9,6 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.chained_timing import 
 )
 
 
-def _loop_factory_with_times(times_by_k):
-    def factory(k):
-        def loop():
-            return np.zeros(())  # np.asarray-able result
-        loop._k = k
-        return loop
-    return factory
-
-
 def test_time_chained_measures_positive_difference(monkeypatch):
     t = {"now": 0.0}
 

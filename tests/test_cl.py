@@ -39,7 +39,7 @@ def test_weight_reset_matches_torch(rng):
     assert int(n_updated) == exp_updated
 
 
-def test_weight_reset_threshold_zero_resets_only_minimum(rng):
+def test_weight_reset_threshold_zero_resets_nothing(rng):
     snaps = [rng.normal(size=(8, 8)).astype(np.float32)]
     params = [snaps[0] + rng.normal(size=(8, 8)).astype(np.float32)]
     got, n_reset, _ = weight_reset([jnp.asarray(params[0])], [jnp.asarray(snaps[0])], 0.0)

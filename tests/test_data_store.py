@@ -108,12 +108,6 @@ def test_count_positive_labels():
 def test_empty_subsets_are_legal():
     """Contiguous-split tails and no-match filters must yield EMPTY datasets
     (torch Subset semantics), not IndexError from a float64 empty index."""
-    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
-        filter_multiclass,
-        split_contiguous,
-        synthetic_dataset,
-    )
-
     ds = synthetic_dataset(101, seed=0)
     parts = split_contiguous(ds, 20)  # size=ceil(101/20)=6 -> tail parts empty
     assert len(parts) == 20
@@ -122,8 +116,6 @@ def test_empty_subsets_are_legal():
     empty = ds.subset([])
     assert len(empty) == 0
     # no-match filter: all-zero labels -> no single-positive rows
-    import numpy as np_
-
     zeros = synthetic_dataset(8, seed=1)
     zeros.labels[:] = 0
     assert len(filter_multiclass(zeros, per_class=3)) == 0

@@ -49,9 +49,9 @@ def _torch_preprocess(img_u8: np.ndarray) -> torch.Tensor:
     pil = Image.fromarray(img_u8, "L")
     h, w = img_u8.shape
     if h <= w:
-        oh, ow = SIZE, int(round(SIZE * w / h))
+        oh, ow = SIZE, int(SIZE * w / h)  # torchvision truncates the long edge
     else:
-        oh, ow = int(round(SIZE * h / w)), SIZE
+        oh, ow = int(SIZE * h / w), SIZE
     pil = pil.resize((ow, oh), Image.BILINEAR)
     arr = np.asarray(pil)
     top = int(round((oh - SIZE) / 2.0))

@@ -90,3 +90,7 @@ def test_scorer_pallas_flag_matches_reference(rng):
     x = jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
     a = score_embeddings(x, bank, PromptMode.MEAN, True, False, use_pallas=False)
     np.testing.assert_allclose(np.asarray(a.logits), np.asarray(a.pos_sim - a.neg_sim), atol=1e-6)
+    # the pallas branch itself (interpreter off-TPU) must match the jnp path
+    b = score_embeddings(x, bank, PromptMode.MEAN, True, False, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(b.scores), np.asarray(a.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.logits), np.asarray(a.logits), atol=1e-5)

@@ -11,7 +11,6 @@ classifier end-to-end.
 Skips only if the reference mirror is absent.
 """
 
-import sys
 from pathlib import Path
 
 import numpy as np

@@ -147,7 +147,10 @@ def test_microbatcher_coalesces_and_slices(rng):
     from incremental_multimodal_medical_learning_ii_tpu.cli.serve import MicroBatcher
 
     clf = _CountingClassifier()
-    mb = MicroBatcher(clf, max_delay_s=0.05)
+    # generous window: the coalescing ASSERTION below needs every request to
+    # enqueue within it even under 1-vCPU scheduler stalls between thread
+    # start-ups (50 ms flaked when the host was loaded)
+    mb = MicroBatcher(clf, max_delay_s=0.5)
     imgs = [(rng.random((8, 8)) * 255).astype(np.uint8) for _ in range(6)]
 
     results = {}

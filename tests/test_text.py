@@ -142,10 +142,12 @@ def test_tokenizer_pads_longest(tokenizer):
 
 
 def test_tokenizer_max_length_guard(tokenizer):
-    tokenizer.max_allowed_input_length = 4
-    with pytest.raises(ValueError):
-        tokenizer.tokenize_prompts("this prompt is definitely longer than four tokens")
-    tokenizer.max_allowed_input_length = 64
+    try:  # module-scoped fixture: restore even if the assertion path changes
+        tokenizer.max_allowed_input_length = 4
+        with pytest.raises(ValueError):
+            tokenizer.tokenize_prompts("this prompt is definitely longer than four tokens")
+    finally:
+        tokenizer.max_allowed_input_length = 64
 
 
 @pytest.mark.slow
