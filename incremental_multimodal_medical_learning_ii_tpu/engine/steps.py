@@ -101,30 +101,26 @@ def _forward(
     )
 
 
-def _eval_uses_pallas(cfg: ExperimentConfig) -> bool:
+def _eval_uses_pallas() -> bool:
     """Fused Pallas cosine on the (no-grad) eval path when running on a real
     TPU backend; the jnp reference everywhere else (CPU tests, autodiff)."""
-    import jax as _jax
-
     try:
-        return _jax.default_backend() not in ("cpu",)
+        return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
 
 
-def build_train_step(
-    pair: AdapterPair,
-    tx: optax.GradientTransformation,
-    cfg: ExperimentConfig,
-) -> Callable:
-    """Returns step(state, embs, labels, elem_mask, class_mask, bank, threshold)
-    -> (state, metrics dict)."""
+def _train_core(pair: AdapterPair, tx: optax.GradientTransformation, cfg: ExperimentConfig) -> Callable:
+    """The one training-step body shared by the per-batch jitted step and
+    the fused-epoch scan: forward, masked BCE, backward, optax update,
+    optional myCL reset, monitor metrics.  ``core(state, embs, labels,
+    elem_mask, class_mask, bank, threshold) -> (state, metrics)``."""
     use_cl = cfg.continual_learning is not None and cfg.continual_learning.value == "myCL"
     # SHARED mode: the reference resets the aliased module twice
     # (Trainer.py:1558-1587); reproduce the double application.
     applications = 2 if cfg.shared else 1
 
-    def step(state: TrainState, embs, labels, elem_mask, class_mask, bank, threshold):
+    def core(state: TrainState, embs, labels, elem_mask, class_mask, bank, threshold):
         snapshot = state.params
 
         def loss_fn(params):
@@ -146,12 +142,29 @@ def build_train_step(
             metrics["n_reset"] = n_reset
             metrics["n_updated"] = n_updated
         if out.max_mean_gap is not None:
-            denom = jnp.maximum(jnp.sum(class_mask), 1.0)
-            metrics["max_mean_gap_pos"] = jnp.sum(out.max_mean_gap[0] * class_mask) / denom
-            metrics["max_mean_gap_neg"] = jnp.sum(out.max_mean_gap[1] * class_mask) / denom
+            # the reference averages over REAL rows (Trainer.py:1698-1703);
+            # zero-padded rows (elem_mask == 0) are excluded from the gap
+            # monitor, then the mean runs over the trained classes
+            denom_c = jnp.maximum(jnp.sum(class_mask), 1.0)
+            denom_r = jnp.maximum(jnp.sum(elem_mask), 1.0)
+            row_w = elem_mask[:, None]
+            gap_pos = jnp.sum(out.max_mean_gap[0] * row_w, axis=0) / denom_r
+            gap_neg = jnp.sum(out.max_mean_gap[1] * row_w, axis=0) / denom_r
+            metrics["max_mean_gap_pos"] = jnp.sum(gap_pos * class_mask) / denom_c
+            metrics["max_mean_gap_neg"] = jnp.sum(gap_neg * class_mask) / denom_c
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return core
+
+
+def build_train_step(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+) -> Callable:
+    """Returns step(state, embs, labels, elem_mask, class_mask, bank, threshold)
+    -> (state, metrics dict)."""
+    return jax.jit(_train_core(pair, tx, cfg), donate_argnums=(0,))
 
 
 def build_fused_epoch(
@@ -170,13 +183,10 @@ def build_fused_epoch(
     structural opposite of the reference's per-batch Python loop with
     ``.to(device)`` copies (``Trainer.py:537-601``).
 
-    Returns ``epoch(state, embs, labels, valid, class_mask, threshold, key)
-    -> (state, stacked metrics)`` where embs/labels/valid are padded to
+    Returns ``epoch(state, embs, labels, valid, bank, class_mask, threshold,
+    key) -> (state, stacked metrics)`` where embs/labels/valid are padded to
     ``n_batches * batch_size`` rows.
     """
-    use_cl = cfg.continual_learning is not None and cfg.continual_learning.value == "myCL"
-    applications = 2 if cfg.shared else 1
-
     def epoch(state: TrainState, embs, labels, valid, bank, class_mask, threshold, key):
         # One epoch-level permutation gather OUTSIDE the scan; the scan then
         # streams contiguous (B, D) slabs (cheap to compile and to run —
@@ -187,31 +197,11 @@ def build_fused_epoch(
         labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
         valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
 
+        core = _train_core(pair, tx, cfg)
+
         def body(st, batch):
             b_embs, b_labels, b_mask = batch
-            snapshot = st.params
-
-            def loss_fn(params):
-                out = _forward(pair, params, b_embs, bank, cfg)
-                lbl = change_labels(b_labels) if cfg.change_labels else b_labels
-                mask = b_mask[:, None] * class_mask[None, :]
-                return bce_with_logits(out.logits, lbl, mask), out
-
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
-            updates, opt_state = tx.update(grads, st.opt_state, st.params)
-            params = optax.apply_updates(st.params, updates)
-            metrics: Dict[str, jnp.ndarray] = {"loss": loss}
-            if use_cl:
-                params, n_reset, n_updated = weight_reset(
-                    params, snapshot, threshold, applications=applications
-                )
-                metrics["n_reset"] = n_reset
-                metrics["n_updated"] = n_updated
-            if out.max_mean_gap is not None:
-                denom = jnp.maximum(jnp.sum(class_mask), 1.0)
-                metrics["max_mean_gap_pos"] = jnp.sum(out.max_mean_gap[0] * class_mask) / denom
-                metrics["max_mean_gap_neg"] = jnp.sum(out.max_mean_gap[1] * class_mask) / denom
-            return TrainState(params, opt_state, st.step + 1), metrics
+            return core(st, b_embs, b_labels, b_mask, class_mask, bank, threshold)
 
         return jax.lax.scan(body, state, (embs_s, labels_s, valid_s))
 
@@ -235,7 +225,7 @@ def build_eval_step(pair: AdapterPair, cfg: ExperimentConfig, on_mesh: bool = Fa
 
     # pallas_call under whole-array jit does not accept sharded operands
     # (that needs shard_map); keep the jnp path on meshes.
-    use_pallas = _eval_uses_pallas(cfg) and not on_mesh
+    use_pallas = _eval_uses_pallas() and not on_mesh
 
     def step(params, embs, labels, elem_mask, bank):
         out = _forward(pair, params, embs, bank, cfg, use_pallas=use_pallas)
@@ -252,16 +242,33 @@ def build_fused_eval(pair: AdapterPair, cfg: ExperimentConfig, on_mesh: bool = F
     scores (Npad,C), preds (Npad,C)).  Batching follows the reference's
     fixed eval batch (Trainer.py:241-246) so per-batch val/Loss scalars
     are preserved."""
-    use_pallas = _eval_uses_pallas(cfg) and not on_mesh
+    use_pallas = _eval_uses_pallas() and not on_mesh
 
     def eval_pass(params, embs, labels, valid, bank):
+        if embs.shape[0] % cfg.eval_batch_size:
+            # the scan floor-divides: a non-multiple row count would silently
+            # drop the tail (callers pad via _device_data; enforce it)
+            raise ValueError(
+                f"{embs.shape[0]} rows not a multiple of eval batch "
+                f"{cfg.eval_batch_size}; pad the dataset first"
+            )
         n_b = embs.shape[0] // cfg.eval_batch_size
+        # the text-adapted bank is loop-invariant: adapt ONCE per eval pass,
+        # not once per scan iteration (XLA does not hoist out of scan bodies)
+        adapted_bank = (
+            apply_text_adapter_to_bank(pair.apply_text, params, bank)
+            if pair.use_text else bank
+        )
 
         def body(_, idx):
             b_embs = jax.lax.dynamic_slice_in_dim(embs, idx * cfg.eval_batch_size, cfg.eval_batch_size)
             b_labels = jax.lax.dynamic_slice_in_dim(labels, idx * cfg.eval_batch_size, cfg.eval_batch_size)
             b_mask = jax.lax.dynamic_slice_in_dim(valid, idx * cfg.eval_batch_size, cfg.eval_batch_size)
-            out = _forward(pair, params, b_embs, bank, cfg, use_pallas=use_pallas)
+            image_embs = pair.apply_image(params, b_embs)
+            out = score_embeddings(
+                image_embs, adapted_bank, cfg.prompt_mode,
+                cfg.train_logit_diff, cfg.pred_logit_diff, use_pallas=use_pallas,
+            )
             lbl = change_labels(b_labels) if cfg.change_labels else b_labels
             loss = bce_with_logits(out.logits, lbl, b_mask[:, None] * jnp.ones((1, lbl.shape[1])))
             return None, (loss, out.scores, out.preds)

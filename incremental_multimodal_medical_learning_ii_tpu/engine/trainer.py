@@ -235,8 +235,10 @@ class Trainer:
         for (iteration, _), metrics in zip(pending, fetched):
             self.writer.add_scalar("train/Loss", float(metrics["loss"]), iteration)
             if sched is not None:
+                # reference logs AFTER scheduler.step() (Trainer.py:598-601):
+                # the value for iteration i is the post-step LR, sched(i)
                 self.writer.add_scalar(
-                    "train/LR", float(sched(metrics["_step"])), iteration
+                    "train/LR", float(sched(metrics["_step"] + 1)), iteration
                 )
             if "max_mean_gap_pos" in metrics and self.writer.enabled:
                 self._gap_counter += 1
@@ -380,8 +382,9 @@ class Trainer:
             iteration = iteration_of(i)
             self.writer.add_scalar("train/Loss", float(fetched["loss"][i]), iteration)
             if sched is not None:
+                # post-step LR, matching the reference's step-then-log order
                 self.writer.add_scalar(
-                    "train/LR", float(sched(self._py_step)), iteration
+                    "train/LR", float(sched(self._py_step + 1)), iteration
                 )
             if "max_mean_gap_pos" in fetched and self.writer.enabled:
                 self._gap_counter += 1

@@ -139,11 +139,11 @@ def _reduced_similarities(
         pos_max, pos_mean = _max_and_mean(bank.pos, bank.pos_count)
         neg_max, neg_mean = _max_and_mean(bank.neg, bank.neg_count)
         # Reference logs mean(max - mean) per class per call
-        # (Trainer.py:1698-1703); we return the batch-mean gap per class and
-        # let the engine reduce over whichever classes are being trained.
-        gaps = jnp.stack(
-            [jnp.mean(pos_max - pos_mean, axis=0), jnp.mean(neg_max - neg_mean, axis=0)]
-        )
+        # (Trainer.py:1698-1703) over the REAL batch rows; return PER-ROW
+        # gaps (2, B, C) so the engine can exclude zero-padded rows (its
+        # elem_mask) before averaging — an unmasked batch mean here would
+        # let padding rows contaminate the monitor.
+        gaps = jnp.stack([pos_max - pos_mean, neg_max - neg_mean])
         return pos_max, neg_max, gaps
 
     # SINGLE / MEAN: mean over prompts after the adapter, then cosine of the

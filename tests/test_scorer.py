@@ -97,11 +97,12 @@ def test_max_mode_matches_reference_math(rng):
     for c in range(5):
         sims = torch_pairwise_cosine(x, pos[c, : counts[c]])  # (B, P_c)
         np.testing.assert_allclose(np.asarray(out.pos_sim)[:, c], sims.max(axis=1), atol=1e-5)
-    assert out.max_mean_gap.shape == (2, 5)
-    # gap per class = mean over batch of (max - mean over valid prompts)
+    assert out.max_mean_gap.shape == (2, x.shape[0], 5)  # per-row gaps
+    # gap per class = per-row (max - mean over valid prompts); the engine
+    # masks padded rows before averaging (steps.py::_train_core)
     sims0 = torch_pairwise_cosine(x, pos[0, : counts[0]])
-    gap0 = (sims0.max(axis=1) - sims0.mean(axis=1)).mean()
-    np.testing.assert_allclose(np.asarray(out.max_mean_gap)[0, 0], gap0, atol=1e-5)
+    gap0 = sims0.max(axis=1) - sims0.mean(axis=1)
+    np.testing.assert_allclose(np.asarray(out.max_mean_gap)[0, :, 0], gap0, atol=1e-5)
 
 
 def test_pred_logit_diff_score(rng):
