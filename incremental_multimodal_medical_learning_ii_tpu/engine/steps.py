@@ -191,11 +191,18 @@ def build_fused_epoch(
         # One epoch-level permutation gather OUTSIDE the scan; the scan then
         # streams contiguous (B, D) slabs (cheap to compile and to run —
         # per-batch gathers inside the scan body compile far slower).
-        perm = jax.random.permutation(key, embs.shape[0])
+        # shuffle_train=False (twin-run harness) keeps dataset order and
+        # skips the gather entirely (compile-time branch: cfg is static).
         b = cfg.batch_size
-        embs_s = jnp.take(embs, perm, axis=0).reshape(-1, b, embs.shape[1])
-        labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
-        valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
+        if cfg.shuffle_train:
+            perm = jax.random.permutation(key, embs.shape[0])
+            embs_s = jnp.take(embs, perm, axis=0).reshape(-1, b, embs.shape[1])
+            labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
+            valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
+        else:
+            embs_s = embs.reshape(-1, b, embs.shape[1])
+            labels_s = labels.reshape(-1, b, labels.shape[1])
+            valid_s = valid.reshape(-1, b)
 
         core = _train_core(pair, tx, cfg)
 

@@ -293,7 +293,7 @@ class Trainer:
             return
         pending = []
         for batch_idx, (embs, labels, mask) in enumerate(
-            self._batches(dataset, cfg.batch_size, shuffle=True), start=1
+            self._batches(dataset, cfg.batch_size, shuffle=cfg.shuffle_train), start=1
         ):
             metrics = dict(
                 self._run_train_batch(
@@ -433,7 +433,7 @@ class Trainer:
             )
             return last_batch + n_b
         pending = []
-        for embs, labels, mask in self._batches(dataset, cfg.batch_size, shuffle=True):
+        for embs, labels, mask in self._batches(dataset, cfg.batch_size, shuffle=cfg.shuffle_train):
             batch_idx += 1
             metrics = dict(
                 self._run_train_batch(

@@ -116,6 +116,11 @@ class ExperimentConfig:
     # data (engine/steps.py::build_fused_epoch); falls back to the per-batch
     # path on a multi-chip mesh or non-resident batch sources.
     fused_epoch: bool = True
+    # Reference trains with a reshuffling DataLoader (Trainer.py:238-240).
+    # False iterates batches in dataset order — used by the twin-run parity
+    # harness (tests/test_twin_run.py) to lockstep against the reference's
+    # own Trainer.py, and for exact-reproducibility studies.
+    shuffle_train: bool = True
     # Figure cadence: "reference" re-plots ROC/PR/scatter/t-SNE/heatmaps at
     # every eval like the reference (host-bound: ~10 matplotlib figures per
     # eval); "final" only at the last epoch/part/task; "off" scalars only.

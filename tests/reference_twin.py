@@ -1,0 +1,494 @@
+"""Twin-run harness: execute the reference's OWN ``Trainer.py`` as ground truth.
+
+Every other parity test in this suite compares the framework against a
+*re-implementation* of the reference's math (torch fixtures).  This module
+instead imports and runs ``/root/reference/Trainer.py`` itself — the actual
+1,729-line training engine — on tiny synthetic embedding datasets, so a
+shared misreading of its bookkeeping (``Trainer.py:526-1072``,
+``:1556-1632``) cannot hide.
+
+Only three genuinely-absent imports are stubbed (``sys.modules``), exactly as
+scoped by the round-2 review:
+
+* ``torchvision.io.read_image`` / ``torchvision.utils.make_grid`` — unused on
+  the cached-embedding training path (only hit by the epoch-1 pre-rendered
+  PNG re-log, which the stub satisfies with a dummy image);
+* ``torchmetrics.functional.pairwise_cosine_similarity`` — re-stated with the
+  exact torchmetrics math (row-L2-normalise both operands, matmul);
+* ``health_multimodal.text.get_cxr_bert_inference`` — a deterministic fake
+  text encoder (the CXR-BERT weights are not in this environment); the SAME
+  prompt->embedding function feeds the framework's PromptBank, so the two
+  sides see identical raw prompt embeddings and the comparison isolates the
+  training/eval engines.
+
+The reference's visual-only ``TSNE`` attribute is additionally patched
+(sklearn>=1.2 raises on 10-sample t-SNE; the substitute only feeds figures,
+never the compared scalar streams).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib
+import sys
+import types
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+REF_DIR = "/root/reference"
+EMB_DIM = 128
+
+# ----------------------------------------------------------------------
+# Deterministic prompt encoder shared by BOTH sides
+# ----------------------------------------------------------------------
+def fake_encode(texts: Sequence[str], seed: int = 123) -> np.ndarray:
+    """Same scheme as text/bank.synthetic_encode_fn: each distinct prompt
+    string maps to a fixed pseudo-random (128,) fp32 embedding."""
+    out = np.empty((len(texts), EMB_DIM), np.float32)
+    for i, t in enumerate(texts):
+        digest = hashlib.sha256(f"{seed}|{t}".encode()).digest()
+        h = int.from_bytes(digest[:8], "little") % (2**32)
+        out[i] = np.random.default_rng(h).normal(size=EMB_DIM)
+    return out
+
+
+# ----------------------------------------------------------------------
+# sys.modules stubs for the three absent imports
+# ----------------------------------------------------------------------
+def _install_stubs() -> None:
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_io = types.ModuleType("torchvision.io")
+        tv_io.read_image = lambda path: torch.zeros((3, 4, 4), dtype=torch.uint8)
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.make_grid = lambda x, **k: x
+        tv_tf = types.ModuleType("torchvision.transforms")
+        tv.io, tv.utils, tv.transforms = tv_io, tv_utils, tv_tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.io"] = tv_io
+        sys.modules["torchvision.utils"] = tv_utils
+        sys.modules["torchvision.transforms"] = tv_tf
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        tm_f = types.ModuleType("torchmetrics.functional")
+
+        def pairwise_cosine_similarity(x, y=None, zero_diagonal=None):
+            # exact torchmetrics math: row-L2-normalise, matmul
+            y = x if y is None else y
+            xn = x / x.norm(p=2, dim=1, keepdim=True)
+            yn = y / y.norm(p=2, dim=1, keepdim=True)
+            d = xn @ yn.T
+            if zero_diagonal:
+                d.fill_diagonal_(0)
+            return d
+
+        tm_f.pairwise_cosine_similarity = pairwise_cosine_similarity
+        tm.functional = tm_f
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.functional"] = tm_f
+
+    if "health_multimodal" not in sys.modules:
+        # pre-empt the real vendored package (pulls torchvision/transformers)
+        hm = types.ModuleType("health_multimodal")
+        hm_text = types.ModuleType("health_multimodal.text")
+
+        class FakeTextEngine:
+            """Deterministic stand-in for TextInferenceEngine
+            (health_multimodal/text/inference_engine.py:50-70): returns the
+            shared fake embeddings, always under no_grad like the original's
+            decorator."""
+
+            def get_embeddings_from_prompt(self, prompts, normalize=True, verbose=True):
+                if isinstance(prompts, str):
+                    prompts = [prompts]
+                with torch.no_grad():
+                    emb = torch.from_numpy(fake_encode(list(prompts)))
+                    if normalize:
+                        emb = emb / emb.norm(p=2, dim=1, keepdim=True)
+                return emb
+
+        hm_text.get_cxr_bert_inference = lambda: FakeTextEngine()
+        hm.text = hm_text
+        sys.modules["health_multimodal"] = hm
+        sys.modules["health_multimodal.text"] = hm_text
+
+
+class _VisualTSNE:
+    """Figure-only TSNE substitute (sklearn>=1.2 rejects 10-sample t-SNE);
+    never feeds a compared scalar stream."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def fit_transform(self, X):
+        X = np.asarray(X, np.float64)
+        return X[:, :2].copy()
+
+
+_ref_mod = None
+
+
+def load_reference_trainer_module():
+    """Import /root/reference/Trainer.py with the three stubs installed."""
+    global _ref_mod
+    if _ref_mod is not None:
+        return _ref_mod
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _install_stubs()
+    if REF_DIR not in sys.path:
+        sys.path.insert(0, REF_DIR)
+    _ref_mod = importlib.import_module("Trainer")
+    _ref_mod.TSNE = _VisualTSNE
+    return _ref_mod
+
+
+# ----------------------------------------------------------------------
+# Reference-side runner
+# ----------------------------------------------------------------------
+class RefRecorder:
+    """SummaryWriter stand-in that records scalars and drops figures."""
+
+    def __init__(self):
+        self.scalars: List[Tuple[str, float, int]] = []
+        self.log_dir = None
+
+    def add_scalar(self, tag, value, step):
+        v = value.item() if hasattr(value, "item") else value
+        self.scalars.append((tag, float(v), int(step)))
+
+    def add_figure(self, tag, figure, step=0):
+        import matplotlib.pyplot as plt
+
+        plt.close(figure)
+
+    def add_image(self, *a, **k):
+        pass
+
+
+def configure_reference(
+    mod,
+    *,
+    shared: bool = False,
+    image_model: bool = True,
+    text_model: bool = True,
+    model_used: str = "mlp",
+    optim: str = "adam",
+    max_emb: bool = False,
+    train_logit_diff: bool = True,
+    pred_logit_diff: bool = False,
+    change_labels: bool = False,
+) -> None:
+    """Set the reference's module-level config globals (Trainer.py:41-57)."""
+    mod.SHARED = shared
+    mod.IMAGE_MODEL = image_model
+    mod.TEXT_MODEL = text_model
+    mod.MODEL_USED = model_used
+    mod.OPTIM = optim
+    mod.MAX_EMB = max_emb
+    mod.NEW_PROMPTS = False
+    mod.TRAIN_LOGIT_DIFF = train_logit_diff
+    mod.PRED_LOGIT_DIFF = pred_logit_diff
+    mod.CHANGE_LABELS = change_labels
+
+
+def make_loader(embs: np.ndarray, labels: np.ndarray, batch_size: int):
+    """Deterministic (shuffle=False, single-process) loader — the twin fixes
+    batch order on both sides; the reference's shuffling DataLoader
+    (Trainer.py:238-246) is exercised separately for statistics-invariant
+    behaviour by the suite's splitter/statistics tests."""
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    ds = TensorDataset(torch.from_numpy(embs.copy()), torch.from_numpy(labels.copy()))
+    return DataLoader(ds, batch_size=batch_size, shuffle=False, num_workers=0)
+
+
+def contiguous_parts(n: int, parts: int) -> List[range]:
+    """The reference's ceil-sized contiguous split ranges (Trainer.py:1214-1231)."""
+    import math
+
+    size = math.ceil(n / parts)
+    return [range(i * size, min((i + 1) * size, n)) for i in range(parts)]
+
+
+def label_parts(labels: np.ndarray) -> List[np.ndarray]:
+    """split_dataloader_by_label index sets (Trainer.py:1187-1212)."""
+    return [np.where(labels[:, i] == 1)[0] for i in range(labels.shape[1])]
+
+
+def torch_adapter_params(module) -> Dict:
+    """Reference nn.Sequential adapter -> this framework's param layout
+    (kernel stored (in, out) = torch weight transposed)."""
+    sd = module.state_dict()
+    out = {
+        "dense1": {
+            "kernel": sd["layer.0.weight"].T.contiguous().numpy().copy(),
+            "bias": sd["layer.0.bias"].numpy().copy(),
+        }
+    }
+    if "layer.2.weight" in sd:
+        out["dense2"] = {
+            "kernel": sd["layer.2.weight"].T.contiguous().numpy().copy(),
+            "bias": sd["layer.2.bias"].numpy().copy(),
+        }
+    return out
+
+
+def reference_initial_params(ref_trainer, shared: bool) -> Dict:
+    """Snapshot the reference trainer's freshly-initialised adapters in this
+    framework's pytree layout ({'shared'|'image'/'text': {...}})."""
+    if shared:
+        return {"shared": torch_adapter_params(ref_trainer.image_adapter)}
+    params: Dict = {}
+    if ref_trainer.image_adapter is not None:
+        params["image"] = torch_adapter_params(ref_trainer.image_adapter)
+    if ref_trainer.text_adapter is not None:
+        params["text"] = torch_adapter_params(ref_trainer.text_adapter)
+    return params
+
+
+def reference_final_params(ref_trainer, shared: bool) -> Dict:
+    return reference_initial_params(ref_trainer, shared)
+
+
+# ----------------------------------------------------------------------
+# Reference driver loops (mirroring the three __main__ blocks)
+# ----------------------------------------------------------------------
+CLASS_NAMES = ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema", "Pleural Effusion"]
+
+
+def run_reference_joint(
+    mod, prompts, data, *, single_prompt=False, lr=1e-4, batch_size=64,
+    eval_batch_size=64, epochs=3, seed=7,
+):
+    """ZERO_JOINT_BOUNDS.py:16-72 with deterministic loaders."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    rec = RefRecorder()
+    trainer = mod.Trainer(single_prompt, prompts, CLASS_NAMES, "standard", lr,
+                          torch.device("cpu"), rec)
+    init_params = reference_initial_params(trainer, mod.SHARED)
+    criterion = nn.BCEWithLogitsLoss()
+    train_loader = make_loader(data["train_x"], data["train_y"], batch_size)
+    val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
+    test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)
+    if epochs > 0:
+        for epoch in range(1, epochs + 1):
+            trainer.train(train_loader, criterion, epoch, None, 0.5, actual_task=epoch)
+            trainer.val(val_loader, criterion, epoch, epochs, mode="joint", tasks_order=None)
+            trainer.test(test_loader, criterion, epoch, epochs, mode="joint",
+                         tasks_order=None, plot_tsne_array=None)
+    else:
+        trainer.val(val_loader, criterion, 0, 0, mode="zero", tasks_order=None)
+        trainer.test(test_loader, criterion, 0, 0, mode="zero", tasks_order=None,
+                     plot_tsne_array=None)
+    return rec, trainer, init_params
+
+
+def run_reference_data_incremental(
+    mod, prompts, data, *, lr=1e-4, batch_size=64, eval_batch_size=64,
+    parts=3, epochs=2, continual=None, threshold=0.01, adder=0.001,
+    threshold_scheduling=True, seed=7, single_prompt=False,
+):
+    """DATA_INCREMENTAL.py:44-97 with deterministic loaders."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    rec = RefRecorder()
+    trainer = mod.Trainer(single_prompt, prompts, CLASS_NAMES, "standard", lr,
+                          torch.device("cpu"), rec)
+    init_params = reference_initial_params(trainer, mod.SHARED)
+    criterion = nn.BCEWithLogitsLoss()
+    n = len(data["train_x"])
+    part_loaders = [
+        make_loader(data["train_x"][r.start : r.stop], data["train_y"][r.start : r.stop],
+                    batch_size)
+        for r in contiguous_parts(n, parts)
+    ]
+    val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
+    test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)
+    count = 0
+    for part in range(1, parts + 1):
+        for epoch in range(1, epochs + 1):
+            count += 1
+            threshold = threshold + adder
+            if threshold_scheduling and continual is not None:
+                rec.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+            if continual == "profCL":
+                trainer.model_copy()
+            trainer.train(part_loaders[part - 1], criterion, epoch, continual,
+                          threshold, part=part, epochs=epochs, actual_task=part)
+            if continual == "profCL":
+                trainer.profIncremental(epoch, epochs, part, threshold)
+        trainer.val(val_loader, criterion, part, parts, mode="data-inc", tasks_order=part)
+        trainer.test(test_loader, criterion, part, parts, mode="data-inc",
+                     tasks_order=part, plot_tsne_array=None)
+    return rec, trainer, init_params
+
+
+def run_reference_class_incremental(
+    mod, prompts, data, *, lr=1e-4, batch_size=64, eval_batch_size=64,
+    epochs=2, n_tasks=5, mode="class-pos-neg", more_labels=False,
+    continual=None, threshold=0.01, adder=0.001, threshold_scheduling=False,
+    seed=7, single_prompt=False,
+):
+    """CLASS_INCREMENTAL.py:32-97 with deterministic loaders."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    rec = RefRecorder()
+    trainer = mod.Trainer(single_prompt, prompts, CLASS_NAMES, "standard", lr,
+                          torch.device("cpu"), rec)
+    init_params = reference_initial_params(trainer, mod.SHARED)
+    criterion = nn.BCEWithLogitsLoss()
+    tasks_order = list(range(n_tasks))
+    n = len(data["train_x"])
+    if mode == "class-pos-neg":
+        idx_sets = [np.arange(r.start, r.stop) for r in contiguous_parts(n, 5)]
+    else:  # class-pos: per-disease positives, with intersection
+        idx_sets = label_parts(data["train_y"])
+    task_loaders = [
+        make_loader(data["train_x"][idx], data["train_y"][idx], batch_size)
+        for idx in idx_sets
+    ]
+    val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
+    test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)
+    last_batch = 0
+    count = 0
+    for actual_task in range(1, n_tasks + 1):
+        for epoch in range(1, epochs + 1):
+            count += 1
+            threshold = threshold + adder
+            if threshold_scheduling and continual is not None:
+                rec.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+            if continual == "profCL" and actual_task > 1:
+                trainer.model_copy()
+            if not more_labels:
+                last_batch = trainer.train_class_incremental(
+                    task_loaders[actual_task - 1], criterion, epoch, continual,
+                    threshold, tasks_order[actual_task - 1], last_batch, actual_task)
+            else:
+                last_batch = trainer.train_class_more_labels_incremental(
+                    task_loaders[actual_task - 1], criterion, epoch, continual,
+                    threshold, tasks_order[actual_task - 1], last_batch, actual_task)
+            if continual == "profCL" and actual_task > 1:
+                trainer.profIncremental(epoch, epochs, actual_task, threshold)
+        trainer.val(val_loader, criterion, actual_task, epochs, mode=mode,
+                    tasks_order=tasks_order)
+        trainer.test(test_loader, criterion, actual_task, epochs, mode=mode,
+                     tasks_order=tasks_order, plot_tsne_array=None)
+    return rec, trainer, init_params
+
+
+# ----------------------------------------------------------------------
+# Stream comparison
+# ----------------------------------------------------------------------
+def stream(scalars: List[Tuple[str, float, int]], tag: str) -> List[Tuple[int, float]]:
+    return [(s, v) for (t, v, s) in scalars if t == tag]
+
+
+def assert_stream_match(
+    ref_scalars, fw_scalars, tag: str, atol: float, rtol: float = 0.0
+) -> None:
+    r, f = stream(ref_scalars, tag), stream(fw_scalars, tag)
+    assert len(r) > 0, f"reference emitted no {tag!r} events"
+    assert [s for s, _ in r] == [s for s, _ in f], (
+        f"{tag!r}: step sequences differ\n ref={[s for s, _ in r]}\n fw ={[s for s, _ in f]}"
+    )
+    rv = np.array([v for _, v in r])
+    fv = np.array([v for _, v in f])
+    if not np.allclose(rv, fv, atol=atol, rtol=rtol):
+        worst = int(np.argmax(np.abs(rv - fv)))
+        raise AssertionError(
+            f"{tag!r}: values diverge (max |d|={np.abs(rv - fv).max():.3e} at "
+            f"step {r[worst][0]}: ref={rv[worst]:.6f} fw={fv[worst]:.6f})"
+        )
+
+
+# ----------------------------------------------------------------------
+# Framework-side plumbing
+# ----------------------------------------------------------------------
+def make_fw_recorder():
+    """A TBWriter that records scalars in memory (log_dir stays None so the
+    protocols skip checkpoint writes)."""
+    import matplotlib.pyplot as plt
+
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation.tb import TBWriter
+
+    class FWRecorder(TBWriter):
+        def __init__(self):
+            super().__init__(None)
+            self.scalars: List[Tuple[str, float, int]] = []
+
+        @property
+        def enabled(self):
+            return True
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, float(value), int(step)))
+
+        def add_figure(self, tag, figure, step=0):
+            plt.close(figure)
+
+        def commit(self):
+            pass
+
+        def discard(self):
+            pass
+
+        def close(self):
+            pass
+
+    return FWRecorder()
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def patched_protocols(init_params):
+    """Route the framework protocols' writer to a recorder and seed the
+    trainer with the reference's initial adapter weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine import protocols
+
+    rec = make_fw_recorder()
+    orig_writer, orig_trainer = protocols._make_writer, protocols.Trainer
+
+    def factory(cfg, bank, writer, mesh=None):
+        t = orig_trainer(cfg, bank, writer, mesh)
+        if init_params:
+            p = jax.tree_util.tree_map(jnp.asarray, init_params)
+            t.state = t.state._replace(params=p, opt_state=t.tx.init(p))
+        return t
+
+    protocols._make_writer = lambda cfg, log_dir: rec
+    protocols.Trainer = factory
+    try:
+        yield rec
+    finally:
+        protocols._make_writer, protocols.Trainer = orig_writer, orig_trainer
+
+
+def max_param_diff(ref_params: Dict, fw_params) -> float:
+    import jax
+
+    ref_leaves = jax.tree_util.tree_leaves(ref_params)
+    fw_leaves = jax.tree_util.tree_leaves(jax.device_get(fw_params))
+    assert len(ref_leaves) == len(fw_leaves) > 0
+    return max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(ref_leaves, fw_leaves)
+    )

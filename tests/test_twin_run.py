@@ -1,0 +1,304 @@
+"""Twin-run parity: the reference's OWN Trainer.py vs this framework.
+
+Each test runs one regime twice — once through ``/root/reference/Trainer.py``
+(imported and executed directly, see tests/reference_twin.py) and once
+through this framework's protocols — on identical synthetic data, identical
+prompt embeddings, identical initial adapter weights, and identical
+(deterministic) batch order, then asserts:
+
+* the TB scalar streams match (train/Loss, val/Loss, val/test metrics,
+  monitor-resets/*, max-mean-comparison/*) to fp32 tolerance;
+* the final adapter parameters match elementwise.
+
+This is the one bug class the rest of the suite structurally cannot catch: a
+shared misreading of the reference's bookkeeping (Trainer.py:526-1072,
+1556-1632) would make framework and torch-fixture agree with each other but
+not with the reference itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_twin import (  # noqa: E402
+    CLASS_NAMES,
+    assert_stream_match,
+    load_reference_trainer_module,
+    max_param_diff,
+    patched_protocols,
+    run_reference_class_incremental,
+    run_reference_data_incremental,
+    run_reference_joint,
+    stream,
+)
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import (  # noqa: E402
+    EmbeddingDataset,
+)
+from incremental_multimodal_medical_learning_ii_tpu.engine import protocols  # noqa: E402
+from incremental_multimodal_medical_learning_ii_tpu.text.bank import (  # noqa: E402
+    build_prompt_bank,
+    synthetic_encode_fn,
+)
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (  # noqa: E402
+    ExperimentConfig,
+)
+
+pytestmark = pytest.mark.slow
+
+# ----------------------------------------------------------------------
+# Shared fixtures
+# ----------------------------------------------------------------------
+N_TRAIN, N_VAL, N_TEST = 200, 160, 176
+BS, EVAL_BS = 64, 64
+
+# Scalar-stream tolerances.  Losses accumulate fp32 drift over Adam steps;
+# sklearn metrics can flip a rank on near-tied scores, so they get a looser
+# absolute tolerance.  Measured drift on this suite: train/Loss <= 1.2e-7,
+# final params <= 3.6e-6 across joint/myCL/profCL; tolerances sit ~10-30x
+# above that.
+LOSS_ATOL = 5e-6
+METRIC_ATOL = 1e-3
+PARAM_ATOL = 1e-5
+
+METRIC_TAGS = [
+    f"{vt}/{m}"
+    for vt in ("val", "test")
+    for m in ("Accuracy", "F1-macro score", "F1-weighted score", "AUROC-macro", "AUROC-weighted")
+]
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+
+    def block(n):
+        x = rng.normal(size=(n, 128)).astype(np.float32)
+        y = (rng.random((n, 5)) < 0.4).astype(np.float32)
+        return x, y
+
+    tx, ty = block(N_TRAIN)
+    vx, vy = block(N_VAL)
+    sx, sy = block(N_TEST)
+    # every class must have both outcomes in every eval split (AUROC defined)
+    for y in (vy, sy):
+        assert set(np.unique(y)) == {0.0, 1.0}
+        assert (y.sum(0) > 0).all() and (y.sum(0) < len(y)).all()
+    return {
+        "train_x": tx, "train_y": ty,
+        "val_x": vx, "val_y": vy,
+        "test_x": sx, "test_y": sy,
+    }
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return load_reference_trainer_module()
+
+
+def ref_prompts(single: bool):
+    import sys
+
+    dr = sys.modules["DataRetrieval"]
+    if single:
+        return dr.basic_create_prompts(CLASS_NAMES)
+    return dr.create_prompts(CLASS_NAMES)
+
+
+def fw_bundle(data):
+    return protocols.DataBundle(
+        train=EmbeddingDataset(data["train_x"], data["train_y"]),
+        val=EmbeddingDataset(data["val_x"], data["val_y"]),
+        test=EmbeddingDataset(data["test_x"], data["test_y"]),
+    )
+
+
+def fw_bank(prompts, train_logit_diff=True):
+    return build_prompt_bank(
+        synthetic_encode_fn(seed=123), prompts, CLASS_NAMES,
+        train_logit_diff=train_logit_diff,
+    )
+
+
+def compare_streams(ref_rec, fw_rec, *, losses=("train/Loss", "val/Loss"),
+                    metrics=METRIC_TAGS, monitors=()):
+    for tag in losses:
+        assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag, atol=LOSS_ATOL)
+    for tag in metrics:
+        assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag, atol=METRIC_ATOL)
+    for tag, atol in monitors:
+        assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag, atol=atol)
+
+
+def base_cfg(**kw):
+    kw.setdefault("batch_size", BS)
+    kw.setdefault("eval_batch_size", EVAL_BS)
+    kw.setdefault("lr", 1e-4)
+    kw.setdefault("shuffle_train", False)
+    kw.setdefault("plot_figures", "off")
+    return ExperimentConfig(**kw)
+
+
+# ----------------------------------------------------------------------
+# Regime twins
+# ----------------------------------------------------------------------
+def test_twin_joint_mean_double_mlp(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)  # defaults: double mlp adapters, adam, MEAN
+    ref_rec, ref_trainer, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=3, lr=1e-4, batch_size=BS,
+        eval_batch_size=EVAL_BS,
+    )
+    cfg = base_cfg(mode="joint", epochs=3, adapter="mlp", prompt_mode="mean")
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                           log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_joint_max_emb(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, max_emb=True)
+    ref_rec, ref_trainer, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=2, lr=1e-4, batch_size=BS,
+        eval_batch_size=EVAL_BS,
+    )
+    cfg = base_cfg(mode="joint", epochs=2, adapter="mlp", prompt_mode="max")
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                           log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    # max-mean gap monitor: the reference logs one scalar per class per batch
+    # (Trainer.py:1698-1703); the framework logs the per-batch mean over the
+    # trained classes — average the reference's per-class groups of 5.
+    for tag in ("max-mean-comparison/pos", "max-mean-comparison/neg"):
+        ref_vals = np.array([v for _, v in stream(ref_rec.scalars, tag)])
+        fw_vals = np.array([v for _, v in stream(fw_rec.scalars, tag)])
+        assert len(ref_vals) == 5 * len(fw_vals) > 0
+        grouped = ref_vals.reshape(-1, 5).mean(axis=1)
+        np.testing.assert_allclose(grouped, fw_vals, atol=1e-5)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_data_incremental_mycl(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    ref_rec, ref_trainer, init_params = run_reference_data_incremental(
+        ref_mod, prompts, data, parts=3, epochs=2, continual="myCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+    )
+    cfg = base_cfg(
+        mode="data-inc", parts=3, epochs=2, continual_learning="myCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+    )
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_data_incremental(cfg, fw_bundle(data),
+                                                 fw_bank(prompts), log_dir=None)
+    compare_streams(
+        ref_rec, fw_rec,
+        monitors=[
+            ("monitor-resets/threshold-scheduling", 1e-7),
+            ("monitor-resets/resets", 2.0),
+            ("monitor-resets/updates", 2.0),
+            ("monitor-resets/percentage resets", 1e-4),
+        ],
+    )
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_data_incremental_profcl(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    ref_rec, ref_trainer, init_params = run_reference_data_incremental(
+        ref_mod, prompts, data, parts=3, epochs=2, continual="profCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+    )
+    cfg = base_cfg(
+        mode="data-inc", parts=3, epochs=2, continual_learning="profCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+    )
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_data_incremental(cfg, fw_bundle(data),
+                                                 fw_bank(prompts), log_dir=None)
+    compare_streams(
+        ref_rec, fw_rec,
+        monitors=[
+            ("monitor-resets/threshold-scheduling", 1e-7),
+            ("monitor-resets/resets", 2.0),
+            ("monitor-resets/updates", 2.0),
+            ("monitor-resets/percentage resets", 1e-4),
+        ],
+    )
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_class_incremental_shared_sgd(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, shared=True, optim="sgd")
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
+        epochs=2, lr=0.1,
+    )
+    cfg = base_cfg(
+        mode="class-pos-neg", epochs=2, shared=True, optim="sgd", lr=0.1,
+    )
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_class_incremental(cfg, fw_bundle(data),
+                                                  fw_bank(prompts), log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=True)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_class_incremental_more_labels_pred_diff(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, model_used="dense", pred_logit_diff=True)
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos", more_labels=True, epochs=2,
+    )
+    cfg = base_cfg(
+        mode="class-pos", epochs=2, adapter="dense", more_labels=True,
+        pred_logit_diff=True,
+    )
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_class_incremental(cfg, fw_bundle(data),
+                                                  fw_bank(prompts), log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_zero_shot_single_prompt(ref_mod, data):
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=True)
+    rt.configure_reference(ref_mod, image_model=False, text_model=False,
+                           model_used="no-head")
+    ref_rec, _, _ = run_reference_joint(ref_mod, prompts, data, epochs=0,
+                                        single_prompt=True)
+    cfg = base_cfg(mode="zero", epochs=0, adapter="no-head",
+                   prompt_mode="single", image_adapter=False, text_adapter=False)
+    with patched_protocols(None) as fw_rec:
+        protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                 log_dir=None)
+    compare_streams(ref_rec, fw_rec, losses=("val/Loss",))
