@@ -88,9 +88,14 @@ def test_reproduce_dry_run(tmp_path, capsys):
 
 
 def test_extract_cli_multi_host(tmp_path, capsys):
-    """--num-hosts/--host-index shard the image list across hosts; the
-    per-host shard dirs glue back (prepare_data) into exactly the
-    single-host result."""
+    """--num-hosts/--host-index shard the image list across hosts; two hosts
+    run as SIMULTANEOUS subprocesses against ONE output root (the actual
+    deployment shape — a file-level race in the store/merge glue would
+    surface here), then the per-host shard dirs glue back (prepare_data)
+    into exactly the single-host result."""
+    import subprocess
+    import sys
+
     import numpy as np
 
     from incremental_multimodal_medical_learning_ii_tpu.cli.extract_embeddings import (
@@ -104,11 +109,29 @@ def test_extract_cli_multi_host(tmp_path, capsys):
     common = ["--synthetic", "10", "--batch-size", "4", "--size", "64",
               "--pad-to", "512"]
     extract_main(common + ["--out-dir", str(tmp_path / "single")])
-    for h in range(2):
-        extract_main(common + [
+
+    def host_cmd(h):
+        args = common + [
             "--out-dir", str(tmp_path / "multi"),
             "--num-hosts", "2", "--host-index", str(h),
-        ])
+        ]
+        # subprocess must pin the CPU backend itself: the axon sitecustomize
+        # force-sets jax_platforms after env parsing (CLAUDE.md)
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from incremental_multimodal_medical_learning_ii_tpu.cli."
+            f"extract_embeddings import main; main({args!r})"
+        )
+        return [sys.executable, "-c", code]
+
+    procs = [
+        subprocess.Popen(host_cmd(h), cwd="/root/repo",
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for h in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for h, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {h} failed:\n{out}"
     capsys.readouterr()
     prepare_main([
         "--shards", str(tmp_path / "multi" / "host-0"), str(tmp_path / "multi" / "host-1"),
