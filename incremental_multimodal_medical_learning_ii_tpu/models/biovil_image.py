@@ -78,6 +78,31 @@ def fold_grayscale_conv1(params: Params) -> Params:
     return folded
 
 
+def space_to_depth_stem(params: Params) -> Params:
+    """Reformulate the stem conv for space-to-depth input (exact math).
+
+    The 7x7-stride-2 conv1 with C_in=1 (grayscale-folded) feeds the MXU a
+    K=49 contraction — under 40% of the 128-lane systolic depth; rearranged
+    as a 4x4-stride-1 conv over 2x2 space-to-depth input the same 49 taps
+    form a K=64 contraction on quarter-area spatial extent (see
+    ``models/resnet.py::space_to_depth_stem_kernel``).  The forward
+    dispatches on the kernel shape, so transformed params run everywhere
+    (extraction, benches, serving) without signature changes.  Compose
+    AFTER :func:`fold_grayscale_conv1`.
+    """
+    from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+        space_to_depth_stem_kernel,
+    )
+
+    k = params["encoder"]["conv1"]["kernel"]
+    if k.shape[0] == 4:
+        return params
+    out = dict(params)
+    out["encoder"] = dict(params["encoder"])
+    out["encoder"]["conv1"] = {"kernel": space_to_depth_stem_kernel(k)}
+    return out
+
+
 def _projector_forward(proj: Params, patches: jnp.ndarray) -> jnp.ndarray:
     h = conv2d(patches, proj["conv1"]["kernel"], 1, 0)
     h = jax.nn.relu(batch_norm_inference(h, proj["bn"]))

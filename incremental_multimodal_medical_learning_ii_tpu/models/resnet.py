@@ -58,6 +58,65 @@ def conv_apply(p: Params, x: jnp.ndarray, stride: int, padding: int, dilation: i
     return conv2d(x, p["kernel"], stride, padding, dilation)
 
 
+def space_to_depth_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel index = (r%2)*2 + (c%2)
+    blocks of C (the layout :func:`space_to_depth_stem_kernel` targets)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def space_to_depth_stem_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange the stem's (7, 7, C, N) stride-2 kernel into the exact
+    (4, 4, 4C, N) stride-1 kernel over 2x2 space-to-depth input.
+
+    The 7x7-s2 conv reads rows 2*oi-3 .. 2*oi+3; in half-resolution
+    coordinates r = 2*(oi - 2 + a) + pr those are a in 0..3, parity pr in
+    {0, 1}, i.e. a 4x4 window with offset -2..1 (conv padding (2, 1)).
+    Tap (a, pr) maps to original kernel row 2a + pr - 1 (out of range ->
+    structural zero: only the (a=0, pr=0) corner).  Same for columns.  The
+    math is EXACT — only the MXU contraction depth changes (K: C*49 ->
+    4C*16, both cover the same 49 taps).
+    """
+    kh, kw, c, n = kernel.shape
+    if (kh, kw) != (7, 7):
+        raise ValueError(f"expected a 7x7 stem kernel, got {kernel.shape}")
+    w4 = jnp.zeros((4, 4, 4 * c, n), kernel.dtype)
+    for a in range(4):
+        for pr in range(2):
+            u = 2 * a + pr - 1  # original kernel row
+            if not 0 <= u <= 6:
+                continue
+            for b in range(4):
+                for pc in range(2):
+                    v = 2 * b + pc - 1
+                    if not 0 <= v <= 6:
+                        continue
+                    ch = (pr * 2 + pc) * c
+                    w4 = w4.at[a, b, ch : ch + c, :].set(kernel[u, v])
+    return w4
+
+
+def stem_conv_apply(p: Params, x: jnp.ndarray, conv=conv_apply) -> jnp.ndarray:
+    """The stem conv, dispatching on kernel shape: a (4, 4, 4C, N) kernel
+    (from :func:`space_to_depth_stem_kernel`) runs the space-to-depth
+    formulation — stride-1, padding (2, 1) — otherwise the standard
+    7x7-s2-p3 conv."""
+    k = p.get("kernel") if hasattr(p, "get") else None
+    if k is not None and k.shape[0] == 4:
+        xs = space_to_depth_2x2(x)
+        return jax.lax.conv_general_dilated(
+            xs,
+            k.astype(xs.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return conv(p, x, 2, 3)
+
+
 def batch_norm_inference(x: jnp.ndarray, bn: Params) -> jnp.ndarray:
     """Frozen BN: precomputable scale/shift, evaluated in fp32 statistics."""
     scale = (bn["scale"] / jnp.sqrt(bn["var"] + BN_EPS)).astype(x.dtype)
@@ -223,7 +282,7 @@ def resnet50_forward(
     (hook for the fused pallas kernel, ``ops/pallas_bottleneck.py``).
     """
     x = x.astype(dtype)
-    x0 = conv(params["conv1"], x, 2, 3)
+    x0 = stem_conv_apply(params["conv1"], x, conv=conv)
     x0 = jax.nn.relu(batch_norm_inference(x0, params["bn1"]))
     x0 = max_pool_3x3_s2(x0)
     feats = [x0]

@@ -71,6 +71,44 @@ def test_fold_grayscale_conv1_exact(image_params, rng):
     assert again["encoder"]["conv1"]["kernel"].shape[2] == 1
 
 
+def test_space_to_depth_stem_exact(image_params, rng):
+    """The 4x4-s1 space-to-depth stem reformulation covers the same 49 taps
+    as the 7x7-s2 conv (models/resnet.py::space_to_depth_stem_kernel) —
+    bit-identical in bf16, accumulation-order-only drift in fp32; works on
+    both the grayscale-folded and 3-channel kernels."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        biovil_image_forward,
+        fold_grayscale_conv1,
+        space_to_depth_stem,
+    )
+
+    gray_params = fold_grayscale_conv1(image_params)
+    s2d_params = space_to_depth_stem(gray_params)
+    assert s2d_params["encoder"]["conv1"]["kernel"].shape[:3] == (4, 4, 4)
+    gray = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    base = biovil_image_forward(gray_params, gray, dtype=jnp.bfloat16)
+    s2d = biovil_image_forward(s2d_params, gray, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(  # same taps, bf16 rounds identically
+        s2d.projected_global_embedding, base.projected_global_embedding
+    )
+    base32 = biovil_image_forward(gray_params, gray)
+    s2d32 = biovil_image_forward(s2d_params, gray)
+    np.testing.assert_allclose(
+        s2d32.projected_global_embedding, base32.projected_global_embedding,
+        rtol=1e-3, atol=2e-4,
+    )
+    # 3-channel kernel path + idempotence
+    s2d3 = space_to_depth_stem(image_params)
+    assert s2d3["encoder"]["conv1"]["kernel"].shape[:3] == (4, 4, 12)
+    assert space_to_depth_stem(s2d3) is s2d3
+    rgb = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        biovil_image_forward(s2d3, rgb).projected_global_embedding,
+        biovil_image_forward(image_params, rgb).projected_global_embedding,
+        rtol=1e-3, atol=2e-4,
+    )
+
+
 @pytest.mark.slow
 def test_extract_grayscale_conv1_parity(image_params, rng):
     """The grayscale fast path returns the same embeddings as the 3-channel
