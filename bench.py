@@ -48,6 +48,15 @@ IMG_H, IMG_W = 390, 320
 BATCH = 512
 IMAGES_PER_ROUND = 2048
 SIZE, CROP = 512, 512
+
+# FLOPs of ONE image through the fused preprocess + grayscale-folded BioViL
+# ResNet-50 forward at 512x512, from XLA cost analysis of the exact jitted
+# program (jit(preprocess+forward).lower().compile().cost_analysis(),
+# 2026-08-17; conv flops counted as 2xMACs — torchvision/fvcore-style "4.1
+# GFLOPs ResNet-50" counts MACs, i.e. HALF this convention).
+FLOPS_PER_IMAGE = 4.317e10
+# Peak dense bf16 per v5e chip; override for other TPU generations.
+PEAK_FLOPS_PER_CHIP = float(os.environ.get("IMML_PEAK_FLOPS", 197e12))
 MIN_ROUNDS = 2
 MAX_ROUNDS = 12
 MAX_FAILURES = 6
@@ -141,14 +150,27 @@ def main() -> None:
     # Device-side truth: the same fused preprocess+encode timed INSIDE one
     # jitted chained lax.scan (long-minus-short difference cancels dispatch
     # and readback) — the chip's real throughput, vs the tunnel-capped wall
-    # number above.  Uses bench_all.py's exact program shapes so the
-    # persistent compile cache is warm.  Soft-fails to None on any error.
-    device_rate = None
+    # number above.  Measured at the SAME batch as the wall loop (so the two
+    # numbers in this JSON are apples-to-apples) AND at the historical
+    # batch-256 shape (so round-over-round BENCH_r*.json stay comparable;
+    # its program is also in the shared persistent compile cache).
+    # Each soft-fails to None independently.
+    device_rate = device_rate_256 = None
     if os.environ.get("IMML_BENCH_DEVICE", "1") != "0":
-        try:
-            device_rate = _device_side_rate()
-        except Exception as e:  # noqa: BLE001
-            _log(f"[bench] device-side measurement skipped: {type(e).__name__}: {e}")
+        def _try_device(b):
+            try:
+                return _device_side_rate(batch=b)
+            except Exception as e:  # noqa: BLE001
+                _log(f"[bench] device-side (batch {b}) skipped: {type(e).__name__}: {e}")
+                return None
+
+        device_rate = _try_device(BATCH)
+        device_rate_256 = _try_device(256)
+
+    def mfu(rate):
+        if not rate:
+            return None
+        return round(rate * FLOPS_PER_IMAGE / PEAK_FLOPS_PER_CHIP, 4)
 
     print(
         json.dumps(
@@ -157,21 +179,31 @@ def main() -> None:
                 "value": round(best, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(best / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
+                "batch": BATCH,
                 "samples": [round(s, 2) for s in samples],
                 "median": round(median, 2),
                 "dispatch_ms_per_batch": [round(x, 1) for x in dispatch_ms],
                 "readback_ms_per_batch": [round(x, 1) for x in readback_ms],
                 "retried_batches": retried,
                 "failed_rounds": failures,
+                "flops_per_image": FLOPS_PER_IMAGE,
+                # wall MFU is tunnel-capped; device MFU is the chip's truth
+                "mfu_wall": mfu(best),
                 "device_images_per_sec_per_chip": (
                     round(device_rate, 1) if device_rate else None
                 ),
+                "device_batch": BATCH,
+                "mfu_device": mfu(device_rate),
+                "device_images_per_sec_per_chip_b256": (
+                    round(device_rate_256, 1) if device_rate_256 else None
+                ),
+                "mfu_device_b256": mfu(device_rate_256),
             }
         )
     )
 
 
-def _device_side_rate() -> float:
+def _device_side_rate(batch: int = 256) -> float:
     """Chained-scan device-only encode throughput (imgs/sec/chip) via the
     canonical shared loop (utils/device_bench.py — same program as
     bench_all.py's `extraction_device_images_per_sec_per_chip`, so the
@@ -188,7 +220,7 @@ def _device_side_rate() -> float:
 
     params = fold_grayscale_conv1(init_biovil_image_model(jax.random.PRNGKey(0)))
     return device_encode_rate(
-        params, batch=256, img_h=IMG_H, img_w=IMG_W, size=SIZE, crop=CROP,
+        params, batch=batch, img_h=IMG_H, img_w=IMG_W, size=SIZE, crop=CROP,
         channels=1,
     )
 
