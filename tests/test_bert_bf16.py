@@ -40,6 +40,7 @@ def test_bf16_encode_close_to_fp32(rng):
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow  # second full BERT compile in this module (~10s CPU)
 def test_bf16_projected_embeddings_fp32_head(rng):
     """The projection head + normalisation stay fp32 even on the bf16 path,
     and the directions agree with the fp32 stack."""

@@ -71,6 +71,24 @@ def test_fold_grayscale_conv1_exact(image_params, rng):
     assert again["encoder"]["conv1"]["kernel"].shape[2] == 1
 
 
+def test_space_to_depth_stem_kernel_exact(rng):
+    """Kernel-level check (fast tier): the rearranged 4x4-s1 stem conv over
+    2x2 space-to-depth input equals the 7x7-s2 conv on the raw input."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
+        conv2d,
+        space_to_depth_stem_kernel,
+        stem_conv_apply,
+    )
+
+    k = jnp.asarray(rng.normal(size=(7, 7, 1, 8)), jnp.float32)
+    x = jnp.asarray(rng.random((2, 16, 16, 1)), jnp.float32)
+    ref = conv2d(x, k, 2, 3)
+    out = stem_conv_apply({"kernel": space_to_depth_stem_kernel(k)}, x)
+    assert out.shape == ref.shape == (2, 8, 8, 8)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_space_to_depth_stem_exact(image_params, rng):
     """The 4x4-s1 space-to-depth stem reformulation covers the same 49 taps
     as the 7x7-s2 conv (models/resnet.py::space_to_depth_stem_kernel) —

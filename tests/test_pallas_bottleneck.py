@@ -32,7 +32,14 @@ def _xla_layer(layer, x):
     return out
 
 
-@pytest.mark.parametrize("h,w,rows", [(32, 32, 16), (64, 48, 32)])
+@pytest.mark.parametrize(
+    "h,w,rows",
+    [
+        (32, 32, 16),
+        # the larger interpret-mode run costs ~10s on this 1-vCPU host
+        pytest.param(64, 48, 32, marks=pytest.mark.slow),
+    ],
+)
 def test_fused_layer_matches_xla(rng, h, w, rows):
     layer = _layer1_params(jax.random.PRNGKey(0))
     x = jnp.asarray(rng.normal(size=(2, h, w, 64)).astype(np.float32)) * 0.5

@@ -42,6 +42,7 @@ def test_quantize_conv_int8_roundtrip(rng):
     assert np.max(np.abs(np.asarray(deq - k)) / step) <= 0.5 + 1e-6
 
 
+@pytest.mark.slow  # int8 trunk is opt-in; conv sweep ~6s CPU
 def test_conv_apply_int8_matches_float(rng):
     k = jnp.asarray(rng.normal(size=(3, 3, 4, 32)).astype(np.float32) * 0.1)
     p = {"kernel": k}

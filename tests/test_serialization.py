@@ -44,6 +44,7 @@ def test_roundtrip_nested_tree_with_lists_and_meta(tmp_path):
     assert meta == {"dims": {"hidden_size": 32}}
 
 
+@pytest.mark.slow  # full-trunk roundtrip ~6s CPU
 def test_roundtrip_resnet_params(tmp_path):
     import jax
 

@@ -29,7 +29,15 @@ def _inputs(rng, dims, batch=8, seq=12):
     return jnp.asarray(ids), jnp.asarray(mask)
 
 
-@pytest.mark.parametrize("data,model", [(2, 4), (1, 8), (8, 1)])
+@pytest.mark.parametrize(
+    "data,model",
+    [
+        # the mixed 2x4 mesh is the costliest SPMD compile (~7s CPU): slow tier
+        pytest.param(2, 4, marks=pytest.mark.slow),
+        (1, 8),
+        (8, 1),
+    ],
+)
 def test_tp_matches_single_device(rng, data, model):
     dims = tiny_bert_dims(num_heads=8, intermediate_size=64, hidden_size=32)
     params = init_cxr_bert(jax.random.PRNGKey(0), dims)
