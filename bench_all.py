@@ -25,7 +25,7 @@ def report(metric, value, unit, baseline=None):
     print(json.dumps(line))
 
 
-def stage_attribution(quick: bool = False) -> None:
+def stage_attribution(quick: bool = False, s2d_stem: bool = False) -> None:
     """Attribute the device-side extraction forward across ResNet stages.
 
     Chained-scan methodology (see the kernel section below): each program
@@ -49,8 +49,8 @@ def stage_attribution(quick: bool = False) -> None:
     from incremental_multimodal_medical_learning_ii_tpu.models.resnet import (
         _bottleneck_forward,
         batch_norm_inference,
-        conv_apply,
         max_pool_3x3_s2,
+        stem_conv_apply,
     )
     from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
         SharedSizePreprocessPlan,
@@ -59,6 +59,12 @@ def stage_attribution(quick: bool = False) -> None:
 
     rng = np.random.default_rng(0)
     params = fold_grayscale_conv1(init_biovil_image_model(jax.random.PRNGKey(0)))
+    if s2d_stem:
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            space_to_depth_stem,
+        )
+
+        params = space_to_depth_stem(params)
     batch = 128 if quick else 256
     plan = SharedSizePreprocessPlan(390, 320, size=512, crop=512)
     n_slabs = 4
@@ -74,7 +80,7 @@ def stage_attribution(quick: bool = False) -> None:
         if upto == 0:
             return x.astype(jnp.float32).sum()
         enc = p["encoder"]
-        x = conv_apply(enc["conv1"], x, 2, 3)
+        x = stem_conv_apply(enc["conv1"], x)  # shape-dispatches the s2d stem
         x = jax.nn.relu(batch_norm_inference(x, enc["bn1"]))
         x = max_pool_3x3_s2(x)
         if upto == 1:
@@ -239,6 +245,11 @@ def main() -> None:
         help="also time the pallas fused-layer1 encode (adds a long compile)",
     )
     p.add_argument(
+        "--s2d-stem", action="store_true", dest="s2d_stem",
+        help="use / also time the space-to-depth stem reformulation "
+        "(models/biovil_image.py::space_to_depth_stem; exact math)",
+    )
+    p.add_argument(
         "--text", action="store_true",
         help="also time the CXR-BERT text tower (adds a long first compile)",
     )
@@ -254,7 +265,7 @@ def main() -> None:
     enable()
 
     if args.stages:
-        stage_attribution(quick=args.quick)
+        stage_attribution(quick=args.quick, s2d_stem=args.s2d_stem)
         return
     if args.serve:
         serving_benchmark(quick=args.quick)
@@ -332,6 +343,15 @@ def main() -> None:
         time_encode_loop(
             "extraction_device_fused_layer1_images_per_sec_per_chip",
             params_gray, channels=1, fused_layer1=True,
+        )
+    if args.s2d_stem:
+        from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+            space_to_depth_stem,
+        )
+
+        time_encode_loop(
+            "extraction_device_s2d_stem_images_per_sec_per_chip",
+            space_to_depth_stem(params_gray), channels=1,
         )
 
     # ------------------------------------------------------------------
