@@ -288,6 +288,26 @@ def test_twin_class_incremental_more_labels_pred_diff(ref_mod, data):
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
 
+def test_twin_joint_change_labels_single_prompt(ref_mod, data):
+    """CHANGE_LABELS=True ({0,1} -> {-1,+1} targets, Trainer.py:1707-1728)
+    with the single-prompt bank (basic_create_prompts)."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=True)
+    rt.configure_reference(ref_mod, change_labels=True)
+    ref_rec, ref_trainer, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=2, single_prompt=True,
+    )
+    cfg = base_cfg(mode="joint", epochs=2, adapter="mlp", prompt_mode="single",
+                   change_labels=True)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                           log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
 def test_twin_zero_shot_single_prompt(ref_mod, data):
     import reference_twin as rt
 
