@@ -339,7 +339,7 @@ def run_reference_class_incremental(
     mod, prompts, data, *, lr=1e-4, batch_size=64, eval_batch_size=64,
     epochs=2, n_tasks=5, mode="class-pos-neg", more_labels=False,
     continual=None, threshold=0.01, adder=0.001, threshold_scheduling=False,
-    seed=7, single_prompt=False,
+    seed=7, single_prompt=False, tasks_order=None,
 ):
     """CLASS_INCREMENTAL.py:32-97 with deterministic loaders."""
     import torch
@@ -351,7 +351,7 @@ def run_reference_class_incremental(
                           torch.device("cpu"), rec)
     init_params = reference_initial_params(trainer, mod.SHARED)
     criterion = nn.BCEWithLogitsLoss()
-    tasks_order = list(range(n_tasks))
+    tasks_order = list(tasks_order) if tasks_order is not None else list(range(n_tasks))
     n = len(data["train_x"])
     if mode == "class-pos-neg":
         idx_sets = [np.arange(r.start, r.stop) for r in contiguous_parts(n, 5)]

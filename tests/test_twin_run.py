@@ -288,6 +288,28 @@ def test_twin_class_incremental_more_labels_pred_diff(ref_mod, data):
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
 
+def test_twin_class_incremental_permuted_task_order(ref_mod, data):
+    """Non-identity tasks_order: the reference indexes task DATA by
+    actual_task but the trained LABEL by tasks_order[actual_task-1]
+    (CLASS_INCREMENTAL.py:77-80) — this quirk must be preserved exactly."""
+    import reference_twin as rt
+
+    order = (2, 0, 4, 1, 3)
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
+        epochs=1, tasks_order=order,
+    )
+    cfg = base_cfg(mode="class-pos-neg", epochs=1, tasks_order=order)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_class_incremental(cfg, fw_bundle(data),
+                                                  fw_bank(prompts), log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
 def test_twin_joint_change_labels_single_prompt(ref_mod, data):
     """CHANGE_LABELS=True ({0,1} -> {-1,+1} targets, Trainer.py:1707-1728)
     with the single-prompt bank (basic_create_prompts)."""
