@@ -120,9 +120,16 @@ def stage_attribution(quick: bool = False, s2d_stem: bool = False) -> None:
             k_short=k_short, k_long=k_long,
         )
         if cum is None:
+            # no cumulative sample: neither this stage nor the NEXT one is
+            # attributable (the next delta would silently include this
+            # stage's cost if prev stayed at the last valid cumulative)
             report(f"stage_{name}_ms_per_batch", None, "ms")
+            prev = None
             continue
-        report(f"stage_{name}_ms_per_batch", (cum - prev) * 1e3, "ms")
+        if prev is None:
+            report(f"stage_{name}_ms_per_batch", None, "ms")
+        else:
+            report(f"stage_{name}_ms_per_batch", (cum - prev) * 1e3, "ms")
         prev = cum
 
 
@@ -142,8 +149,12 @@ def roofline_model(batch: int = 256) -> None:
     docs/DESIGN.md.  FLOPs cross-checked against XLA cost analysis of the
     jitted program (43.17 GF/img total).
     """
-    peak = 197e12  # v5e bf16 dense FLOP/s
-    bw = 819e9  # v5e HBM bytes/s
+    import os
+
+    # same overrides bench.py honors, so measured-vs-cap stays consistent
+    # across TPU generations
+    peak = float(os.environ.get("IMML_PEAK_FLOPS", 197e12))  # bf16 dense FLOP/s
+    bw = float(os.environ.get("IMML_HBM_BW", 819e9))  # HBM bytes/s (v5e)
 
     def conv_cost(h, w, cin, cout, k, stride):
         ho, wo = h // stride, w // stride
@@ -333,7 +344,9 @@ def main() -> None:
     enable()
 
     if args.roofline:
-        roofline_model()
+        # batch must track --stages' (--quick measures batch 128) or the
+        # ms-per-batch comparison the help text points at is off by 2x
+        roofline_model(batch=128 if args.quick else 256)
         return
     if args.stages:
         stage_attribution(quick=args.quick, s2d_stem=args.s2d_stem)

@@ -118,6 +118,15 @@ def quantize_biovil_int8(params: Params) -> Params:
         quantize_resnet_int8,
     )
 
+    conv1 = params["encoder"]["conv1"].get("kernel")
+    if conv1 is not None and conv1.shape[0] == 4:
+        # stem_conv_apply dispatches the s2d path on the FLOAT kernel key;
+        # quantization would strip it and silently run the 4x4 kernel with
+        # 7x7-s2 geometry — refuse instead of failing deep inside XLA
+        raise ValueError(
+            "int8 quantization is incompatible with the space-to-depth stem; "
+            "quantize the standard params, or skip space_to_depth_stem"
+        )
     return {
         "encoder": quantize_resnet_int8(params["encoder"]),
         "projector": params["projector"],

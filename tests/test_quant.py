@@ -95,3 +95,15 @@ def test_extract_int8_end_to_end(image_params, rng):
     cos = _cosine(ds_q.embeddings, ds_fp.embeddings)
     assert cos.min() > 0.99, cos
     np.testing.assert_array_equal(ds_q.labels, ds_fp.labels)
+
+
+def test_quantize_refuses_s2d_stem(image_params):
+    """int8 quantization strips the float 'kernel' key stem_conv_apply
+    dispatches the s2d path on — must refuse, not fail deep inside XLA."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
+        quantize_biovil_int8,
+        space_to_depth_stem,
+    )
+
+    with pytest.raises(ValueError, match="space-to-depth"):
+        quantize_biovil_int8(space_to_depth_stem(image_params))
