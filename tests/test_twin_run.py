@@ -145,7 +145,10 @@ def base_cfg(**kw):
 # ----------------------------------------------------------------------
 # Regime twins
 # ----------------------------------------------------------------------
-def test_twin_joint_mean_double_mlp(ref_mod, data):
+@pytest.mark.parametrize("fused", [True, False], ids=["fused-scan", "per-batch"])
+def test_twin_joint_mean_double_mlp(ref_mod, data, fused):
+    """Both engine paths — the fused lax.scan epoch AND the per-batch jitted
+    step — lockstep against the reference."""
     import reference_twin as rt
 
     prompts = ref_prompts(single=False)
@@ -154,7 +157,8 @@ def test_twin_joint_mean_double_mlp(ref_mod, data):
         ref_mod, prompts, data, epochs=3, lr=1e-4, batch_size=BS,
         eval_batch_size=EVAL_BS,
     )
-    cfg = base_cfg(mode="joint", epochs=3, adapter="mlp", prompt_mode="mean")
+    cfg = base_cfg(mode="joint", epochs=3, adapter="mlp", prompt_mode="mean",
+                   fused_epoch=fused)
     with patched_protocols(init_params) as fw_rec:
         results = protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
                                            log_dir=None)
