@@ -292,10 +292,12 @@ def test_twin_class_incremental_more_labels_pred_diff(ref_mod, data):
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
 
-def test_twin_class_incremental_permuted_task_order(ref_mod, data):
+def test_twin_class_incremental_permuted_task_order_mycl(ref_mod, data):
     """Non-identity tasks_order: the reference indexes task DATA by
     actual_task but the trained LABEL by tasks_order[actual_task-1]
-    (CLASS_INCREMENTAL.py:77-80) — this quirk must be preserved exactly."""
+    (CLASS_INCREMENTAL.py:77-80) — this quirk must be preserved exactly.
+    Runs under myCL + threshold scheduling so the class-inc path's
+    monitor-resets streams are twinned too (data-inc covers its own)."""
     import reference_twin as rt
 
     order = (2, 0, 4, 1, 3)
@@ -303,13 +305,50 @@ def test_twin_class_incremental_permuted_task_order(ref_mod, data):
     rt.configure_reference(ref_mod)
     ref_rec, ref_trainer, init_params = run_reference_class_incremental(
         ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
-        epochs=1, tasks_order=order,
+        epochs=1, tasks_order=order, continual="myCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
     )
-    cfg = base_cfg(mode="class-pos-neg", epochs=1, tasks_order=order)
+    cfg = base_cfg(mode="class-pos-neg", epochs=1, tasks_order=order,
+                   continual_learning="myCL", threshold=0.01, adder=0.001,
+                   threshold_scheduling=True)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_class_incremental(cfg, fw_bundle(data),
+                                                  fw_bank(prompts), log_dir=None)
+    compare_streams(
+        ref_rec, fw_rec,
+        monitors=[
+            ("monitor-resets/threshold-scheduling", 1e-7),
+            ("monitor-resets/resets", 2.0),
+            ("monitor-resets/updates", 2.0),
+            ("monitor-resets/percentage resets", 1e-4),
+        ],
+    )
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_class_incremental_max_emb(ref_mod, data):
+    """MAX mode in class-incremental: one (pos, neg) gap scalar per batch
+    for the single trained class — directly comparable streams (the joint
+    twin has to average the reference's per-class groups)."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, max_emb=True)
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
+        epochs=1,
+    )
+    cfg = base_cfg(mode="class-pos-neg", epochs=1, prompt_mode="max")
     with patched_protocols(init_params) as fw_rec:
         results = protocols.run_class_incremental(cfg, fw_bundle(data),
                                                   fw_bank(prompts), log_dir=None)
     compare_streams(ref_rec, fw_rec)
+    for tag in ("max-mean-comparison/pos", "max-mean-comparison/neg"):
+        ref_vals = np.array([v for _, v in stream(ref_rec.scalars, tag)])
+        fw_vals = np.array([v for _, v in stream(fw_rec.scalars, tag)])
+        assert len(ref_vals) == len(fw_vals) > 0
+        np.testing.assert_allclose(ref_vals, fw_vals, atol=1e-5)
     final_ref = rt.reference_final_params(ref_trainer, shared=False)
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
