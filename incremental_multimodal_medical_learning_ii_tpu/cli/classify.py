@@ -24,6 +24,12 @@ def add_classifier_args(p: argparse.ArgumentParser) -> None:
                    help="randomly initialised BioViL (smoke runs/demos; scores meaningless)")
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
+    p.add_argument("--cxr-bert-snapshot",
+                   help="local HF snapshot dir (config.json + weights + "
+                   "vocab.txt), same as the training CLIs")
+    p.add_argument("--seed", type=int, default=27,
+                   help="prompt seed — must match the served adapter's "
+                   "training seed when --new-prompts samples the bank")
     p.add_argument("--adapter-checkpoint", help="run dir with a saved TrainState")
     p.add_argument("--reference-image-adapter",
                    help="a reference image_adapter.pt (pickled torch module)")
@@ -31,6 +37,10 @@ def add_classifier_args(p: argparse.ArgumentParser) -> None:
                    help="a reference text_adapter.pt (pickled torch module)")
     p.add_argument("--adapter", choices=["mlp", "dense"], default="mlp",
                    help="adapter architecture of --adapter-checkpoint")
+    p.add_argument("--optim", choices=["adam", "sgd"], default="adam",
+                   help="optimizer the --adapter-checkpoint was trained "
+                   "with (the saved TrainState carries its opt-state tree; "
+                   "a mismatched template cannot restore)")
     p.add_argument("--shared", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--size", type=int, default=512)
@@ -48,16 +58,9 @@ def add_classifier_args(p: argparse.ArgumentParser) -> None:
 def build_classifier(args):
     """Construct the jitted ChexpertClassifier from parsed CLI args."""
     from incremental_multimodal_medical_learning_ii_tpu.inference import ChexpertClassifier
-    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
-        build_prompt_bank,
-        synthetic_encode_fn,
-    )
-    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
-    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
-        CHEXPERT_COMPETITION_TASKS,
-    )
 
     from incremental_multimodal_medical_learning_ii_tpu.cli.common import (
+        build_bank,
         load_image_tower,
     )
 
@@ -68,30 +71,17 @@ def build_classifier(args):
 
         bank = load_prompt_bank(args.bank)
     else:
-        prompts = create_prompts(
-            CHEXPERT_COMPETITION_TASKS,
+        # the one bank builder the training CLIs use (common.build_bank):
+        # same snapshot/checkpoint loading, same prompt seed semantics — a
+        # served adapter must score against the bank it trained under
+        import types
+
+        bank = build_bank(args, types.SimpleNamespace(
             single_prompt=args.single_prompt,
             new_prompts=args.new_prompts,
-        )
-        if args.cxr_bert_checkpoint and args.cxr_bert_vocab:
-            from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
-                load_cxr_bert_checkpoint,
-            )
-            from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
-                TextInferenceEngine,
-            )
-            from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
-                PromptTokenizer,
-            )
-
-            bert_params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
-            encode = TextInferenceEngine(
-                bert_params, dims, PromptTokenizer(args.cxr_bert_vocab)
-            ).encode_fn(normalize=False)
-        else:
-            print("[warn] no CXR-BERT checkpoint; synthetic prompt encoder (scores meaningless)")
-            encode = synthetic_encode_fn()
-        bank = build_prompt_bank(encode, prompts, CHEXPERT_COMPETITION_TASKS)
+            train_logit_diff=True,
+            seed=args.seed,
+        ))
     if args.save_bank:
         from incremental_multimodal_medical_learning_ii_tpu.text.bank import save_prompt_bank
 
@@ -149,10 +139,23 @@ def build_classifier(args):
         import jax
 
         cfg = joint_config(adapter=args.adapter, shared=args.shared,
+                           optim=args.optim,
                            prompt_mode="max" if args.max_emb else "mean")
         pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
         template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)
-        adapter_params = restore_checkpoint(args.adapter_checkpoint, template).params
+        try:
+            adapter_params = restore_checkpoint(args.adapter_checkpoint, template).params
+        except Exception:
+            # opt-state tree mismatch: retry with the other optimizer's
+            # template (only .params is used for serving)
+            import dataclasses
+
+            other = "sgd" if args.optim == "adam" else "adam"
+            alt_cfg = dataclasses.replace(cfg, optim=other)
+            alt_template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), alt_cfg)
+            adapter_params = restore_checkpoint(args.adapter_checkpoint, alt_template).params
+            print(f"[info] checkpoint restored with an {other} opt-state "
+                  f"template (pass --optim {other} to silence this)")
 
     return ChexpertClassifier(
         image_params, bank, cfg=cfg, adapter_params=adapter_params,

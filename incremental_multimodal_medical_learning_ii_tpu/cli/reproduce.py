@@ -75,6 +75,8 @@ def main(argv=None) -> None:
         "batch_size": 6144, "lr": 1e-4, "epochs": 10, "adapter": "mlp",
         "optim": "adam", "single_prompt": False, "max_emb": False,
         "shared": False, "train_logit_pos": False, "pred_logit_diff": False,
+        "new_prompts": False, "change_labels": False, "xrays_position": "all",
+        "no_image_adapter": False, "no_text_adapter": False, "seed": 27,
     }
     ignored = [k for k, v in defaults.items() if getattr(args, k) != v]
     if ignored:
@@ -92,8 +94,11 @@ def main(argv=None) -> None:
     if args.dry_run or args.rehearsal:
         args.synthetic = True
     if args.rehearsal:
-        # reference data scale (splitTrainingEmbedding.py:17-29: 191,027
-        # frontal train rows = 175,000 + 16,027 val carve-out)
+        # reference data scale: the Trainer loads the FULL 191,027-row
+        # frontal train dataset (Trainer.py:221-235; splitTrainingEmbedding
+        # prints that length) — the 175k/16,027 head/tail artifacts it also
+        # writes are not on the training path; 16,027 stands in for the
+        # val split's order of magnitude
         import numpy as np
 
         from incremental_multimodal_medical_learning_ii_tpu.data.store import (
@@ -181,7 +186,12 @@ def main(argv=None) -> None:
         check("joint", best, TARGETS["joint"][1])
 
     if "class-inc" in args.gates:
-        # forgetting curve: class-pos-neg, SGD lr 0.1, SHARED mlp (row 8)
+        # forgetting curve: class-pos-neg, SGD lr 0.1, SHARED mlp (row 8).
+        # more_labels stays False: the reference encodes MORE_LABELS in both
+        # the folder ("-more-labels") and run name ("-MORE-LABELS",
+        # Trainer.py:preprocessing_class_incremental) and the headline run's
+        # name carries neither — the committed driver's MORE_LABELS=True
+        # (CLASS_INCREMENTAL.py:55) postdates that recorded run.
         gate_start()
         cfg = ExperimentConfig(
             mode="class-pos-neg", epochs=epochs, batch_size=batch, lr=0.1,

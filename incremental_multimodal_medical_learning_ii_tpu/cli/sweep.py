@@ -37,9 +37,11 @@ def main(argv=None) -> None:
 
     results = []
     t0 = time.perf_counter()
-    bank = None  # invariant across the grid (depends only on un-swept flags);
-    # building it per config would re-encode the prompts through CXR-BERT
-    # once per grid point
+    # bank cache keyed on the prompt set it encodes (single_prompt changes
+    # the prompt LIST, so 'single' vs 'mean'/'max' grid points must not
+    # share a bank); building per config would re-encode the prompts
+    # through CXR-BERT once per grid point
+    banks: dict = {}
     for lr, optim, adapter, pm in itertools.product(
         args.lrs, args.optims, args.adapters, args.prompt_modes
     ):
@@ -47,8 +49,10 @@ def main(argv=None) -> None:
             mode="joint", lr=lr, optim=optim, adapter=adapter, prompt_mode=pm,
             plot_figures="off", **base,
         )
-        if bank is None:
-            bank = common.build_bank(args, cfg)
+        bank_key = cfg.single_prompt
+        if bank_key not in banks:
+            banks[bank_key] = common.build_bank(args, cfg)
+        bank = banks[bank_key]
         trainer = Trainer(cfg, bank)
         for epoch in range(1, cfg.epochs + 1):
             trainer.train(bundle.train, epoch)

@@ -193,7 +193,10 @@ def prompt_projection_figures(
         for i in range(n):
             plt.scatter(reduced[i, 0], reduced[i, 1], marker=shapes[i], c=colors[i])
         plt.title(title)
-        legend_categories = dict(zip(["r", "g", "b", "c", "m"], CLASS_ABBREVIATIONS))
+        # only the classes actually plotted (c may be < 5)
+        legend_categories = dict(
+            list(zip(["r", "g", "b", "c", "m"], CLASS_ABBREVIATIONS))[:c]
+        )
         handles = [
             plt.Line2D([0], [0], marker="o", color="w", label=cat, markerfacecolor=col, markersize=10)
             for col, cat in legend_categories.items()
@@ -206,7 +209,7 @@ def prompt_projection_figures(
         return _detach(fig)
 
     pca_fig = _scatter(PCA(n_components=2).fit_transform(embs), "PCA multiple-prompts")
-    perplexity = min(30.0, (n - 1) / 3)
+    perplexity = max(1.0, min(30.0, (n - 1) / 3))  # sklearn rejects 0 (n<=1 banks)
     tsne = TSNE(
         n_components=2, metric="cosine", init="pca", learning_rate="auto",
         perplexity=perplexity, random_state=seed,

@@ -168,7 +168,12 @@ def _interpolate(grid: np.ndarray, size: Tuple[int, int], mode: str) -> np.ndarr
         w_idx = (np.arange(size[1]) * grid.shape[1] // size[1]).astype(np.intp)
         return np.asarray(grid)[np.ix_(h_idx, w_idx)]
     if mode in ("bilinear", "linear"):
-        out = jax.image.resize(jnp.asarray(grid), size, method="bilinear")
+        # antialias=False: torch F.interpolate(mode='bilinear') never
+        # antialiases, even when the target is SMALLER than the 15x15 patch
+        # grid (tiny images); jax's default would widen the filter there
+        out = jax.image.resize(
+            jnp.asarray(grid), size, method="bilinear", antialias=False
+        )
         return np.asarray(out)
     raise ValueError(f"unsupported interpolation {mode!r}")
 
