@@ -108,3 +108,49 @@ def test_classify_cli_with_reference_adapters(tmp_path, capsys, rng):
     out = capsys.readouterr().out
     lines = [l for l in out.splitlines() if l.startswith(str(img))]
     assert len(lines) == 1
+
+
+def test_classify_cli_sgd_checkpoint_fallback(tmp_path, capsys, rng):
+    """An SGD-trained TrainState serves without --optim (the restore falls
+    back to the other optimizer's template; only .params are used)."""
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import save_checkpoint
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+        joint_config,
+    )
+
+    cfg = joint_config(batch_size=64, epochs=1, optim="sgd", lr=0.1)
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    trainer = Trainer(cfg, bank)
+    trainer.train(synthetic_dataset(128), epoch=1)
+    save_checkpoint(tmp_path / "run", trainer.state)
+
+    path = tmp_path / "cxr.png"
+    Image.fromarray((rng.random((120, 100)) * 255).astype(np.uint8), "L").save(path)
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.classify import main
+
+    # default --optim adam: must fall back, not crash
+    main([str(path), "--random-weights",
+          "--adapter-checkpoint", str(tmp_path / "run"), "--batch-size", "1"])
+    out = capsys.readouterr().out
+    assert "sgd opt-state template" in out
+    line = [l for l in out.splitlines() if l.startswith(str(path))]
+    assert len(line) == 1 and len(line[0].split(",")) == 6
+
+    # explicit --optim sgd: restores directly, no fallback note
+    main([str(path), "--random-weights",
+          "--adapter-checkpoint", str(tmp_path / "run"), "--batch-size", "1",
+          "--optim", "sgd"])
+    out = capsys.readouterr().out
+    assert "opt-state template" not in out
