@@ -22,7 +22,13 @@ def load_image(path: str | Path, percentiles: Optional[Tuple[float, float]] = No
     if suffix in (".jpg", ".jpeg", ".png"):
         from PIL import Image
 
-        image = np.asarray(Image.open(path))
+        pil = Image.open(path)
+        if pil.mode == "P":
+            # palette PNGs: skimage's imread (the reference loader,
+            # io.py:38) applies the palette; raw indices would be remapped
+            # as if they were intensities
+            pil = pil.convert("RGB")
+        image = np.asarray(pil)
     elif [s.lower() for s in path.suffixes[-2:]] == [".nii", ".gz"] or suffix == ".nii":
         try:
             import SimpleITK as sitk

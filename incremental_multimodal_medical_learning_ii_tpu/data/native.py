@@ -33,18 +33,26 @@ class NativeEmbeddingStore:
         self._lib = load_library()
         self._handle = None
         self._fallback: Optional[EmbeddingDataset] = None
-        if self._lib is not None:
+        npz_sibling = self.path.with_suffix(".npz")
+        if self._lib is not None and self.path.exists():
             self._handle = self._lib.embstore_open(str(self.path).encode())
             if not self._handle:
                 raise FileNotFoundError(f"cannot open native store {self.path}")
             self.n = int(self._lib.embstore_n(self._handle))
             self.emb_dim = int(self._lib.embstore_emb_dim(self._handle))
             self.n_labels = int(self._lib.embstore_n_labels(self._handle))
-        else:
-            self._fallback = EmbeddingDataset.load(self.path.with_suffix(".npz"))
+        elif npz_sibling.exists():
+            # cross-backend open: a store written on a host without the
+            # toolchain (.npz fallback) must load on a host WITH it, and
+            # vice versa — callers never branch on backend availability
+            self._fallback = EmbeddingDataset.load(npz_sibling)
             self.n = len(self._fallback)
             self.emb_dim = self._fallback.embeddings.shape[1]
             self.n_labels = self._fallback.labels.shape[1]
+        else:
+            raise FileNotFoundError(
+                f"no native store at {self.path} and no fallback at {npz_sibling}"
+            )
 
     def __len__(self) -> int:
         return self.n
@@ -60,14 +68,22 @@ class NativeEmbeddingStore:
             return NativeEmbeddingStore(path)
         embs = np.ascontiguousarray(dataset.embeddings, np.float32)
         labels = np.ascontiguousarray(dataset.labels, np.float32)
+        # tmp + atomic rename (same pattern as store.py's write_shard): a
+        # crash or full disk mid-write must never leave a truncated file
+        # with a valid header at the destination
+        import os
+
+        tmp = path.with_name(path.name + ".tmp")
         rc = lib.embstore_write(
-            str(path).encode(),
+            str(tmp).encode(),
             embs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(dataset), embs.shape[1], labels.shape[1],
         )
         if rc != 0:
+            tmp.unlink(missing_ok=True)
             raise OSError(f"embstore_write failed with {rc}")
+        os.replace(tmp, path)
         return NativeEmbeddingStore(path)
 
     # ------------------------------------------------------------------
@@ -75,7 +91,17 @@ class NativeEmbeddingStore:
         if self._handle is None:
             sub = self._fallback.subset(indices)
             return sub.embeddings, sub.labels
-        idx = np.ascontiguousarray(indices, np.uint64)
+        idx_signed = np.asarray(indices)
+        # bounds check BEFORE the ctypes call: a negative index would wrap
+        # through the uint64 cast (SIGSEGV) and index >= n would silently
+        # read the labels region — the numpy fallback raises IndexError,
+        # and both paths must agree
+        if idx_signed.size and (
+            (idx_signed.min() < 0) or (idx_signed.max() >= self.n)
+        ):
+            bad = idx_signed[(idx_signed < 0) | (idx_signed >= self.n)][0]
+            raise IndexError(f"index {bad} out of range for store of {self.n} rows")
+        idx = np.ascontiguousarray(idx_signed, np.uint64)
         embs = np.empty((len(idx), self.emb_dim), np.float32)
         labels = np.empty((len(idx), self.n_labels), np.float32)
         self._lib.embstore_gather(

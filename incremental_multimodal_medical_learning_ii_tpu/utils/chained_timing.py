@@ -40,6 +40,10 @@ def time_chained(
     scans straddled a phase change and the sample is invalid — callers must
     report it as missing, never clamp it into an absurd rate.
     """
+    if repeats < 1:
+        raise ValueError(f"repeats must be >= 1, got {repeats}")
+    if k_long <= k_short:
+        raise ValueError(f"k_long ({k_long}) must exceed k_short ({k_short})")
     times = {}
     for k in (k_short, k_long):
         loop = loop_factory(k)

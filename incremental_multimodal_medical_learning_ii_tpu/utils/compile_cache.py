@@ -18,10 +18,12 @@ def enable(cache_dir: str | None = None) -> None:
     import jax
 
     path = Path(cache_dir or _DEFAULT)
-    path.mkdir(parents=True, exist_ok=True)
     try:
+        path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
-        pass  # older jax without these knobs
+        # best-effort optimization: an unwritable cache dir (read-only HOME)
+        # or an older jax must never take down a CLI/bench at startup
+        pass

@@ -143,6 +143,11 @@ class ExperimentConfig:
         if self.adapter == AdapterKind.NO_HEAD and (self.image_adapter or self.text_adapter):
             object.__setattr__(self, "image_adapter", False)
             object.__setattr__(self, "text_adapter", False)
+        if self.mode == "zero" and self.epochs > 0:
+            # mode='zero' with training epochs would emit a 'joint-train-...'
+            # run name for a zero-shot run (the reference raises for
+            # inconsistent zero-shot flag combos, Trainer.py:294-303)
+            raise ValueError("mode='zero' requires epochs=0")
         if self.epochs == 0 and self.mode in ("joint", "zero"):
             object.__setattr__(self, "mode", "zero")
             # Zero-shot requires no-head OR a shared adapter (Trainer.py:294-303).

@@ -47,7 +47,16 @@ def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
         for i, v in enumerate(tree):
             _flatten(v, f"{prefix}{i}/", out)
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype == object:
+            # np.savez would silently PICKLE object arrays (None, mixed
+            # types); the load side (allow_pickle=False) then fails on the
+            # serving host — reject here, at conversion time
+            raise ValueError(
+                f"leaf at {prefix[:-1]!r} is not a numeric array "
+                f"(got {type(tree).__name__})"
+            )
+        out[prefix[:-1]] = arr
 
 
 def save_params_npz(path: str, tree: Any, meta: dict | None = None) -> None:

@@ -106,3 +106,41 @@ def test_truncated_store_rejected(tmp_path):
     truncated.write_bytes(data[: len(data) // 2])  # header intact, payload cut
     assert lib.embstore_open(str(truncated).encode()) in (None, 0)
     assert lib.embstore_open(str(path).encode()) not in (None, 0)  # intact OK
+
+
+def test_gather_bounds_checked(tmp_path):
+    """Negative / out-of-range indices raise IndexError on the native path
+    (a negative index would wrap through the uint64 cast into a wild read;
+    the numpy fallback raises — both paths must agree)."""
+    ds = synthetic_dataset(10, seed=4)
+    store = NativeEmbeddingStore.write(tmp_path / "b.embstore", ds)
+    with pytest.raises(IndexError, match="-1"):
+        store.gather(np.array([0, -1]))
+    with pytest.raises(IndexError, match="10"):
+        store.gather(np.array([10]))
+    embs, _ = store.gather(np.array([], np.int64))  # empty is fine
+    assert embs.shape == (0, 128)
+    store.close()
+
+
+def test_cross_backend_open(tmp_path):
+    """A store persisted by the .npz fallback (no-toolchain host) opens on
+    a host WITH the native lib, and serves identical data."""
+    ds = synthetic_dataset(20, seed=5)
+    ds.save(tmp_path / "x.npz")  # what write() does when load_library() is None
+    store = NativeEmbeddingStore(tmp_path / "x.embstore")
+    assert store.n == 20
+    back = store.to_dataset()
+    np.testing.assert_array_equal(back.embeddings, ds.embeddings)
+    batches = list(store.iterate_batches(8, shuffle=False))
+    assert len(batches) == 3
+
+
+def test_write_is_atomic(tmp_path):
+    """embstore_write goes through tmp + rename: no *.tmp residue and the
+    destination only ever holds a complete store."""
+    ds = synthetic_dataset(15, seed=6)
+    store = NativeEmbeddingStore.write(tmp_path / "a.embstore", ds)
+    store.close()
+    assert not list(tmp_path.glob("*.tmp"))
+    assert NativeEmbeddingStore(tmp_path / "a.embstore").n == 15
