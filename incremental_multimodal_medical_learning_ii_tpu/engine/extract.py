@@ -124,29 +124,49 @@ def _batched(it: Iterator[ImageLabel], batch_size: int) -> Iterator[Tuple[list, 
 
 
 def _prefetch(gen, depth: int = 2):
-    """Run a generator in a background thread with a bounded queue."""
+    """Run a generator in a background thread with a bounded queue.
+
+    The consumer abandoning this generator (extraction aborting after
+    exhausted retries) sets ``stop`` via the ``finally``, so the worker
+    never blocks forever on a full queue — a leaked thread would pin its
+    in-flight prepared batch (~hundreds of MB at production shapes) for
+    the life of the process."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     err: list = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def extract_embeddings(
@@ -424,15 +444,16 @@ def manifest_image_iterator(
 
     labels = manifest.labels()[start:]
     paths = manifest.image_paths()[start:]
-    if workers and loader is None:
+    loader = loader or load_image_raw_uint8
+    if workers:
+        # the pool runs whatever loader was given (it must be picklable —
+        # a module-level function, not a lambda); silently decoding
+        # serially would starve the chip without warning
         import multiprocessing
 
         with multiprocessing.Pool(workers) as pool:
-            for idx, img in enumerate(
-                pool.imap(load_image_raw_uint8, paths, chunksize=8)
-            ):
+            for idx, img in enumerate(pool.imap(loader, paths, chunksize=8)):
                 yield img, labels[idx]
         return
-    loader = loader or load_image_raw_uint8
     for idx, path in enumerate(paths):
         yield loader(path), labels[idx]

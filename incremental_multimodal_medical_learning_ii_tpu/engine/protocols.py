@@ -265,6 +265,13 @@ def run_class_incremental(
         raise ValueError(f"not a class-incremental mode: {cfg.mode}")
 
     tasks_order = list(cfg.tasks_order)
+    if n_tasks > min(len(tasks), len(tasks_order)):
+        # fail BEFORE training: task n_tasks would IndexError five tasks in,
+        # discarding the partial run's TB events
+        raise ValueError(
+            f"n_tasks={n_tasks} exceeds the {len(tasks)} task splits / "
+            f"{len(tasks_order)}-entry tasks_order (5 disease classes)"
+        )
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
     skip, aux = _maybe_resume(trainer, writer, resume)

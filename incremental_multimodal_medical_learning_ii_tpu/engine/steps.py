@@ -103,9 +103,11 @@ def _forward(
 
 def _eval_uses_pallas() -> bool:
     """Fused Pallas cosine on the (no-grad) eval path when running on a real
-    TPU backend; the jnp reference everywhere else (CPU tests, autodiff)."""
+    TPU backend; the jnp reference everywhere else (CPU tests, autodiff,
+    GPU — where the scorer would otherwise fall into the pallas INTERPRETER,
+    orders of magnitude slower than the einsum)."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

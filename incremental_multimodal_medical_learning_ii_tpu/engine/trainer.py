@@ -253,8 +253,10 @@ class Trainer:
 
     def _log_reset_counts(self, metrics, iteration):
         """monitor-resets/* scalars (Trainer.py:758-770)."""
-        n_reset = int(metrics["n_reset"])
-        n_updated = int(metrics["n_updated"])
+        # one batched readback for both scalars (each int() on a device
+        # array costs a full tunnel round-trip here)
+        n_reset, n_updated = jax.device_get((metrics["n_reset"], metrics["n_updated"]))
+        n_reset, n_updated = int(n_reset), int(n_updated)
         total = max(n_reset + n_updated, 1)
         self.writer.add_scalar("monitor-resets/resets", n_reset, iteration)
         self.writer.add_scalar("monitor-resets/updates", n_updated, iteration)
@@ -377,28 +379,18 @@ class Trainer:
             # nothing trained, nothing to log — mirror the non-fused path's
             # last_metrics-is-None skip instead of indexing empty arrays
             return 0
-        sched = self._lr_sched
+        # re-shape the stacked metrics into the per-batch (iteration, dict)
+        # form and delegate to the ONE logging implementation the per-batch
+        # path uses (_flush_train_logs: train/Loss, post-step LR, gap pair)
+        pending = []
         for i in range(n_b):
-            iteration = iteration_of(i)
-            self.writer.add_scalar("train/Loss", float(fetched["loss"][i]), iteration)
-            if sched is not None:
-                # post-step LR, matching the reference's step-then-log order
-                self.writer.add_scalar(
-                    "train/LR", float(sched(self._py_step + 1)), iteration
-                )
-            if "max_mean_gap_pos" in fetched and self.writer.enabled:
-                self._gap_counter += 1
-                self.writer.add_scalar(
-                    "max-mean-comparison/pos", float(fetched["max_mean_gap_pos"][i]), self._gap_counter
-                )
-                self.writer.add_scalar(
-                    "max-mean-comparison/neg", float(fetched["max_mean_gap_neg"][i]), self._gap_counter
-                )
+            metrics = {k: v[i] for k, v in fetched.items()}
+            metrics["_step"] = self._py_step
             self._py_step += 1
-        if use_my_cl:
-            last = {k: v[-1] for k, v in fetched.items() if k in ("n_reset", "n_updated")}
-            if last:
-                self._log_reset_counts(last, iteration)
+            pending.append((iteration_of(i), metrics))
+        last_metrics = self._flush_train_logs(pending, self.cfg)
+        if use_my_cl and last_metrics is not None and "n_reset" in last_metrics:
+            self._log_reset_counts(last_metrics, pending[-1][0])
         return n_b
 
     # ------------------------------------------------------------------
@@ -554,9 +546,15 @@ class Trainer:
         w.add_scalar(f"{val_test}/AUROC-weighted", metrics["auroc_weighted"], epoch)
 
         pc = per_class_metrics(y_true, y_pred, y_score)
+        # class-incremental evals pass epoch=task and epochs=per-task epoch
+        # count (reference convention) — the 'final' milestone there is the
+        # LAST TASK, same rule test() applies for its figures
+        last = final_unit if (
+            final_unit is not None and mode in ("class-pos-neg", "class-pos")
+        ) else epochs
         plot_now = w.enabled and (
             self.cfg.plot_figures == "reference"
-            or (self.cfg.plot_figures == "final" and epoch == epochs)
+            or (self.cfg.plot_figures == "final" and epoch == last)
         )
         if plot_now:
             for i in range(y_true.shape[1]):
