@@ -160,6 +160,10 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
             if self.path != "/classify":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
+            # a stalled client (slowloris) must not pin its handler thread
+            # forever in rfile.read — ThreadingHTTPServer spawns one thread
+            # per connection with no bound
+            self.connection.settimeout(30.0)
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
@@ -193,10 +197,18 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
                 # innocent concurrent requests
                 pad_to = clf.plan.pad_to
                 for i, im in enumerate(images):
-                    if im.shape[0] > pad_to or im.shape[1] > pad_to:
+                    h, w = im.shape[0], im.shape[1]
+                    if h > pad_to or w > pad_to:
                         raise ValueError(
-                            f"image {i} ({im.shape[0]}x{im.shape[1]}) exceeds "
-                            f"pad_to={pad_to}"
+                            f"image {i} ({h}x{w}) exceeds pad_to={pad_to}"
+                        )
+                    # extreme aspect ratios explode the resize target (the
+                    # smaller edge scales to `size`, so a 1xW strip asks for
+                    # a size*W-wide output and a multi-GB resize matrix) —
+                    # no CXR is remotely close to 8:1
+                    if max(h, w) > 8 * min(h, w):
+                        raise ValueError(
+                            f"image {i} aspect ratio {h}x{w} exceeds 8:1"
                         )
             except Exception as e:  # malformed input -> client error
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})

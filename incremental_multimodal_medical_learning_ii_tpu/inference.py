@@ -31,7 +31,7 @@ from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import (
 )
 from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
     DevicePreprocessPlan,
-    preprocess_device,
+    preprocess_device_indexed,
 )
 from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
     CHEXPERT_COMPETITION_TASKS,
@@ -59,6 +59,13 @@ class ChexpertClassifier:
     ):
         self.retries = retries
         self.retry_backoff_s = retry_backoff_s
+        if cfg is None and adapter_params:
+            # a no-head default would never APPLY the given adapters,
+            # silently serving zero-shot scores
+            raise ValueError(
+                "adapter_params given without a cfg enabling an adapter — "
+                "pass the ExperimentConfig the adapters were trained under"
+            )
         self.cfg = cfg or ExperimentConfig(
             adapter="no-head", image_adapter=False, text_adapter=False, epochs=0, mode="zero"
         )
@@ -76,10 +83,14 @@ class ChexpertClassifier:
 
         cfg_ = self.cfg
 
-        def fn(img_p, ad_p, raw, w_h, w_w, bank_):
+        def fn(img_p, ad_p, raw, w_h, w_w, idx, bank_):
             # single-channel images + folded conv1 — exact math, 1/3 the
-            # image HBM footprint (models/biovil_image.py::fold_grayscale_conv1)
-            images = preprocess_device(raw, w_h, w_w, channels=1)
+            # image HBM footprint (models/biovil_image.py::fold_grayscale_conv1).
+            # Indexed (deduped) resize matrices: the dense per-image pairs
+            # are ~4 MB/image — 30x the raw pixels — which murders an
+            # upload-bandwidth-bound link (same change engine/extract.py
+            # made; U is power-of-two bucketed so recompiles stay bounded)
+            images = preprocess_device_indexed(raw, w_h, w_w, idx, channels=1)
             embs = biovil_image_forward(img_p, images, dtype=dtype).projected_global_embedding
             x = self.pair.apply_image(ad_p, embs)
             b = (
@@ -105,19 +116,20 @@ class ChexpertClassifier:
         preds_all: List[np.ndarray] = []
         if not images:
             n_cls = len(self.class_names)
-            return np.empty((0, n_cls), np.float32), np.empty((0, n_cls), np.int64)
+            # same dtypes as the non-empty path (float32 {0.,1.} preds)
+            return np.empty((0, n_cls), np.float32), np.empty((0, n_cls), np.float32)
         for start in range(0, len(images), self.batch_size):
             chunk = list(images[start : start + self.batch_size])
             n = len(chunk)
             while len(chunk) < self.batch_size:  # static shapes
                 chunk.append(chunk[-1])
-            raw, w_h, w_w = self.plan.prepare(chunk)
-            scores_np, preds_np = self._dispatch_with_retry(raw, w_h, w_w)
+            raw, w_h, w_w, idx = self.plan.prepare_deduped(chunk)
+            scores_np, preds_np = self._dispatch_with_retry(raw, w_h, w_w, idx)
             scores_all.append(scores_np[:n])
             preds_all.append(preds_np[:n])
         return np.concatenate(scores_all), np.concatenate(preds_all)
 
-    def _dispatch_with_retry(self, raw, w_h, w_w):
+    def _dispatch_with_retry(self, raw, w_h, w_w, idx):
         """One jitted dispatch + readback, re-dispatched on transient
         backend errors (utils/retry.py — the same policy as extraction:
         a serving request must survive a tunnel hiccup)."""
@@ -127,7 +139,7 @@ class ChexpertClassifier:
 
         def attempt():
             scores, preds = self._fn(
-                self.image_params, self.adapter_params, raw, w_h, w_w, self.bank
+                self.image_params, self.adapter_params, raw, w_h, w_w, idx, self.bank
             )
             return np.asarray(scores), np.asarray(preds)
 

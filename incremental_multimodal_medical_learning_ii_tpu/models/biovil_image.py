@@ -70,6 +70,15 @@ def fold_grayscale_conv1(params: Params) -> Params:
     k = params["encoder"]["conv1"]["kernel"]
     if k.shape[2] == 1:
         return params
+    if k.shape[0] == 4:
+        # space-to-depth stem kernel: its channel axis is s2d blocks, NOT
+        # duplicated grayscale channels — summing it would corrupt the stem
+        if k.shape[2] == 4:
+            return params  # already grayscale-folded before the s2d transform
+        raise ValueError(
+            "cannot grayscale-fold a 3-channel space-to-depth stem kernel; "
+            "apply fold_grayscale_conv1 BEFORE space_to_depth_stem"
+        )
     folded = dict(params)
     folded["encoder"] = dict(params["encoder"])
     folded["encoder"]["conv1"] = {

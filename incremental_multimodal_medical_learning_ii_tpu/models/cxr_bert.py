@@ -150,12 +150,22 @@ def _self_attention(
         # Pallas TPU flash-attention kernel (online softmax, no S x S
         # materialisation).  Pointless at prompt lengths (<50 tokens) but
         # the right path for full radiology reports; enabled via
-        # bert_encode(use_flash_attention=True).  The additive key-padding
-        # bias is folded in as ab.
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        # bert_encode(use_flash_attention=True).  Key padding rides the
+        # kernel's segment_ids — an ab bias would materialise the
+        # (B, nh, S, S) tensor the kernel exists to avoid (3+ GB at
+        # report lengths).  Padded QUERY rows attend only padding (their
+        # outputs are garbage either way and never consumed: the CLS
+        # projection reads position 0, MLM fill reads real positions).
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
 
-        ab = jnp.broadcast_to(mask_bias, (b, nh, s, s))
-        ctx = flash_attention(q, k, v, ab=ab, sm_scale=1.0 / float(np.sqrt(hd)))
+        valid = (mask_bias[:, 0, 0, :] == 0).astype(jnp.int32)  # (B, S)
+        ctx = flash_attention(
+            q, k, v, segment_ids=SegmentIds(q=valid, kv=valid),
+            sm_scale=1.0 / float(np.sqrt(hd)),
+        )
     else:
         scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, precision=_HIGHEST) / np.sqrt(hd)
         scores = scores + mask_bias  # (B, 1, 1, S) additive

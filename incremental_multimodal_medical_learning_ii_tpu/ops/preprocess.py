@@ -136,15 +136,25 @@ class DevicePreprocessPlan:
             w_h[i], w_w[i] = self._matrices(h, w)
         return raw, w_h, w_w
 
+    # enough for any real dataset's shape variety; bounds host RSS when a
+    # long-lived server is fed adversarially varied shapes (~4 MB/entry)
+    _MATRIX_CACHE_MAX = 256
+
     def _matrices(self, h: int, w: int):
-        """Cropped resize-matrix pair for one raw shape, cached per shape
-        (images repeat shapes heavily; the matrices are pure functions of
-        (h, w, size, crop, pad_to))."""
+        """Cropped resize-matrix pair for one raw shape, LRU-cached per
+        shape (images repeat shapes heavily; the matrices are pure
+        functions of (h, w, size, crop, pad_to))."""
         cached = getattr(self, "_matrix_cache", None)
         if cached is None:
-            cached = self._matrix_cache = {}
+            from collections import OrderedDict
+
+            cached = self._matrix_cache = OrderedDict()
         pair = cached.get((h, w))
+        if pair is not None:
+            cached.move_to_end((h, w))
         if pair is None:
+            while len(cached) >= self._MATRIX_CACHE_MAX:
+                cached.popitem(last=False)
             out_h, out_w = resize_shape_for_smaller_edge(h, w, self.size)
             top = _effective_crop_start(out_h, self.crop)
             left = _effective_crop_start(out_w, self.crop)

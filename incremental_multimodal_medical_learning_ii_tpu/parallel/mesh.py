@@ -53,7 +53,11 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     """
 
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis_name))
+        nd = np.ndim(x)
+        if nd == 0:
+            # a rank-1 spec on a scalar leaf is invalid; replicate it
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, batch_sharding(mesh, nd, axis_name))
 
     return jax.tree_util.tree_map(_put, batch)
 
