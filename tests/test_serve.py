@@ -218,6 +218,16 @@ def test_oversized_image_is_client_error(server, rng):
     assert "exceeds pad_to" in payload["error"]
 
 
+def test_extreme_aspect_ratio_is_client_error(server, rng):
+    """A 1xW strip would demand a size*W-wide resize target (multi-GB
+    matrix) — must be a 400 for its own request, not an OOM/stall."""
+    srv, _ = server
+    strip = _png_bytes(rng, h=4, w=256)
+    status, payload = _request(srv, "POST", "/classify", body=strip, ctype="image/png")
+    assert status == 400
+    assert "aspect ratio" in payload["error"]
+
+
 def test_huge_content_length_rejected_before_buffering(server):
     srv, _ = server
     conn = http.client.HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
