@@ -222,7 +222,7 @@ def test_extreme_aspect_ratio_is_client_error(server, rng):
     """A 1xW strip would demand a size*W-wide resize target (multi-GB
     matrix) — must be a 400 for its own request, not an OOM/stall."""
     srv, _ = server
-    strip = _png_bytes(rng, h=4, w=256)
+    strip = _png_bytes(rng, h=4, w=100)  # within pad_to, ratio 25:1
     status, payload = _request(srv, "POST", "/classify", body=strip, ctype="image/png")
     assert status == 400
     assert "aspect ratio" in payload["error"]
