@@ -161,6 +161,27 @@ def test_sweep_cli(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert out.count("val-AUROC-macro=") == 2
+
+
+def test_sweep_cli_mixed_prompt_modes(tmp_path, capsys):
+    """'single' and 'mean' grid points use DIFFERENT prompt banks (the bank
+    cache keys on the prompt set; a shared bank would score one of them
+    against the wrong prompts)."""
+    from incremental_multimodal_medical_learning_ii_tpu.cli.sweep import main
+
+    main([
+        "--synthetic", "--epochs", "1", "--batch-size", "256",
+        "--lrs", "0.001", "--optims", "adam", "--adapters", "dense",
+        "--prompt-modes", "single", "mean",
+        "--log-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert out.count("val-AUROC-macro=") == 2
+    lines = [l for l in out.splitlines() if "val-AUROC-macro=" in l]
+    vals = [float(l.split("val-AUROC-macro=")[1]) for l in lines]
+    # different banks -> different scores (equal values would indicate the
+    # single-prompt bank leaked into the mean grid point)
+    assert vals[0] != vals[1]
     assert "best: AUROC" in out
 
 
