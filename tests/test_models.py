@@ -281,7 +281,14 @@ def _write_snapshot(tmp_path, dims, model, proj, weights_format="bin"):
     return sd
 
 
-@pytest.mark.parametrize("weights_format", ["bin", "safetensors"])
+@pytest.mark.parametrize(
+    "weights_format",
+    [
+        # the torch-pickle roundtrip is the pricier variant (~8s): slow tier
+        pytest.param("bin", marks=pytest.mark.slow),
+        "safetensors",
+    ],
+)
 def test_cxr_bert_snapshot_loading(tmp_path, weights_format):
     """config.json drives the dims — in particular num_attention_heads=4
     with hidden=32, which the old head-dim-64 heuristic would get wrong —

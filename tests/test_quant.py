@@ -57,6 +57,7 @@ def test_conv_apply_int8_matches_float(rng):
     assert conv_apply_int8(pq, x, 2, 1).shape == (2, 8, 8, 32)
 
 
+@pytest.mark.slow  # full-trunk quantization walk (~7s)
 def test_quantize_resnet_walks_blocks(image_params):
     enc_q = quantize_resnet_int8(image_params["encoder"])
     assert enc_q["conv1"]["kernel_q"].dtype == jnp.int8

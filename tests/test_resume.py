@@ -167,6 +167,7 @@ def test_progress_file_corruption_is_tolerated(tmp_path):
     assert not list(tmp_path.glob("*.tmp"))
 
 
+@pytest.mark.slow  # two orbax checkpoints + a full protocol run (~11s)
 def test_unit_checkpoints_are_staged_and_cleaned(tmp_path):
     """_save_unit stages per-unit checkpoint dirs and progress.json names
     the one it committed; older staged dirs are removed (finding r3)."""
