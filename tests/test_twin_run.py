@@ -414,6 +414,86 @@ def test_twin_joint_learnable_data(ref_mod):
     assert max_param_diff(final_ref, results["trainer"].params) < 5e-5
 
 
+def test_twin_tsne_subset_filters(ref_mod):
+    """The t-SNE subset filters against the reference's OWN
+    filter_dataloader_{multiclass,sani_e_malati} (Trainer.py:59-98):
+    identical rows in identical order (single-positive x 5 capped at 200;
+    all-healthy / all-positive capped at 400)."""
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+        filter_multiclass,
+        filter_sani_malati,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(3000, 128)).astype(np.float32)
+    # mix of single-positive, healthy, all-positive, and multi-label rows
+    patterns = [
+        [1, 0, 0, 0, 0], [0, 1, 0, 0, 0], [0, 0, 1, 0, 0], [0, 0, 0, 1, 0],
+        [0, 0, 0, 0, 1], [0, 0, 0, 0, 0], [1, 1, 1, 1, 1], [1, 1, 0, 0, 0],
+    ]
+    y = np.array([patterns[i % len(patterns)] for i in range(3000)], np.float32)
+    loader = DataLoader(TensorDataset(torch.from_numpy(x), torch.from_numpy(y)),
+                        batch_size=64, shuffle=False, num_workers=0)
+
+    for ref_fn, fw_fn in (
+        (ref_mod.filter_dataloader_multiclass, filter_multiclass),
+        (ref_mod.filter_dataloader_sani_e_malati, filter_sani_malati),
+    ):
+        ref_rows = [(inp.numpy(), lbl.numpy()) for inp, lbl in ref_fn(loader).dataset]
+        fw = fw_fn(EmbeddingDataset(x, y))
+        assert len(fw) == len(ref_rows)
+        np.testing.assert_array_equal(fw.embeddings, np.stack([r[0] for r in ref_rows]))
+        np.testing.assert_array_equal(fw.labels, np.stack([r[1] for r in ref_rows]))
+
+
+def test_twin_splitters(ref_mod):
+    """Index-level parity with the reference's OWN splitters
+    (split_dataloader_data_incremental / split_dataloader_by_label,
+    Trainer.py:1187-1231)."""
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+        split_by_label,
+        split_contiguous,
+    )
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(997, 128)).astype(np.float32)  # prime: ragged tail
+    y = (rng.random((997, 5)) < 0.35).astype(np.float32)
+    ds = EmbeddingDataset(x, y)
+    loader = DataLoader(TensorDataset(torch.from_numpy(x), torch.from_numpy(y)),
+                        batch_size=64, shuffle=False, num_workers=0)
+
+    for parts in (3, 5, 20):
+        ref_parts = ref_mod.Trainer.split_dataloader_data_incremental(loader, parts)
+        ours = split_contiguous(ds, parts)
+        assert len(ref_parts) == len(ours)
+        for rp, op in zip(ref_parts, ours):
+            assert len(rp.dataset) == len(op)
+            ref_rows = (
+                np.stack([x[i] for i in rp.dataset.indices])
+                if len(op) else np.empty((0, 128), np.float32)
+            )
+            np.testing.assert_array_equal(ref_rows, op.embeddings)
+
+    ref_label = ref_mod.Trainer.split_dataloader_by_label(loader, 64)
+    ours_label = split_by_label(ds)
+    for c, (rp, op) in enumerate(zip(ref_label, ours_label)):
+        np.testing.assert_array_equal(
+            np.asarray(rp.dataset.indices), np.where(y[:, c] == 1)[0]
+        )
+        assert len(rp.dataset) == len(op)
+        np.testing.assert_array_equal(
+            np.stack([x[i] for i in rp.dataset.indices]), op.embeddings
+        )
+
+
 def test_twin_zero_shot_single_prompt(ref_mod, data):
     import reference_twin as rt
 
