@@ -62,6 +62,11 @@ MAX_ROUNDS = 12
 MAX_FAILURES = 6
 TIME_BUDGET_S = 180.0
 WARMUP_ATTEMPTS = 5
+# Overall deadline: in a dead link phase every stage crawls (a 64 MB batch
+# upload can take 5+ minutes at 2 MB/s), and the driver's run must ALWAYS
+# end with the JSON line — past the deadline remaining stages are skipped,
+# never the report.  One in-flight operation may still overshoot it.
+DEADLINE_S = float(os.environ.get("IMML_BENCH_DEADLINE", 540.0))
 
 
 def _log(msg: str) -> None:
@@ -104,6 +109,14 @@ def main() -> None:
         assert len(ds) == n
         return n / dt, stats
 
+    bench_t0 = time.perf_counter()
+
+    def past_deadline(stage: str) -> bool:
+        if time.perf_counter() - bench_t0 > DEADLINE_S:
+            _log(f"[bench] deadline ({DEADLINE_S:.0f}s) passed; skipping {stage}")
+            return True
+        return False
+
     # Warm-up: compile + prime the pipeline. Retried because the very first
     # readback through the tunnel is the most hiccup-prone operation.
     for attempt in range(WARMUP_ATTEMPTS):
@@ -114,6 +127,8 @@ def main() -> None:
             _log(f"[bench] warm-up attempt {attempt + 1} failed: {type(e).__name__}: {e}")
             if attempt == WARMUP_ATTEMPTS - 1:
                 _log("[bench] warm-up never succeeded; reporting 0")
+            if past_deadline("remaining warm-up attempts"):
+                break
             time.sleep(2.0 * (attempt + 1))
 
     samples: list = []
@@ -127,6 +142,9 @@ def main() -> None:
     while len(samples) < MIN_ROUNDS or (
         len(samples) < MAX_ROUNDS and time.perf_counter() - start < TIME_BUDGET_S
     ):
+        if time.perf_counter() - bench_t0 > DEADLINE_S and samples:
+            _log("[bench] deadline passed mid-sampling; reporting collected samples")
+            break
         if failures >= MAX_FAILURES or time.perf_counter() - start > 2 * TIME_BUDGET_S:
             _log(f"[bench] giving up after {failures} failures / "
                  f"{time.perf_counter() - start:.0f}s with {len(samples)} sample(s)")
@@ -158,6 +176,8 @@ def main() -> None:
     device_rate = device_rate_256 = None
     if os.environ.get("IMML_BENCH_DEVICE", "1") != "0":
         def _try_device(b):
+            if past_deadline(f"device-side measurement (batch {b})"):
+                return None
             try:
                 return _device_side_rate(batch=b)
             except Exception as e:  # noqa: BLE001
