@@ -327,6 +327,38 @@ def test_twin_class_incremental_permuted_task_order_mycl(ref_mod, data):
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
 
+def test_twin_class_incremental_profcl(ref_mod, data):
+    """profCL in CLASS-incremental: unlike data-inc, the snapshot/reset
+    hooks are guarded by actual_task > 1 (CLASS_INCREMENTAL.py:74-87), so
+    task 1 trains without any reset and the monitor streams start at
+    task 2 — a distinct code path from the data-inc profCL twin."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
+        epochs=1, continual="profCL", threshold=0.01, adder=0.001,
+    )
+    cfg = base_cfg(mode="class-pos-neg", epochs=1, continual_learning="profCL",
+                   threshold=0.01, adder=0.001)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_class_incremental(cfg, fw_bundle(data),
+                                                  fw_bank(prompts), log_dir=None)
+    compare_streams(
+        ref_rec, fw_rec,
+        monitors=[
+            ("monitor-resets/resets", 2.0),
+            ("monitor-resets/updates", 2.0),
+            ("monitor-resets/percentage resets", 1e-4),
+        ],
+    )
+    # the guard means exactly n_tasks-1 = 4 reset logs (tasks 2..5)
+    assert len(stream(ref_rec.scalars, "monitor-resets/resets")) == 4
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
 def test_twin_class_incremental_max_emb(ref_mod, data):
     """MAX mode in class-incremental: one (pos, neg) gap scalar per batch
     for the single trained class — directly comparable streams (the joint
