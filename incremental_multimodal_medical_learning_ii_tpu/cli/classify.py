@@ -145,15 +145,21 @@ def build_classifier(args):
         template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)
         try:
             adapter_params = restore_checkpoint(args.adapter_checkpoint, template).params
-        except Exception:
+        except Exception as first_err:
             # opt-state tree mismatch: retry with the other optimizer's
-            # template (only .params is used for serving)
+            # template (only .params is used for serving).  If the retry
+            # also fails the checkpoint is genuinely missing/corrupt — the
+            # ORIGINAL error is the one that describes it, so chain it
+            # instead of surfacing a confusing second template mismatch.
             import dataclasses
 
             other = "sgd" if args.optim == "adam" else "adam"
             alt_cfg = dataclasses.replace(cfg, optim=other)
             alt_template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), alt_cfg)
-            adapter_params = restore_checkpoint(args.adapter_checkpoint, alt_template).params
+            try:
+                adapter_params = restore_checkpoint(args.adapter_checkpoint, alt_template).params
+            except Exception:
+                raise first_err from None
             print(f"[info] checkpoint restored with an {other} opt-state "
                   f"template (pass --optim {other} to silence this)")
 

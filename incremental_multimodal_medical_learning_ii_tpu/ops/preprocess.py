@@ -136,9 +136,12 @@ class DevicePreprocessPlan:
             w_h[i], w_w[i] = self._matrices(h, w)
         return raw, w_h, w_w
 
-    # enough for any real dataset's shape variety; bounds host RSS when a
-    # long-lived server is fed adversarially varied shapes (~4 MB/entry)
+    # enough for any real dataset's shape variety; the eviction budget is in
+    # BYTES, not entries — entry size scales with crop*pad_to, so an entry
+    # count alone would let adversarially shape-varied requests to a
+    # long-lived server pin ~1 GB on a 1-vCPU host (256 entries x ~4 MB)
     _MATRIX_CACHE_MAX = 256
+    _MATRIX_CACHE_MAX_BYTES = 256 * 1024 * 1024
 
     def _matrices(self, h: int, w: int):
         """Cropped resize-matrix pair for one raw shape, LRU-cached per
@@ -149,12 +152,18 @@ class DevicePreprocessPlan:
             from collections import OrderedDict
 
             cached = self._matrix_cache = OrderedDict()
+            self._matrix_cache_bytes = 0
         pair = cached.get((h, w))
         if pair is not None:
             cached.move_to_end((h, w))
         if pair is None:
-            while len(cached) >= self._MATRIX_CACHE_MAX:
-                cached.popitem(last=False)
+            entry_bytes = 2 * self.crop * self.pad_to * 4  # the pair below
+            while cached and (
+                len(cached) >= self._MATRIX_CACHE_MAX
+                or self._matrix_cache_bytes + entry_bytes > self._MATRIX_CACHE_MAX_BYTES
+            ):
+                _, old = cached.popitem(last=False)
+                self._matrix_cache_bytes -= old[0].nbytes + old[1].nbytes
             out_h, out_w = resize_shape_for_smaller_edge(h, w, self.size)
             top = _effective_crop_start(out_h, self.crop)
             left = _effective_crop_start(out_w, self.crop)
@@ -165,6 +174,7 @@ class DevicePreprocessPlan:
                 _crop_rows(full_h, top, self.crop),
                 _crop_rows(full_w, left, self.crop),
             )
+            self._matrix_cache_bytes += pair[0].nbytes + pair[1].nbytes
         return pair
 
     def prepare_deduped(self, images: Sequence[np.ndarray]):

@@ -24,6 +24,16 @@ scoped by the round-2 review:
 The reference's visual-only ``TSNE`` attribute is additionally patched
 (sklearn>=1.2 raises on 10-sample t-SNE; the substitute only feeds figures,
 never the compared scalar streams).
+
+Trust boundary: this harness imports and EXECUTES ``/root/reference``
+(public, untrusted code) inside the test process — that is the point of a
+twin run and is acceptable because the mount is read-only, but it means
+``pytest tests/`` runs that code.  The ``sys.modules`` stubs must stay
+exhaustive for every package the reference imports transitively
+(torchvision, torchmetrics, health_multimodal) so no *other* vendored
+reference package gets imported as a side effect; the real-text-stack
+variant below loads exactly four vendored text files by explicit path and
+nothing else.
 """
 
 from __future__ import annotations
