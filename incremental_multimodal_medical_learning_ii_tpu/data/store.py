@@ -168,16 +168,23 @@ def iterate_batches(
     *,
     shuffle: bool,
     rng: Optional[np.random.Generator] = None,
+    order: Optional[np.ndarray] = None,
     pad_multiple: int = 1,
     drop_last: bool = False,
 ) -> Iterator[Batch]:
     """Yield static-shape batches; the final partial batch is zero-padded to
     ``batch_size`` with a 0/1 mask (and ``batch_size`` itself should be a
-    multiple of the mesh size, guaranteed by padding to ``pad_multiple``)."""
+    multiple of the mesh size, guaranteed by padding to ``pad_multiple``).
+    ``order`` overrides the shuffle with an explicit row permutation (the
+    twin-run harness injects the reference DataLoader's exact order)."""
     n = len(dataset)
-    order = np.arange(n)
-    if shuffle:
-        (rng or np.random.default_rng()).shuffle(order)
+    if order is not None:
+        if len(order) != n:
+            raise ValueError(f"order has {len(order)} entries for {n} rows")
+    else:
+        order = np.arange(n)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(order)
     bs = ((batch_size + pad_multiple - 1) // pad_multiple) * pad_multiple
     for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]

@@ -186,18 +186,19 @@ def build_fused_epoch(
     ``.to(device)`` copies (``Trainer.py:537-601``).
 
     Returns ``epoch(state, embs, labels, valid, bank, class_mask, threshold,
-    key) -> (state, stacked metrics)`` where embs/labels/valid are padded to
-    ``n_batches * batch_size`` rows.
+    perm) -> (state, stacked metrics)`` where embs/labels/valid are padded to
+    ``n_batches * batch_size`` rows and ``perm`` is the (N_pad,) int32 row
+    order for this epoch (real rows permuted, padding indices at the tail —
+    the Trainer builds it via :func:`epoch_permutation` or an injected
+    source).  With ``shuffle_train=False`` perm is ignored (pass a 0-size
+    array) and the gather is skipped entirely (compile-time branch).
     """
-    def epoch(state: TrainState, embs, labels, valid, bank, class_mask, threshold, key):
+    def epoch(state: TrainState, embs, labels, valid, bank, class_mask, threshold, perm):
         # One epoch-level permutation gather OUTSIDE the scan; the scan then
         # streams contiguous (B, D) slabs (cheap to compile and to run —
         # per-batch gathers inside the scan body compile far slower).
-        # shuffle_train=False (twin-run harness) keeps dataset order and
-        # skips the gather entirely (compile-time branch: cfg is static).
         b = cfg.batch_size
         if cfg.shuffle_train:
-            perm = jax.random.permutation(key, embs.shape[0])
             embs_s = jnp.take(embs, perm, axis=0).reshape(-1, b, embs.shape[1])
             labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
             valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
@@ -215,6 +216,22 @@ def build_fused_epoch(
         return jax.lax.scan(body, state, (embs_s, labels_s, valid_s))
 
     return jax.jit(epoch, donate_argnums=(0,))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def epoch_permutation(key, n_real: int, n_pad: int) -> jnp.ndarray:
+    """Device-side epoch row order: permute the ``n_real`` real rows, keep
+    the padding indices at the tail — the same semantics as the reference's
+    reshuffling DataLoader (real rows shuffled, the final batch carries the
+    partial tail, Trainer.py:238-240) and as this framework's per-batch
+    ``iterate_batches`` path, so the fused and per-batch engines see
+    identical batch composition for a given permutation.  Stays in HBM (no
+    host round-trip); recompiles per (n_real, n_pad), which only varies
+    across datasets/parts."""
+    p = jax.random.permutation(key, n_real).astype(jnp.int32)
+    if n_pad > n_real:
+        p = jnp.concatenate([p, jnp.arange(n_real, n_pad, dtype=jnp.int32)])
+    return p
 
 
 def build_epoch_reset(cfg: ExperimentConfig) -> Callable:

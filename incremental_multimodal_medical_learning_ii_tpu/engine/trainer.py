@@ -109,6 +109,12 @@ class Trainer:
         self._snapshot = None  # profCL epoch snapshot
         self._shuffle_rng = np.random.default_rng(cfg.seed)
         self._pad_multiple = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        # Optional injected epoch order: callable (epoch_index, n_rows) ->
+        # permutation of range(n_rows).  Lets the twin-run harness feed the
+        # reference DataLoader's exact seeded-RandomSampler order through
+        # both engine paths; None uses the trainer's own RNG streams.
+        self.permutation_source = None
+        self._perm_counter = 0  # epochs begun with shuffling (both paths)
 
         # heatmap accumulators (Trainer.py:187-190)
         self.val_f1_rows: List[np.ndarray] = []
@@ -153,6 +159,7 @@ class Trainer:
             "py_step": self._py_step,
             "gap_counter": self._gap_counter,
             "epoch_counter": self._epoch_counter,
+            "perm_counter": self._perm_counter,
             "val_f1_rows": [r.tolist() for r in self.val_f1_rows],
             "val_auroc_rows": [r.tolist() for r in self.val_auroc_rows],
             "test_f1_rows": [r.tolist() for r in self.test_f1_rows],
@@ -175,6 +182,7 @@ class Trainer:
         self._py_step = py_step
         self._gap_counter = gap_counter
         self._epoch_counter = epoch_counter
+        self._perm_counter = int(aux.get("perm_counter", epoch_counter))
         self.val_f1_rows = rows["val_f1_rows"]
         self.val_auroc_rows = rows["val_auroc_rows"]
         self.test_f1_rows = rows["test_f1_rows"]
@@ -197,6 +205,11 @@ class Trainer:
         exposing ``iterate_batches`` (e.g. the native mmap store,
         data/native.py)."""
         if hasattr(dataset, "iterate_batches"):
+            if shuffle and self.permutation_source is not None:
+                raise ValueError(
+                    "permutation_source injection is not supported for "
+                    "native batch sources (their shuffle lives in C++)"
+                )
             # per-epoch seed drawn from the persistent shuffle stream: a
             # fixed cfg.seed would replay the IDENTICAL permutation every
             # epoch (unlike the numpy path / the reference's DataLoader
@@ -207,11 +220,25 @@ class Trainer:
                 batch_size, shuffle=shuffle, seed=seed,
                 pad_multiple=self._pad_multiple,
             )
+        order = None
+        if shuffle and self.permutation_source is not None:
+            order = self._injected_permutation(len(dataset))
         return iterate_batches(
             dataset, batch_size, shuffle=shuffle,
             rng=self._shuffle_rng if shuffle else None,
+            order=order,
             pad_multiple=self._pad_multiple,
         )
+
+    def _injected_permutation(self, n: int) -> np.ndarray:
+        """Next epoch order from the injected source (twin-run harness)."""
+        self._perm_counter += 1
+        order = np.asarray(self.permutation_source(self._perm_counter - 1, n))
+        if order.shape != (n,):
+            raise ValueError(
+                f"permutation_source returned shape {order.shape}, expected ({n},)"
+            )
+        return order
 
     def _run_train_batch(self, embs, labels, mask, class_mask, threshold):
         embs, labels, mask = self._place((embs, labels, mask))
@@ -368,9 +395,29 @@ class Trainer:
         cfg = self.cfg
         d_embs, d_labels, d_valid = self._device_data(dataset)
         self._epoch_counter += 1
-        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter)
+        n, n_pad = len(dataset), int(d_embs.shape[0])
+        if not cfg.shuffle_train:
+            perm = np.zeros(0, np.int32)  # compile-time-ignored operand
+        elif self.permutation_source is not None:
+            real = self._injected_permutation(n)
+            perm = np.concatenate(
+                [real.astype(np.int32), np.arange(n, n_pad, dtype=np.int32)]
+            )
+        else:
+            from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+                epoch_permutation,
+            )
+
+            self._perm_counter += 1
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter
+            )
+            # device-side: real rows permuted, padding at the tail — same
+            # batch composition as the per-batch path / the reference's
+            # DataLoader; no host round-trip for the order
+            perm = epoch_permutation(key, n, n_pad)
         self.state, stacked = self._fused_epoch(
-            self.state, d_embs, d_labels, d_valid, self.bank, class_mask, threshold, key
+            self.state, d_embs, d_labels, d_valid, self.bank, class_mask, threshold, perm
         )
         fetched = jax.device_get(stacked)
         n_b = len(fetched["loss"])

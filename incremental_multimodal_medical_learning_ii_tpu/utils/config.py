@@ -117,9 +117,11 @@ class ExperimentConfig:
     # path on a multi-chip mesh or non-resident batch sources.
     fused_epoch: bool = True
     # Reference trains with a reshuffling DataLoader (Trainer.py:238-240).
-    # False iterates batches in dataset order — used by the twin-run parity
-    # harness (tests/test_twin_run.py) to lockstep against the reference's
-    # own Trainer.py, and for exact-reproducibility studies.
+    # False iterates batches in dataset order — used by most twin-run parity
+    # configs (tests/test_twin_run.py) to lockstep against the reference's
+    # own Trainer.py.  True reshuffles per epoch (real rows permuted,
+    # padding at the tail, both engine paths); the shuffle twin injects the
+    # reference DataLoader's exact order via Trainer.permutation_source.
     shuffle_train: bool = True
     # Figure cadence: "reference" re-plots ROC/PR/scatter/t-SNE/heatmaps at
     # every eval like the reference (host-bound: ~10 matplotlib figures per

@@ -63,19 +63,54 @@ def fake_encode(texts: Sequence[str], seed: int = 123) -> np.ndarray:
     return out
 
 
+class FakeTextEngine:
+    """Deterministic stand-in for TextInferenceEngine
+    (health_multimodal/text/inference_engine.py:50-70): returns the
+    shared fake embeddings, always under no_grad like the original's
+    decorator."""
+
+    def get_embeddings_from_prompt(self, prompts, normalize=True, verbose=True):
+        import torch
+
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        with torch.no_grad():
+            emb = torch.from_numpy(fake_encode(list(prompts)))
+            if normalize:
+                emb = emb / emb.norm(p=2, dim=1, keepdim=True)
+        return emb
+
+
+# What get_cxr_bert_inference() hands the reference Trainer; swapped by
+# real_text_stack() for twins that run the vendored tokenize->CXR-BERT->
+# projection path as ground truth.
+_text_engine_factory = [FakeTextEngine]
+
+
 # ----------------------------------------------------------------------
 # sys.modules stubs for the three absent imports
 # ----------------------------------------------------------------------
+def _stub_module(name: str) -> types.ModuleType:
+    """ModuleType with a real (loader-less) __spec__: a bare ModuleType's
+    __spec__ is None, which makes importlib.util.find_spec RAISE for any
+    later availability probe (e.g. transformers' _is_package_available)."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def _install_stubs() -> None:
     import torch
 
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv_io = types.ModuleType("torchvision.io")
+        tv = _stub_module("torchvision")
+        tv_io = _stub_module("torchvision.io")
         tv_io.read_image = lambda path: torch.zeros((3, 4, 4), dtype=torch.uint8)
-        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils = _stub_module("torchvision.utils")
         tv_utils.make_grid = lambda x, **k: x
-        tv_tf = types.ModuleType("torchvision.transforms")
+        tv_tf = _stub_module("torchvision.transforms")
         tv.io, tv.utils, tv.transforms = tv_io, tv_utils, tv_tf
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.io"] = tv_io
@@ -83,8 +118,8 @@ def _install_stubs() -> None:
         sys.modules["torchvision.transforms"] = tv_tf
 
     if "torchmetrics" not in sys.modules:
-        tm = types.ModuleType("torchmetrics")
-        tm_f = types.ModuleType("torchmetrics.functional")
+        tm = _stub_module("torchmetrics")
+        tm_f = _stub_module("torchmetrics.functional")
 
         def pairwise_cosine_similarity(x, y=None, zero_diagonal=None):
             # exact torchmetrics math: row-L2-normalise, matmul
@@ -103,28 +138,141 @@ def _install_stubs() -> None:
 
     if "health_multimodal" not in sys.modules:
         # pre-empt the real vendored package (pulls torchvision/transformers)
-        hm = types.ModuleType("health_multimodal")
-        hm_text = types.ModuleType("health_multimodal.text")
+        hm = _stub_module("health_multimodal")
+        hm_text = _stub_module("health_multimodal.text")
 
-        class FakeTextEngine:
-            """Deterministic stand-in for TextInferenceEngine
-            (health_multimodal/text/inference_engine.py:50-70): returns the
-            shared fake embeddings, always under no_grad like the original's
-            decorator."""
-
-            def get_embeddings_from_prompt(self, prompts, normalize=True, verbose=True):
-                if isinstance(prompts, str):
-                    prompts = [prompts]
-                with torch.no_grad():
-                    emb = torch.from_numpy(fake_encode(list(prompts)))
-                    if normalize:
-                        emb = emb / emb.norm(p=2, dim=1, keepdim=True)
-                return emb
-
-        hm_text.get_cxr_bert_inference = lambda: FakeTextEngine()
+        # dispatch at call time so tests can swap in the REAL vendored text
+        # stack (see real_text_stack below); Trainer binds this function
+        # once at import (`from health_multimodal.text import ...`)
+        hm_text.get_cxr_bert_inference = lambda: _text_engine_factory[0]()
         hm.text = hm_text
         sys.modules["health_multimodal"] = hm
         sys.modules["health_multimodal.text"] = hm_text
+
+
+# ----------------------------------------------------------------------
+# REAL vendored text stack (VERDICT r3 item 1): run the reference's own
+# tokenizer conventions (text/data/io.py:17-58), TextInferenceEngine
+# (inference_engine.py:37-70) and CXRBertModel numerics
+# (modelling_cxrbert.py:52-141) as twin ground truth, narrowing the text
+# stub to weights-only (a small random-init config; the actual CXR-BERT
+# weights are not in this environment).
+# ----------------------------------------------------------------------
+def _load_vendored(dotted: str, relpath: str):
+    """Load ONE vendored reference file under its exact dotted module name
+    (so its internal absolute imports resolve), creating empty parent
+    package stubs as needed.  Only the four torchvision-free text files
+    are ever loaded this way."""
+    import importlib.util
+    from pathlib import Path
+
+    if dotted in sys.modules:
+        return sys.modules[dotted]
+    parent = dotted.rsplit(".", 1)[0]
+    if parent not in sys.modules:
+        sys.modules[parent] = _stub_module(parent)
+    spec = importlib.util.spec_from_file_location(dotted, str(Path(REF_DIR) / relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    setattr(sys.modules[parent], dotted.rsplit(".", 1)[1], mod)
+    return mod
+
+
+def load_vendored_text_modules():
+    """-> (TextInferenceEngine cls, CXRBertModel cls, CXRBertConfig cls)."""
+    _install_stubs()  # the health_multimodal/.text package stubs must exist
+    io_mod = _load_vendored(
+        "health_multimodal.text.data.io", "health_multimodal/text/data/io.py"
+    )
+    cfg_mod = _load_vendored(
+        "health_multimodal.text.model.configuration_cxrbert",
+        "health_multimodal/text/model/configuration_cxrbert.py",
+    )
+    model_mod = _load_vendored(
+        "health_multimodal.text.model.modelling_cxrbert",
+        "health_multimodal/text/model/modelling_cxrbert.py",
+    )
+    import dataclasses as _dc
+
+    if not _dc.is_dataclass(model_mod.CXRBertOutput):
+        # the vendored class predates transformers' requirement that
+        # ModelOutput subclasses be @dataclass with at most one required
+        # field; apply the decorator post-hoc with logits defaulted (pure
+        # structure, zero numerics) so forward() can construct it
+        model_mod.CXRBertOutput.logits = None
+        model_mod.CXRBertOutput = _dc.dataclass(model_mod.CXRBertOutput)
+    eng_mod = _load_vendored(
+        "health_multimodal.text.inference_engine",
+        "health_multimodal/text/inference_engine.py",
+    )
+    del io_mod
+    return eng_mod.TextInferenceEngine, model_mod.CXRBertModel, cfg_mod.CXRBertConfig
+
+
+def make_real_text_engine(
+    vocab_file, seed: int = 3, hidden: int = 64, layers: int = 2, heads: int = 2,
+    intermediate: int = 128, max_pos: int = 64,
+):
+    """Random-init vendored CXRBertModel (projection_size=128) wrapped in the
+    REAL vendored TextInferenceEngine over a real BertTokenizer."""
+    import torch
+    from transformers import BertTokenizer
+
+    EngineCls, ModelCls, ConfigCls = load_vendored_text_modules()
+    tokenizer = BertTokenizer(vocab_file=str(vocab_file))
+    cfg = ConfigCls(
+        projection_size=EMB_DIM,
+        vocab_size=tokenizer.vocab_size,
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=intermediate,
+        max_position_embeddings=max_pos,
+    )
+    torch.manual_seed(seed)
+    model = ModelCls(cfg)
+    model.eval()
+    engine = EngineCls(tokenizer=tokenizer, text_model=model)
+    assert engine.is_in_eval()
+    return engine
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def real_text_stack(tmp_path, seed: int = 3):
+    """Swap the twin's text ground truth from the hash fake to the REAL
+    vendored stack, and yield an ``encode_fn`` that runs the SAME weights
+    through this framework's tokenize->BERT->projection path
+    (models/convert.py + text/engine.py) for the PromptBank build.
+
+    Inside the context the only remaining whole-component stub on the
+    reference side is torchvision."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        convert_cxr_bert_state_dict,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+        TextInferenceEngine as FwEngine,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+        PromptTokenizer,
+        write_test_vocab,
+    )
+
+    vocab = write_test_vocab(tmp_path / "twin_vocab.txt")
+    engine = make_real_text_engine(vocab, seed=seed)
+    params, dims = convert_cxr_bert_state_dict(
+        engine.model.state_dict(), num_heads=engine.model.config.num_attention_heads
+    )
+    fw_engine = FwEngine(params, dims, PromptTokenizer(vocab))
+    prev = _text_engine_factory[0]
+    _text_engine_factory[0] = lambda: engine
+    try:
+        yield fw_engine.encode_fn(normalize=False), engine
+    finally:
+        _text_engine_factory[0] = prev
 
 
 class _VisualTSNE:
@@ -193,6 +341,7 @@ def configure_reference(
     train_logit_diff: bool = True,
     pred_logit_diff: bool = False,
     change_labels: bool = False,
+    new_prompts: bool = False,
 ) -> None:
     """Set the reference's module-level config globals (Trainer.py:41-57)."""
     mod.SHARED = shared
@@ -201,22 +350,52 @@ def configure_reference(
     mod.MODEL_USED = model_used
     mod.OPTIM = optim
     mod.MAX_EMB = max_emb
-    mod.NEW_PROMPTS = False
+    mod.NEW_PROMPTS = new_prompts
     mod.TRAIN_LOGIT_DIFF = train_logit_diff
     mod.PRED_LOGIT_DIFF = pred_logit_diff
     mod.CHANGE_LABELS = change_labels
 
 
-def make_loader(embs: np.ndarray, labels: np.ndarray, batch_size: int):
-    """Deterministic (shuffle=False, single-process) loader — the twin fixes
-    batch order on both sides; the reference's shuffling DataLoader
-    (Trainer.py:238-246) is exercised separately for statistics-invariant
-    behaviour by the suite's splitter/statistics tests."""
+def make_loader(embs: np.ndarray, labels: np.ndarray, batch_size: int,
+                shuffle_seed: int = None):
+    """Single-process loader.  Default: deterministic (shuffle=False) — the
+    twin fixes batch order on both sides.  With ``shuffle_seed`` the loader
+    shuffles through a dedicated seeded ``torch.Generator`` exactly like the
+    reference's reshuffling DataLoader (Trainer.py:238-246, RandomSampler);
+    the framework side replays the identical order via
+    :func:`recover_loader_order` + Trainer.permutation_source."""
     import torch
     from torch.utils.data import DataLoader, TensorDataset
 
     ds = TensorDataset(torch.from_numpy(embs.copy()), torch.from_numpy(labels.copy()))
-    return DataLoader(ds, batch_size=batch_size, shuffle=False, num_workers=0)
+    if shuffle_seed is None:
+        return DataLoader(ds, batch_size=batch_size, shuffle=False, num_workers=0)
+    g = torch.Generator()
+    g.manual_seed(shuffle_seed)
+    return DataLoader(ds, batch_size=batch_size, shuffle=True, num_workers=0,
+                      generator=g)
+
+
+def recover_loader_order(embs: np.ndarray, labels: np.ndarray, batch_size: int,
+                         shuffle_seed: int, epochs: int):
+    """The EXACT per-epoch row orders a ``make_loader(..., shuffle_seed=s)``
+    loader will yield, recovered by content-matching a replica loader
+    (robust to torch-internal RNG-consumption details like the per-iterator
+    base_seed draw, unlike re-deriving randperm by hand).  Rows must be
+    unique (true a.s. for the random fp32 fixtures)."""
+    row_index = {}
+    for i in range(len(embs)):
+        key = embs[i].tobytes()
+        assert key not in row_index, "content recovery needs unique rows"
+        row_index[key] = i
+    replica = make_loader(embs, labels, batch_size, shuffle_seed=shuffle_seed)
+    orders = []
+    for _ in range(epochs):
+        order = []
+        for batch_embs, _ in replica:
+            order.extend(row_index[r.tobytes()] for r in batch_embs.numpy())
+        orders.append(np.asarray(order, np.int64))
+    return orders
 
 
 def contiguous_parts(n: int, parts: int) -> List[range]:
@@ -275,9 +454,12 @@ CLASS_NAMES = ["Atelectasis", "Cardiomegaly", "Consolidation", "Edema", "Pleural
 
 def run_reference_joint(
     mod, prompts, data, *, single_prompt=False, lr=1e-4, batch_size=64,
-    eval_batch_size=64, epochs=3, seed=7,
+    eval_batch_size=64, epochs=3, seed=7, train_shuffle_seed=None,
 ):
-    """ZERO_JOINT_BOUNDS.py:16-72 with deterministic loaders."""
+    """ZERO_JOINT_BOUNDS.py:16-72; deterministic loaders unless
+    ``train_shuffle_seed`` turns on the reference's reshuffling train
+    DataLoader (eval loaders stay deterministic — their shuffle only
+    permutes rows under permutation-invariant sklearn metrics)."""
     import torch
     import torch.nn as nn
 
@@ -287,7 +469,8 @@ def run_reference_joint(
                           torch.device("cpu"), rec)
     init_params = reference_initial_params(trainer, mod.SHARED)
     criterion = nn.BCEWithLogitsLoss()
-    train_loader = make_loader(data["train_x"], data["train_y"], batch_size)
+    train_loader = make_loader(data["train_x"], data["train_y"], batch_size,
+                               shuffle_seed=train_shuffle_seed)
     val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
     test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)
     if epochs > 0:
@@ -466,9 +649,10 @@ import contextlib  # noqa: E402
 
 
 @contextlib.contextmanager
-def patched_protocols(init_params):
-    """Route the framework protocols' writer to a recorder and seed the
-    trainer with the reference's initial adapter weights."""
+def patched_protocols(init_params, permutation_source=None):
+    """Route the framework protocols' writer to a recorder, seed the
+    trainer with the reference's initial adapter weights, and optionally
+    inject an explicit per-epoch row order (shuffle twins)."""
     import jax
     import jax.numpy as jnp
 
@@ -482,6 +666,8 @@ def patched_protocols(init_params):
         if init_params:
             p = jax.tree_util.tree_map(jnp.asarray, init_params)
             t.state = t.state._replace(params=p, opt_state=t.tx.init(p))
+        if permutation_source is not None:
+            t.permutation_source = permutation_source
         return t
 
     protocols._make_writer = lambda cfg, log_dir: rec
