@@ -97,6 +97,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--mesh-devices", type=int, default=0, help="0 = all devices")
     p.add_argument("--tsne-plots", action="store_true", help="enable t-SNE figure hooks")
+    p.add_argument(
+        "--trace-dir",
+        help="capture a jax.profiler device trace of the training/eval loop "
+        "into this directory (viewable in TensorBoard / Perfetto / XProf); "
+        "train epochs and eval passes carry named spans",
+    )
 
 
 def prompt_mode_of(args) -> str:

@@ -45,7 +45,7 @@ def main(argv=None) -> None:
     bank = common.build_bank(args, cfg)
     results = run_data_incremental(
         cfg, bundle, bank, log_dir=args.log_dir, mesh=common.make_mesh(args),
-        resume=args.resume,
+        resume=args.resume, trace_dir=args.trace_dir,
     )
     common.print_results(results)
 

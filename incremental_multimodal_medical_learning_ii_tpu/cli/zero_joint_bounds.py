@@ -33,7 +33,8 @@ def main(argv=None) -> None:
     print("run:", cfg.run_name())
     bundle = common.load_bundle(args)
     bank = common.build_bank(args, cfg)
-    results = run_zero_joint(cfg, bundle, bank, log_dir=args.log_dir, mesh=common.make_mesh(args))
+    results = run_zero_joint(cfg, bundle, bank, log_dir=args.log_dir,
+                             mesh=common.make_mesh(args), trace_dir=args.trace_dir)
     common.print_results(results)
 
 

@@ -46,6 +46,7 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
     ContinualLearning,
     ExperimentConfig,
 )
+from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import maybe_trace
 
 
 @dataclasses.dataclass
@@ -158,29 +159,34 @@ def run_zero_joint(
     bank: PromptBank,
     log_dir: Optional[str] = None,
     mesh=None,
+    trace_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
-    """Zero-shot (epochs=0) or joint-train upper bound."""
+    """Zero-shot (epochs=0) or joint-train upper bound.  ``trace_dir``
+    captures a jax.profiler device trace of the whole train/eval loop
+    (SURVEY.md section 5 tracing; the reference has only tqdm bars)."""
     writer = _make_writer(cfg, log_dir)
     trainer = Trainer(cfg, bank, writer, mesh)
     results: Dict[str, Dict[str, float]] = {}
     threshold = cfg.threshold
     try:
-        if cfg.epochs > 0:
-            for epoch in range(1, cfg.epochs + 1):
-                trainer.train(data.train, epoch, threshold=threshold, actual_task=epoch)
-                results[f"val_ep{epoch}"] = trainer.validate(
-                    data.val, epoch, cfg.epochs, mode="joint"
+        with maybe_trace(trace_dir):
+            if cfg.epochs > 0:
+                for epoch in range(1, cfg.epochs + 1):
+                    trainer.train(data.train, epoch, threshold=threshold,
+                                  actual_task=epoch)
+                    results[f"val_ep{epoch}"] = trainer.validate(
+                        data.val, epoch, cfg.epochs, mode="joint"
+                    )
+                    results[f"test_ep{epoch}"] = trainer.test(
+                        data.test, epoch, cfg.epochs, mode="joint",
+                        tsne_datasets=data.tsne_datasets,
+                    )
+                    writer.commit()
+            else:
+                results["val_zero"] = trainer.validate(data.val, 0, 0, mode="zero")
+                results["test_zero"] = trainer.test(
+                    data.test, 0, 0, mode="zero", tsne_datasets=data.tsne_datasets
                 )
-                results[f"test_ep{epoch}"] = trainer.test(
-                    data.test, epoch, cfg.epochs, mode="joint",
-                    tsne_datasets=data.tsne_datasets,
-                )
-                writer.commit()
-        else:
-            results["val_zero"] = trainer.validate(data.val, 0, 0, mode="zero")
-            results["test_zero"] = trainer.test(
-                data.test, 0, 0, mode="zero", tsne_datasets=data.tsne_datasets
-            )
     except BaseException:
         writer.discard()  # un-committed partial-epoch events
         raise
@@ -200,6 +206,7 @@ def run_data_incremental(
     log_dir: Optional[str] = None,
     mesh=None,
     resume: bool = False,
+    trace_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     writer = _make_writer(cfg, log_dir)
     trainer = Trainer(cfg, bank, writer, mesh)
@@ -211,28 +218,29 @@ def run_data_incremental(
     for _ in range(count):  # replay, not multiply: keeps fp accumulation
         threshold += cfg.adder  # order identical to an uninterrupted run
     try:
-        for part in range(1 + skip, cfg.parts + 1):
-            for epoch in range(1, cfg.epochs + 1):
-                count += 1
-                threshold += cfg.adder  # DATA_INCREMENTAL.py:78
-                if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                    writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                if cfg.continual_learning == ContinualLearning.PROF_CL:
-                    trainer.model_copy()
-                trainer.train(
-                    parts[part - 1], epoch, threshold=threshold,
-                    part=part, epochs=cfg.epochs, actual_task=part,
+        with maybe_trace(trace_dir):
+            for part in range(1 + skip, cfg.parts + 1):
+                for epoch in range(1, cfg.epochs + 1):
+                    count += 1
+                    threshold += cfg.adder  # DATA_INCREMENTAL.py:78
+                    if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                    if cfg.continual_learning == ContinualLearning.PROF_CL:
+                        trainer.model_copy()
+                    trainer.train(
+                        parts[part - 1], epoch, threshold=threshold,
+                        part=part, epochs=cfg.epochs, actual_task=part,
+                    )
+                    if cfg.continual_learning == ContinualLearning.PROF_CL:
+                        trainer.prof_incremental(epoch, cfg.epochs, part, threshold)
+                results[f"val_part{part}"] = trainer.validate(
+                    data.val, part, cfg.parts, mode="data-inc", tasks_order=part
                 )
-                if cfg.continual_learning == ContinualLearning.PROF_CL:
-                    trainer.prof_incremental(epoch, cfg.epochs, part, threshold)
-            results[f"val_part{part}"] = trainer.validate(
-                data.val, part, cfg.parts, mode="data-inc", tasks_order=part
-            )
-            results[f"test_part{part}"] = trainer.test(
-                data.test, part, cfg.parts, mode="data-inc", tasks_order=part,
-                tsne_datasets=data.tsne_datasets,
-            )
-            _save_unit(trainer, writer, part)
+                results[f"test_part{part}"] = trainer.test(
+                    data.test, part, cfg.parts, mode="data-inc", tasks_order=part,
+                    tsne_datasets=data.tsne_datasets,
+                )
+                _save_unit(trainer, writer, part)
         _save_final(trainer, writer)
     except BaseException:
         # Crash mid-unit: drop the partial-unit TB events and leave the
@@ -254,6 +262,7 @@ def run_class_incremental(
     mesh=None,
     n_tasks: int = 5,
     resume: bool = False,
+    trace_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     writer = _make_writer(cfg, log_dir)
     trainer = Trainer(cfg, bank, writer, mesh)
@@ -292,31 +301,32 @@ def run_class_incremental(
     for _ in range(count):  # replay, not multiply: keeps fp accumulation
         threshold += cfg.adder  # order identical to an uninterrupted run
     try:
-        for actual_task in range(1 + skip, n_tasks + 1):
-            for epoch in range(1, cfg.epochs + 1):
-                count += 1
-                threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
-                if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                    writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
-                    trainer.model_copy()
-                last_batch = trainer.train_class_incremental(
-                    tasks[actual_task - 1], epoch,
-                    current_task=tasks_order[actual_task - 1],
-                    last_batch=last_batch, threshold=threshold,
-                    actual_task=actual_task, more_labels=cfg.more_labels,
+        with maybe_trace(trace_dir):
+            for actual_task in range(1 + skip, n_tasks + 1):
+                for epoch in range(1, cfg.epochs + 1):
+                    count += 1
+                    threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
+                    if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                    if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                        trainer.model_copy()
+                    last_batch = trainer.train_class_incremental(
+                        tasks[actual_task - 1], epoch,
+                        current_task=tasks_order[actual_task - 1],
+                        last_batch=last_batch, threshold=threshold,
+                        actual_task=actual_task, more_labels=cfg.more_labels,
+                    )
+                    if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                        trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
+                results[f"val_task{actual_task}"] = trainer.validate(
+                    data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
+                    final_unit=n_tasks,
                 )
-                if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
-                    trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
-            results[f"val_task{actual_task}"] = trainer.validate(
-                data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
-                final_unit=n_tasks,
-            )
-            results[f"test_task{actual_task}"] = trainer.test(
-                data.test, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
-                tsne_datasets=data.tsne_datasets, final_unit=n_tasks,
-            )
-            _save_unit(trainer, writer, actual_task, extra={"last_batch": last_batch})
+                results[f"test_task{actual_task}"] = trainer.test(
+                    data.test, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
+                    tsne_datasets=data.tsne_datasets, final_unit=n_tasks,
+                )
+                _save_unit(trainer, writer, actual_task, extra={"last_batch": last_batch})
         _save_final(trainer, writer)
     except BaseException:
         writer.discard()  # see run_data_incremental: keep the unit checkpoint clean

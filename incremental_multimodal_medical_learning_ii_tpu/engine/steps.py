@@ -146,14 +146,20 @@ def _train_core(pair: AdapterPair, tx: optax.GradientTransformation, cfg: Experi
         if out.max_mean_gap is not None:
             # the reference averages over REAL rows (Trainer.py:1698-1703);
             # zero-padded rows (elem_mask == 0) are excluded from the gap
-            # monitor, then the mean runs over the trained classes
+            # monitor, then either the (C,) per-class gaps are logged raw
+            # (max_gap_per_class — the reference's exact stream shape) or
+            # reduced to one mean over the trained classes
             denom_c = jnp.maximum(jnp.sum(class_mask), 1.0)
             denom_r = jnp.maximum(jnp.sum(elem_mask), 1.0)
             row_w = elem_mask[:, None]
             gap_pos = jnp.sum(out.max_mean_gap[0] * row_w, axis=0) / denom_r
             gap_neg = jnp.sum(out.max_mean_gap[1] * row_w, axis=0) / denom_r
-            metrics["max_mean_gap_pos"] = jnp.sum(gap_pos * class_mask) / denom_c
-            metrics["max_mean_gap_neg"] = jnp.sum(gap_neg * class_mask) / denom_c
+            if cfg.max_gap_per_class:
+                metrics["max_mean_gap_pos_vec"] = gap_pos
+                metrics["max_mean_gap_neg_vec"] = gap_neg
+            else:
+                metrics["max_mean_gap_pos"] = jnp.sum(gap_pos * class_mask) / denom_c
+                metrics["max_mean_gap_neg"] = jnp.sum(gap_neg * class_mask) / denom_c
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return core

@@ -19,7 +19,8 @@ Differences from the reference (all TPU-motivated):
   adapter is applied inside the step (same math, no per-batch BERT);
 * final partial batches are zero-padded with masks (static shapes);
 * the MAX-mode max-mean gap is logged per step as the mean over the trained
-  classes instead of one scalar per class per Python call;
+  classes by default; ``cfg.max_gap_per_class`` opts into the reference's
+  raw stream shape (one scalar per class per batch, own running counter);
 * myCL reset counts are returned from the device step instead of mutating
   Python state (last batch's counts are logged at epoch end, which is also
   what the reference effectively logs since ``model_copy`` zeroes the
@@ -247,11 +248,13 @@ class Trainer:
         )
         return metrics
 
-    def _flush_train_logs(self, pending, cfg) -> Optional[dict]:
+    def _flush_train_logs(self, pending, cfg, trained_classes=None) -> Optional[dict]:
         """One batched device->host readback per epoch (a per-batch scalar
         sync costs ~80ms through the TPU tunnel; the reference syncs every
         batch because torch .item() is cheap locally). Returns the last
-        batch's metrics (host values)."""
+        batch's metrics (host values).  ``trained_classes``: ascending class
+        indices this epoch trains — consumed by the exact per-class MAX-gap
+        stream (cfg.max_gap_per_class)."""
         if not pending:
             return None
         import jax as _jax
@@ -275,6 +278,23 @@ class Trainer:
                 self.writer.add_scalar(
                     "max-mean-comparison/neg", float(metrics["max_mean_gap_neg"]), self._gap_counter
                 )
+            if "max_mean_gap_pos_vec" in metrics and self.writer.enabled:
+                # raw reference stream: one scalar pair per trained class
+                # per batch, classes in ascending index order (the
+                # reference's `for label_name in self.class_names` loops,
+                # Trainer.py:557, :714), each at its own running counter
+                # (pos_mean_counter/neg_mean_counter advance in lockstep)
+                for ci in (trained_classes if trained_classes is not None
+                           else range(len(metrics["max_mean_gap_pos_vec"]))):
+                    self._gap_counter += 1
+                    self.writer.add_scalar(
+                        "max-mean-comparison/pos",
+                        float(metrics["max_mean_gap_pos_vec"][ci]), self._gap_counter,
+                    )
+                    self.writer.add_scalar(
+                        "max-mean-comparison/neg",
+                        float(metrics["max_mean_gap_neg_vec"][ci]), self._gap_counter,
+                    )
             last = metrics
         return last
 
@@ -336,7 +356,9 @@ class Trainer:
             else:
                 iteration = (part - 1) * (epochs or 0) * n_b + (epoch - 1) * n_b + batch_idx
             pending.append((iteration, metrics))
-        last_metrics = self._flush_train_logs(pending, cfg)
+        last_metrics = self._flush_train_logs(
+            pending, cfg, trained_classes=np.nonzero(class_mask)[0]
+        )
         if use_my_cl and last_metrics is not None:
             # counts of the LAST batch, like the reference (model_copy zeroes
             # the counters every step, Trainer.py:538-540, 758-770)
@@ -392,6 +414,10 @@ class Trainer:
         """One-lax.scan epoch (engine/steps.py::build_fused_epoch); returns
         the number of batches run. ``iteration_of(i)`` maps the 0-based
         batch index to the regime's TB iteration number."""
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
         cfg = self.cfg
         d_embs, d_labels, d_valid = self._device_data(dataset)
         self._epoch_counter += 1
@@ -416,10 +442,12 @@ class Trainer:
             # batch composition as the per-batch path / the reference's
             # DataLoader; no host round-trip for the order
             perm = epoch_permutation(key, n, n_pad)
-        self.state, stacked = self._fused_epoch(
-            self.state, d_embs, d_labels, d_valid, self.bank, class_mask, threshold, perm
-        )
-        fetched = jax.device_get(stacked)
+        with annotate("fused-train-epoch"):
+            self.state, stacked = self._fused_epoch(
+                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
+                threshold, perm
+            )
+            fetched = jax.device_get(stacked)
         n_b = len(fetched["loss"])
         if n_b == 0:
             # empty unit (split_contiguous tail / class with no positives):
@@ -435,7 +463,9 @@ class Trainer:
             metrics["_step"] = self._py_step
             self._py_step += 1
             pending.append((iteration_of(i), metrics))
-        last_metrics = self._flush_train_logs(pending, self.cfg)
+        last_metrics = self._flush_train_logs(
+            pending, self.cfg, trained_classes=np.nonzero(np.asarray(class_mask))[0]
+        )
         if use_my_cl and last_metrics is not None and "n_reset" in last_metrics:
             self._log_reset_counts(last_metrics, pending[-1][0])
         return n_b
@@ -482,7 +512,9 @@ class Trainer:
             metrics["_step"] = self._py_step
             self._py_step += 1
             pending.append((batch_idx, metrics))
-        last_metrics = self._flush_train_logs(pending, cfg)
+        last_metrics = self._flush_train_logs(
+            pending, cfg, trained_classes=np.nonzero(class_mask)[0]
+        )
         if use_my_cl and last_metrics is not None:
             self._log_reset_counts(last_metrics, batch_idx)
         return batch_idx
@@ -509,8 +541,17 @@ class Trainer:
     # Evaluation  —  Trainer.py:772-1072
     # ------------------------------------------------------------------
     def _eval_pass(self, dataset: EmbeddingDataset, epoch: int, log_loss_prefix: Optional[str]):
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
         cfg = self.cfg
         import jax as _jax
+
+        with annotate("eval-pass"):
+            return self._eval_pass_inner(dataset, epoch, log_loss_prefix, cfg, _jax)
+
+    def _eval_pass_inner(self, dataset, epoch, log_loss_prefix, cfg, _jax):
 
         n_b = num_batches(len(dataset), cfg.eval_batch_size)
         if self._fused_eval is not None and isinstance(dataset, EmbeddingDataset):

@@ -70,6 +70,13 @@ class ExperimentConfig:
     prompt_mode: PromptMode = PromptMode.MEAN
     new_prompts: bool = False  # MedCLIP-style compositional bank (new_texts_prompts.py)
 
+    # MAX-mode gap monitor stream shape: False logs ONE per-step scalar
+    # pair (mean over the trained classes); True reproduces the reference's
+    # RAW stream exactly — one max-mean-comparison/{pos,neg} scalar per
+    # trained class per batch at its own running counter
+    # (Trainer.py:1689-1703, pos_mean_counter/neg_mean_counter).
+    max_gap_per_class: bool = False
+
     # --- logit construction (Trainer.py:52-56) ---
     train_logit_diff: bool = True  # train logit = pos - neg, else pos only
     pred_logit_diff: bool = False  # score = (pos-neg+2)/4, else (pos+1)/2

@@ -18,6 +18,8 @@ not with the reference itself.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import pytest
 
@@ -176,20 +178,19 @@ def test_twin_joint_max_emb(ref_mod, data):
         ref_mod, prompts, data, epochs=2, lr=1e-4, batch_size=BS,
         eval_batch_size=EVAL_BS,
     )
-    cfg = base_cfg(mode="joint", epochs=2, adapter="mlp", prompt_mode="max")
+    cfg = base_cfg(mode="joint", epochs=2, adapter="mlp", prompt_mode="max",
+                   max_gap_per_class=True)
     with patched_protocols(init_params) as fw_rec:
         results = protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
                                            log_dir=None)
     compare_streams(ref_rec, fw_rec)
-    # max-mean gap monitor: the reference logs one scalar per class per batch
-    # (Trainer.py:1698-1703); the framework logs the per-batch mean over the
-    # trained classes — average the reference's per-class groups of 5.
+    # RAW max-mean gap stream equality: max_gap_per_class reproduces the
+    # reference's exact shape — one scalar per class per batch at its own
+    # running counter (Trainer.py:1689-1703) — so the streams compare
+    # directly, steps and all (no group-of-5 averaging bridge).
     for tag in ("max-mean-comparison/pos", "max-mean-comparison/neg"):
-        ref_vals = np.array([v for _, v in stream(ref_rec.scalars, tag)])
-        fw_vals = np.array([v for _, v in stream(fw_rec.scalars, tag)])
-        assert len(ref_vals) == 5 * len(fw_vals) > 0
-        grouped = ref_vals.reshape(-1, 5).mean(axis=1)
-        np.testing.assert_allclose(grouped, fw_vals, atol=1e-5)
+        assert len(stream(ref_rec.scalars, tag)) == 5 * 2 * ((N_TRAIN + BS - 1) // BS)
+        assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag, atol=1e-5)
     final_ref = rt.reference_final_params(ref_trainer, shared=False)
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
@@ -583,6 +584,173 @@ def test_twin_joint_learnable_data(ref_mod):
     # lr=1e-3 (10x the other twins) scales the fp32 accumulation drift with
     # it: measured 2.4e-5 here vs 3.6e-6 at lr=1e-4
     assert max_param_diff(final_ref, results["trainer"].params) < 5e-5
+
+
+@contextlib.contextmanager
+def _record_heatmap_matrices(ref_mod):
+    """Capture the MATRICES fed to both sides' heatmap renderers:
+    the reference's ``heatmap(data, rows, cols, ..., metric=...)``
+    (HeatMapPlotter.py:7-70, bound into Trainer's namespace) and the
+    framework's ``plots.heatmap_figure(data, rows, cols, title, metric)``.
+    Yields (ref_records, fw_records) as lists of (metric, np matrix)."""
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation import plots
+
+    ref_records, fw_records = [], []
+    orig_ref_heatmap = ref_mod.heatmap
+    orig_fw_heatmap = plots.heatmap_figure
+
+    def ref_wrapper(data, row_labels, col_labels, *a, **kw):
+        ref_records.append((kw.get("metric"), np.array(data, np.float64)))
+        return orig_ref_heatmap(data, row_labels, col_labels, *a, **kw)
+
+    def fw_wrapper(data, rows, cols, cbarlabel, metric, *a, **kw):
+        fw_records.append((metric, np.array(data, np.float64)))
+        return orig_fw_heatmap(data, rows, cols, cbarlabel, metric, *a, **kw)
+
+    ref_mod.heatmap = ref_wrapper
+    plots.heatmap_figure = fw_wrapper
+    try:
+        yield ref_records, fw_records
+    finally:
+        ref_mod.heatmap = orig_ref_heatmap
+        plots.heatmap_figure = orig_fw_heatmap
+
+
+def _assert_matrix_records_match(ref_records, fw_records, metric, atol,
+                                 expected_count=None):
+    ref_m = [m for k, m in ref_records if k == metric]
+    fw_m = [m for k, m in fw_records if k == metric]
+    assert len(ref_m) == len(fw_m) > 0, (
+        f"{metric}: {len(ref_m)} reference vs {len(fw_m)} framework matrices"
+    )
+    if expected_count is not None:
+        assert len(ref_m) == expected_count
+    for i, (r, f) in enumerate(zip(ref_m, fw_m)):
+        assert r.shape == f.shape, f"{metric}[{i}]: {r.shape} vs {f.shape}"
+        np.testing.assert_allclose(r, f, atol=atol, err_msg=f"{metric}[{i}]")
+
+
+def test_twin_joint_figure_contents(ref_mod, data):
+    """Figure CONTENTS, not just 'a figure was written': the epoch x class
+    F1/AUROC heatmap matrices (Trainer.py:944-964) and the 10x10
+    prompt-cosine matrices (Trainer.py:1474-1554) are captured at the
+    renderer boundary on both sides and compared numerically."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    with _record_heatmap_matrices(ref_mod) as (ref_records, fw_records):
+        ref_rec, ref_trainer, init_params = run_reference_joint(
+            ref_mod, prompts, data, epochs=2, lr=1e-4, batch_size=BS,
+            eval_batch_size=EVAL_BS,
+        )
+        cfg = base_cfg(mode="joint", epochs=2, plot_figures="reference")
+        with patched_protocols(init_params) as fw_rec:
+            protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                     log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    # final-epoch val + test each emit one (epochs, 5) F1 and AUROC matrix
+    _assert_matrix_records_match(ref_records, fw_records, "F1", atol=1e-3,
+                                 expected_count=2)
+    _assert_matrix_records_match(ref_records, fw_records, "AUROC", atol=1e-3,
+                                 expected_count=2)
+    # one 10x10 prompt-cosine matrix per test() call
+    _assert_matrix_records_match(ref_records, fw_records, "COS", atol=1e-5,
+                                 expected_count=2)
+    for k, m in ref_records:
+        assert m.shape == {"COS": (10, 10)}.get(k, (2, 5))
+
+
+def test_twin_class_incremental_figure_contents(ref_mod, data):
+    """The task x class FORGETTING matrices (Trainer.py:965-984) compared
+    numerically at task 5, plus the per-task prompt-cosine matrices."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    with _record_heatmap_matrices(ref_mod) as (ref_records, fw_records):
+        ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+            ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
+            epochs=1,
+        )
+        cfg = base_cfg(mode="class-pos-neg", epochs=1, plot_figures="reference")
+        with patched_protocols(init_params) as fw_rec:
+            protocols.run_class_incremental(cfg, fw_bundle(data), fw_bank(prompts),
+                                            log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    _assert_matrix_records_match(ref_records, fw_records, "F1", atol=1e-3,
+                                 expected_count=2)  # val + test at task 5
+    _assert_matrix_records_match(ref_records, fw_records, "AUROC", atol=1e-3,
+                                 expected_count=2)
+    _assert_matrix_records_match(ref_records, fw_records, "COS", atol=1e-5,
+                                 expected_count=5)  # one per test() call
+    for k, m in ref_records:
+        assert m.shape == {"COS": (10, 10)}.get(k, (5, 5))
+
+
+def test_twin_joint_reference_scale(ref_mod):
+    """The joint twin at the BASELINE.md operating point: 191,027 train
+    rows (splitTrainingEmbedding.py:23-24), batch 6144, 10 epochs, Adam
+    lr 1e-3 (Trainer.py:237-246; the joint-bound run's hyperparameters).
+    All other twins run at toy scale (bs 64, a few hundred rows); this one
+    measures the fp32 accumulation drift at the reference's actual scale —
+    the measured numbers are recorded in PARITY.md."""
+    import reference_twin as rt
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        synthetic_dataset,
+    )
+
+    rng = np.random.default_rng(5)
+    dirs = rng.normal(size=(5, 128)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    tr = synthetic_dataset(191_027, seed=11, class_directions=dirs)
+    va = synthetic_dataset(6144, seed=12, class_directions=dirs)
+    te = synthetic_dataset(6144, seed=13, class_directions=dirs)
+    data = {
+        "train_x": tr.embeddings, "train_y": tr.labels,
+        "val_x": va.embeddings, "val_y": va.labels,
+        "test_x": te.embeddings, "test_y": te.labels,
+    }
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    ref_rec, ref_trainer, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=10, lr=1e-3, batch_size=6144,
+        eval_batch_size=1024,
+    )
+    cfg = base_cfg(mode="joint", epochs=10, lr=1e-3, batch_size=6144,
+                   eval_batch_size=1024)
+    bundle = protocols.DataBundle(train=tr, val=va, test=te)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_zero_joint(cfg, bundle, fw_bank(prompts),
+                                           log_dir=None)
+    # measure the drift before asserting, so the numbers land in the log
+    # (and PARITY.md) even when comfortably inside tolerance
+    drifts = {}
+    for tag in ("train/Loss", "val/Loss"):
+        r = np.array([v for _, v in stream(ref_rec.scalars, tag)])
+        f = np.array([v for _, v in stream(fw_rec.scalars, tag)])
+        assert len(r) == len(f) > 0
+        drifts[tag] = float(np.abs(r - f).max())
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    drifts["final params"] = max_param_diff(final_ref, results["trainer"].params)
+    print(f"\nreference-scale drift (191,027 rows, bs 6144, 10 ep, Adam 1e-3): "
+          f"{drifts}")
+    # Measured at this operating point: train/Loss <= 1.6e-5, val/Loss <=
+    # 1.8e-5, final params ~1.1e-2.  The param number is NOT a parity gap:
+    # the reference run against ITSELF with a 1e-7 init perturbation lands
+    # 8.0e-3 away after the same 320 Adam steps (loss diff 1.2e-5) — at
+    # lr 1e-3 Adam amplifies sub-fp32 noise along flat directions while the
+    # loss/metric streams stay pinned.  So the meaningful reference-scale
+    # criteria are stream parity plus params inside the measured intrinsic
+    # sensitivity envelope (PARITY.md records the control experiment).
+    for tag in ("train/Loss", "val/Loss"):
+        assert drifts[tag] < 1e-4, drifts
+    assert drifts["final params"] < 5e-2, drifts
+    for tag in METRIC_TAGS:
+        assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag, atol=METRIC_ATOL)
+    aurocs = [v for _, v in stream(ref_rec.scalars, "test/AUROC-macro")]
+    assert aurocs[-1] > aurocs[0] > 0.5, aurocs  # the data is learnable
 
 
 def test_twin_tsne_subset_filters(ref_mod):
