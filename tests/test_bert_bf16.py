@@ -65,3 +65,22 @@ def test_fp32_path_bit_identical_after_knob(rng):
     a = np.asarray(bert_encode(params, ids, mask, dims))
     b = np.asarray(bert_encode(params, ids, mask, dims, dtype=jnp.float32))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fuse_qkv_bit_identical(rng):
+    """fuse_qkv concatenates the Q/K/V kernels into one matmul; each output
+    column of a matmul is an independent dot over the same contraction
+    axis, so the fused path must be BIT-identical (fp32 and bf16).  The
+    knob is default-off — measured a ~1.5% loss on v5e (cxr_bert.py
+    comment) — but must stay correct for dispatch-bound backends."""
+    dims, params, ids, mask = _setup(rng, batch=3, seq=9)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        a = np.asarray(
+            bert_encode(params, ids, mask, dims, dtype=dtype, fuse_qkv=False),
+            np.float32,
+        )
+        b = np.asarray(
+            bert_encode(params, ids, mask, dims, dtype=dtype, fuse_qkv=True),
+            np.float32,
+        )
+        np.testing.assert_array_equal(a, b)
