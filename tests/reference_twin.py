@@ -490,8 +490,12 @@ def run_reference_data_incremental(
     mod, prompts, data, *, lr=1e-4, batch_size=64, eval_batch_size=64,
     parts=3, epochs=2, continual=None, threshold=0.01, adder=0.001,
     threshold_scheduling=True, seed=7, single_prompt=False,
+    train_shuffle_seed=None,
 ):
-    """DATA_INCREMENTAL.py:44-97 with deterministic loaders."""
+    """DATA_INCREMENTAL.py:44-97 with deterministic loaders unless
+    ``train_shuffle_seed`` turns on per-part reshuffling train DataLoaders
+    (part ``i`` seeded ``train_shuffle_seed + i`` so each part's order is
+    independently recoverable via :func:`recover_loader_order`)."""
     import torch
     import torch.nn as nn
 
@@ -504,8 +508,10 @@ def run_reference_data_incremental(
     n = len(data["train_x"])
     part_loaders = [
         make_loader(data["train_x"][r.start : r.stop], data["train_y"][r.start : r.stop],
-                    batch_size)
-        for r in contiguous_parts(n, parts)
+                    batch_size,
+                    shuffle_seed=None if train_shuffle_seed is None
+                    else train_shuffle_seed + i)
+        for i, r in enumerate(contiguous_parts(n, parts))
     ]
     val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
     test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)
@@ -532,9 +538,12 @@ def run_reference_class_incremental(
     mod, prompts, data, *, lr=1e-4, batch_size=64, eval_batch_size=64,
     epochs=2, n_tasks=5, mode="class-pos-neg", more_labels=False,
     continual=None, threshold=0.01, adder=0.001, threshold_scheduling=False,
-    seed=7, single_prompt=False, tasks_order=None,
+    seed=7, single_prompt=False, tasks_order=None, train_shuffle_seed=None,
 ):
-    """CLASS_INCREMENTAL.py:32-97 with deterministic loaders."""
+    """CLASS_INCREMENTAL.py:32-97 with deterministic loaders unless
+    ``train_shuffle_seed`` turns on per-task reshuffling train DataLoaders
+    (task ``i`` seeded ``train_shuffle_seed + i``, recoverable per task via
+    :func:`recover_loader_order`)."""
     import torch
     import torch.nn as nn
 
@@ -551,8 +560,10 @@ def run_reference_class_incremental(
     else:  # class-pos: per-disease positives, with intersection
         idx_sets = label_parts(data["train_y"])
     task_loaders = [
-        make_loader(data["train_x"][idx], data["train_y"][idx], batch_size)
-        for idx in idx_sets
+        make_loader(data["train_x"][idx], data["train_y"][idx], batch_size,
+                    shuffle_seed=None if train_shuffle_seed is None
+                    else train_shuffle_seed + i)
+        for i, idx in enumerate(idx_sets)
     ]
     val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
     test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)

@@ -421,6 +421,91 @@ def test_twin_joint_shuffled(ref_mod, data, fused):
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
 
+@pytest.mark.parametrize("fused", [True, False], ids=["fused-scan", "per-batch"])
+def test_twin_data_incremental_mycl_shuffled(ref_mod, data, fused):
+    """Compositional twin: SHUFFLED per-part DataLoaders x myCL per-step
+    weight resets.  The reset mask depends on each step's |delta| (so on
+    batch COMPOSITION, not just row statistics) — shuffle and myCL interact,
+    and neither the shuffle twins (joint) nor the myCL twin (deterministic
+    order) covered the combination.  Per-part reference loaders are seeded
+    independently; the recovered orders are injected part-major
+    (part 1 epochs 1..E, part 2 ...) which is exactly the framework
+    trainer's shuffled-epoch consumption order."""
+    import reference_twin as rt
+
+    shuffle_seed, parts, epochs = 77, 3, 2
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    flat_orders = []
+    for pi, r in enumerate(rt.contiguous_parts(N_TRAIN, parts)):
+        flat_orders.extend(rt.recover_loader_order(
+            data["train_x"][r.start:r.stop], data["train_y"][r.start:r.stop],
+            BS, shuffle_seed + pi, epochs,
+        ))
+    assert len(flat_orders) == parts * epochs
+    assert any(not np.array_equal(o, np.arange(len(o))) for o in flat_orders)
+    ref_rec, ref_trainer, init_params = run_reference_data_incremental(
+        ref_mod, prompts, data, parts=parts, epochs=epochs, continual="myCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+        train_shuffle_seed=shuffle_seed,
+    )
+    cfg = base_cfg(
+        mode="data-inc", parts=parts, epochs=epochs, continual_learning="myCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+        shuffle_train=True, fused_epoch=fused,
+    )
+    with patched_protocols(
+        init_params, permutation_source=lambda k, n: flat_orders[k]
+    ) as fw_rec:
+        results = protocols.run_data_incremental(cfg, fw_bundle(data),
+                                                 fw_bank(prompts), log_dir=None)
+    compare_streams(
+        ref_rec, fw_rec,
+        monitors=[
+            ("monitor-resets/threshold-scheduling", 1e-7),
+            ("monitor-resets/resets", 2.0),
+            ("monitor-resets/updates", 2.0),
+            ("monitor-resets/percentage resets", 1e-4),
+        ],
+    )
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_class_incremental_shuffled_class_pos(ref_mod, data):
+    """Compositional twin: SHUFFLED per-task DataLoaders x class-pos mode
+    (per-disease by-label task subsets with intersection, single-logit
+    training) — covers shuffle x the reference's by-label splitter x the
+    cross-task ``last_batch`` iteration bookkeeping, none of which the
+    joint/data-inc shuffle twins touch."""
+    import reference_twin as rt
+
+    shuffle_seed, epochs = 55, 2
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    idx_sets = rt.label_parts(data["train_y"])
+    flat_orders = []
+    for ti, idx in enumerate(idx_sets):
+        flat_orders.extend(rt.recover_loader_order(
+            data["train_x"][idx], data["train_y"][idx], BS,
+            shuffle_seed + ti, epochs,
+        ))
+    assert any(not np.array_equal(o, np.arange(len(o))) for o in flat_orders)
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos", more_labels=False,
+        epochs=epochs, train_shuffle_seed=shuffle_seed,
+    )
+    cfg = base_cfg(mode="class-pos", epochs=epochs, shuffle_train=True)
+    with patched_protocols(
+        init_params, permutation_source=lambda k, n: flat_orders[k]
+    ) as fw_rec:
+        results = protocols.run_class_incremental(cfg, fw_bundle(data),
+                                                  fw_bank(prompts), log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
 def test_twin_joint_new_prompts(ref_mod, data):
     """NEW_PROMPTS=True: the MedCLIP-style compositional bank.  The
     reference samples with the PROCESS-GLOBAL seed-27 random stream
