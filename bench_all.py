@@ -366,6 +366,13 @@ def main() -> None:
         help="also time the CXR-BERT text tower (adds a long first compile)",
     )
     p.add_argument(
+        "--text-long", action="store_true", dest="text_long",
+        help="also time the text tower at radiology-REPORT length (seq 512, "
+        "batch 32, bf16): dense attention vs the pallas flash kernel "
+        "(measured r4: dense 687 vs flash 474 prompts/s — flash is for the "
+        "O(S^2) memory it avoids, not speed, at this shape; long compiles)",
+    )
+    p.add_argument(
         "--serve", action="store_true",
         help="serving latency/throughput only: concurrent HTTP clients vs "
         "the live endpoint, micro-batching on vs off",
@@ -528,6 +535,58 @@ def main() -> None:
                 # fp32 runs HIGHEST precision (multi-pass bf16 on TPU), so
                 # its % of the bf16 peak understates utilisation by design
                 extras["pct_of_cap"] = round(100 * rate / text_cap, 1)
+            report(metric, rate, "prompts/sec", **extras)
+
+    # ------------------------------------------------------------------
+    # 1c. text tower at radiology-REPORT length: dense vs flash attention
+    # ------------------------------------------------------------------
+    if args.text_long:
+        from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+            BertDims,
+            get_projected_text_embeddings,
+            init_cxr_bert,
+        )
+
+        ldims = BertDims()
+        lbert = init_cxr_bert(jax.random.PRNGKey(7), ldims)
+        lb, ls = (8, 128) if args.quick else (32, 512)
+        lids_all = jnp.asarray(
+            rng.integers(0, ldims.vocab_size, size=(2, lb, ls)), jnp.int32
+        )
+        lmask = jnp.ones((lb, ls), jnp.int32)
+
+        def make_long_loop(k, use_flash):
+            @jax.jit
+            def loop(ids_, mask_, p):
+                def body(acc, i):
+                    m = mask_ + (0 * acc).astype(jnp.int32)
+                    emb = get_projected_text_embeddings(
+                        p, ids_[i % 2], m, ldims, normalize=True,
+                        dtype=jnp.bfloat16, use_flash_attention=use_flash,
+                    )
+                    return acc + emb.sum(), None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+                return acc
+            return loop
+
+        long_cap, _ = text_roofline(lb, ls, ldims)
+        for metric, use_flash in (
+            ("text_long_device_bf16_dense_prompts_per_sec", False),
+            ("text_long_device_bf16_flash_prompts_per_sec", True),
+        ):
+            try:
+                per_batch = time_chained(
+                    lambda k: make_long_loop(k, use_flash),
+                    lambda r: ((lids_all + r + 1) % ldims.vocab_size, lmask, lbert),
+                    k_short=2, k_long=10,
+                )
+            except Exception as e:  # pallas flash kernel is TPU-only
+                print(f"# {metric}: skipped ({type(e).__name__})")
+                continue
+            rate = rate_or_none(per_batch, lb)
+            extras = {"seq": ls, "batch": lb}
+            if rate is not None:
+                extras["pct_of_cap"] = round(100 * rate / long_cap, 1)
             report(metric, rate, "prompts/sec", **extras)
 
     # ------------------------------------------------------------------
