@@ -230,3 +230,161 @@ def test_ground_cli_smoke(tmp_path, capsys, rng):
 
     m = np.load(out_map)
     assert m.shape == (120, 100)  # back-projected to original image geometry
+
+
+def test_full_lifecycle_extract_train_classify(tmp_path, capsys, rng):
+    """The complete user journey through CLI surfaces ONLY — the path a
+    reference user follows after docs/MIGRATION.md:
+
+        raw PNGs + CheXpert-format CSV
+          -> cli.extract_embeddings (real torch BioViL checkpoint, bf16)
+          -> {train,val,test}.npz
+          -> cli.zero_joint_bounds --data-dir  (joint train; checkpoint
+             lands in the TB run dir, reference run-name format)
+          -> cli.classify --adapter-checkpoint on the SAME raw test images
+
+    Cross-surface invariant: classify's scores equal scoring the
+    pre-extracted test embeddings through the restored adapters with the
+    same bank/scorer (checkpoint restore, bank identity, and the two
+    encode paths all have to agree for this to hold)."""
+    import sys
+
+    import torch
+    from PIL import Image
+
+    sys.path.insert(0, "tests")
+    from torch_biovil_fixture import TorchBioViLImage
+
+    torch.manual_seed(0)
+    ckpt = tmp_path / "biovil.pt"
+    torch.save(TorchBioViLImage().state_dict(), ckpt)
+
+    # --- raw dataset: PNGs + CheXpert-format CSVs (Path + 5 label cols) ---
+    import pandas as pd
+
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+    )
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    splits = {"train": 12, "val": 6, "test": 6}
+    csvs = {}
+    k = 0
+    for split, n in splits.items():
+        rows = []
+        for _ in range(n):
+            name = f"cxr{k}.png"
+            Image.fromarray(
+                (rng.random((90, 80)) * 255).astype(np.uint8), "L"
+            ).save(img_dir / name)
+            rows.append([name] + list((rng.random(5) < 0.4).astype(float)))
+            k += 1
+        csvs[split] = tmp_path / f"{split}.csv"
+        pd.DataFrame(rows, columns=["Path"] + list(CHEXPERT_COMPETITION_TASKS)).to_csv(
+            csvs[split], index=False
+        )
+
+    # --- 1. extraction CLI per split -> data_dir/{split}.npz ---
+    import shutil
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.extract_embeddings import (
+        main as extract_main,
+    )
+
+    data_dir = tmp_path / "emb"
+    data_dir.mkdir()
+    for split, n in splits.items():
+        out = tmp_path / f"raw-{split}"
+        extract_main([
+            "--csv", str(csvs[split]), "--img-dir", str(img_dir) + "/",
+            "--biovil-checkpoint", str(ckpt), "--out-dir", str(out),
+            "--batch-size", "4", "--size", "64", "--pad-to", "512",
+        ])
+        assert f"extracted {n} embeddings" in capsys.readouterr().out
+        shutil.copy(out / "dataset.npz", data_dir / f"{split}.npz")
+
+    # --- 2. joint training CLI over the extracted embeddings ---
+    from incremental_multimodal_medical_learning_ii_tpu.cli.zero_joint_bounds import (
+        main as train_main,
+    )
+
+    logs = tmp_path / "logs"
+    train_main([
+        "--data-dir", str(data_dir), "--epochs", "2", "--batch-size", "8",
+        "--lr", "0.01", "--log-dir", str(logs),
+    ])
+    out = capsys.readouterr().out
+    assert "test_ep2" in out
+    run_dirs = [d for d in (logs / "zero-and-joint").iterdir() if d.is_dir()]
+    assert len(run_dirs) == 1  # reference-format run dir with the checkpoint
+
+    # --- 3. classify CLI with the trained checkpoint on raw test images ---
+    from incremental_multimodal_medical_learning_ii_tpu.cli.classify import (
+        main as classify_main,
+    )
+
+    test_imgs = [str(img_dir / f"cxr{k - splits['test'] + i}.png") for i in range(2)]
+    classify_main(test_imgs + [
+        "--biovil-checkpoint", str(ckpt), "--adapter-checkpoint", str(run_dirs[0]),
+        "--batch-size", "2", "--size", "64", "--pad-to", "512",
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith(str(img_dir))]
+    assert len(lines) == 2
+    cli_scores = np.array([[float(v) for v in l.split(",")[1:]] for l in lines])
+    assert cli_scores.shape == (2, 5)
+    assert ((cli_scores >= 0) & (cli_scores <= 1)).all()
+
+    # --- 4. cross-surface invariant: same scores from the pre-extracted
+    # embeddings through the restored checkpoint + the same bank/scorer ---
+    import jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import (
+        restore_checkpoint,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+        init_train_state,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.models.adapters import (
+        AdapterPair,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.objectives.scorer import (
+        apply_text_adapter_to_bank,
+        score_embeddings,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import (
+        create_prompts,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        joint_config,
+    )
+
+    cfg = joint_config()
+    pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
+    template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)
+    params = restore_checkpoint(run_dirs[0], template).params
+    # seed 27: both CLIs' synthetic-bank fallback encodes with
+    # synthetic_encode_fn(seed=cfg.seed) (cli/common.py::build_bank)
+    bank = build_prompt_bank(
+        synthetic_encode_fn(seed=cfg.seed),
+        create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    embs = EmbeddingDataset.load(data_dir / "test.npz").embeddings[:2]
+    x = pair.apply_image(params, embs)
+    b = apply_text_adapter_to_bank(pair.apply_text, params, bank)
+    ref_scores = np.asarray(score_embeddings(
+        x, b, cfg.prompt_mode, cfg.train_logit_diff, cfg.pred_logit_diff
+    ).scores)
+    # both encode paths are bf16 but compile as different programs (batch 4
+    # extraction vs batch 2 serving), so allow conv-rounding-level slack
+    np.testing.assert_allclose(cli_scores, ref_scores, atol=2e-2)
+    assert np.abs(cli_scores - ref_scores).max() < 2e-2
