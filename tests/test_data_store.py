@@ -50,6 +50,41 @@ def test_iterate_batches_shuffle_deterministic():
     assert not np.array_equal(a[0][0], c[0][0])
 
 
+def test_iterate_batches_explicit_order():
+    """``order`` overrides the shuffle (the twin harness injects the
+    reference DataLoader's exact row order through this parameter)."""
+    ds = synthetic_dataset(10)
+    order = np.array([9, 3, 0, 1, 2, 4, 5, 6, 7, 8])
+    batches = list(iterate_batches(ds, 4, shuffle=True, order=order))
+    np.testing.assert_array_equal(batches[0][0], ds.embeddings[order[:4]])
+    np.testing.assert_array_equal(batches[0][1], ds.labels[order[:4]])
+    # final partial batch still zero-padded with the mask
+    np.testing.assert_array_equal(batches[-1][2], [1, 1, 0, 0])
+    np.testing.assert_array_equal(batches[-1][0][:2], ds.embeddings[order[8:]])
+    with pytest.raises(ValueError, match="order has 3 entries"):
+        list(iterate_batches(ds, 4, shuffle=True, order=np.arange(3)))
+
+
+def test_epoch_permutation_real_rows_padding_tail():
+    """Device-side fused-epoch row order: the n_real real rows are a
+    permutation, padding indices stay at the tail (identical batch
+    composition to the per-batch path for a given permutation)."""
+    import jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+        epoch_permutation,
+    )
+
+    p = np.asarray(epoch_permutation(jax.random.PRNGKey(0), 10, 16))
+    assert p.shape == (16,) and p.dtype == np.int32
+    assert sorted(p[:10]) == list(range(10))  # real rows: a permutation
+    np.testing.assert_array_equal(p[10:], np.arange(10, 16))  # padding tail
+    assert not np.array_equal(p[:10], np.arange(10))  # actually shuffled
+    # no padding: degenerate n_pad == n_real
+    q = np.asarray(epoch_permutation(jax.random.PRNGKey(1), 8, 8))
+    assert sorted(q) == list(range(8))
+
+
 def test_sharded_store_roundtrip(tmp_path):
     store = ShardedEmbeddingStore(tmp_path / "shards")
     e1 = np.random.rand(5, 128).astype(np.float32)
