@@ -137,6 +137,7 @@ def _self_attention(
     dims: BertDims,
     use_flash: bool = False,
     fuse_qkv: bool = False,
+    attention_core=None,
 ) -> jnp.ndarray:
     b, s, h = x.shape
     nh, hd = dims.num_heads, dims.head_dim
@@ -172,7 +173,12 @@ def _self_attention(
         q = split_heads(_linear(layer["q"], x))
         k = split_heads(_linear(layer["k"], x))
         v = split_heads(_linear(layer["v"], x))
-    if use_flash:
+    if attention_core is not None:
+        # Pluggable (q, k, v, mask_bias) -> ctx — the hook the
+        # sequence-parallel ring path uses (ops/ring_attention.py via
+        # parallel/sp.py); the Q/K/V and output projections stay shared.
+        ctx = attention_core(q, k, v, mask_bias)
+    elif use_flash:
         # Pallas TPU flash-attention kernel (online softmax, no S x S
         # materialisation).  Pointless at prompt lengths (<50 tokens) but
         # the right path for full radiology reports; enabled via
@@ -210,6 +216,8 @@ def bert_encode(
     use_flash_attention: bool = False,
     dtype: jnp.dtype = jnp.float32,
     fuse_qkv: bool = False,
+    attention_core=None,
+    position_offset=0,
 ) -> jnp.ndarray:
     """(B, S) ids + mask -> (B, S, H) last hidden state.
 
@@ -218,10 +226,17 @@ def bert_encode(
     knob); softmax and LayerNorm moments always accumulate in fp32.
     ``fuse_qkv`` issues Q/K/V as one (H, 3H) matmul — bit-identical math,
     measured a ~1.5% LOSS on v5e (see :func:`_self_attention`); opt-in for
-    dispatch-bound backends."""
+    dispatch-bound backends.  ``attention_core`` swaps the attention inner
+    op (sequence-parallel ring path, parallel/sp.py); ``position_offset``
+    (int or traced scalar) offsets the position-embedding slice for callers
+    whose ``input_ids`` are a sequence *shard*."""
     b, s = input_ids.shape
     emb = params["embeddings"]
-    x = emb["word"][input_ids] + emb["position"][None, :s]
+    if isinstance(position_offset, int) and position_offset == 0:
+        pos = emb["position"][None, :s]
+    else:
+        pos = jax.lax.dynamic_slice_in_dim(emb["position"], position_offset, s)[None]
+    x = emb["word"][input_ids] + pos
     tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
     x = x + emb["token_type"][tt]
     x = _layer_norm(emb["ln"], x).astype(dtype)
@@ -233,7 +248,8 @@ def bert_encode(
 
     for layer in params["layers"]:
         attn = _self_attention(layer, x, mask_bias, dims,
-                               use_flash=use_flash_attention, fuse_qkv=fuse_qkv)
+                               use_flash=use_flash_attention, fuse_qkv=fuse_qkv,
+                               attention_core=attention_core)
         x = _layer_norm(layer["attn_ln"], x + attn)
         ffn = _linear(layer["ffn_out"], jax.nn.gelu(_linear(layer["ffn_in"], x), approximate=False))
         x = _layer_norm(layer["ffn_ln"], x + ffn)
