@@ -207,6 +207,58 @@ def _self_attention(
     return _linear(layer["attn_out"], ctx)
 
 
+def embed_inputs(
+    params: Params,
+    input_ids: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    dtype: jnp.dtype = jnp.float32,
+    position_offset=0,
+) -> jnp.ndarray:
+    """Word + position + token-type embeddings, LayerNormed: (B, S) -> (B, S, H).
+
+    ``position_offset`` (int or traced scalar) shifts the position-embedding
+    slice for callers whose ``input_ids`` are a sequence shard (parallel/sp.py).
+    """
+    s = input_ids.shape[1]
+    emb = params["embeddings"]
+    if isinstance(position_offset, int) and position_offset == 0:
+        pos = emb["position"][None, :s]
+    else:
+        pos = jax.lax.dynamic_slice_in_dim(emb["position"], position_offset, s)[None]
+    x = emb["word"][input_ids] + pos
+    tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
+    x = x + emb["token_type"][tt]
+    return _layer_norm(emb["ln"], x).astype(dtype)
+
+
+def attention_mask_bias(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """HF-style additive mask (B, 1, 1, S): 0 attended, finfo.min padded."""
+    return (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * jnp.finfo(
+        jnp.float32
+    ).min
+
+
+def encoder_layer(
+    layer: Params,
+    x: jnp.ndarray,
+    mask_bias: jnp.ndarray,
+    dims: BertDims,
+    use_flash: bool = False,
+    fuse_qkv: bool = False,
+    attention_core=None,
+) -> jnp.ndarray:
+    """One post-LN BERT encoder block: attention + residual LN + FFN +
+    residual LN.  The unit the pipeline-parallel path scans over
+    (parallel/pp.py) — extracted from the ``bert_encode`` loop, identical
+    math."""
+    attn = _self_attention(layer, x, mask_bias, dims,
+                           use_flash=use_flash, fuse_qkv=fuse_qkv,
+                           attention_core=attention_core)
+    x = _layer_norm(layer["attn_ln"], x + attn)
+    ffn = _linear(layer["ffn_out"], jax.nn.gelu(_linear(layer["ffn_in"], x), approximate=False))
+    return _layer_norm(layer["ffn_ln"], x + ffn)
+
+
 def bert_encode(
     params: Params,
     input_ids: jnp.ndarray,
@@ -230,29 +282,13 @@ def bert_encode(
     op (sequence-parallel ring path, parallel/sp.py); ``position_offset``
     (int or traced scalar) offsets the position-embedding slice for callers
     whose ``input_ids`` are a sequence *shard*."""
-    b, s = input_ids.shape
-    emb = params["embeddings"]
-    if isinstance(position_offset, int) and position_offset == 0:
-        pos = emb["position"][None, :s]
-    else:
-        pos = jax.lax.dynamic_slice_in_dim(emb["position"], position_offset, s)[None]
-    x = emb["word"][input_ids] + pos
-    tt = token_type_ids if token_type_ids is not None else jnp.zeros_like(input_ids)
-    x = x + emb["token_type"][tt]
-    x = _layer_norm(emb["ln"], x).astype(dtype)
-
-    # HF-style additive mask: 0 where attended, large negative where padded.
-    mask_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * jnp.finfo(
-        jnp.float32
-    ).min
-
+    x = embed_inputs(params, input_ids, token_type_ids, dtype=dtype,
+                     position_offset=position_offset)
+    mask_bias = attention_mask_bias(attention_mask)
     for layer in params["layers"]:
-        attn = _self_attention(layer, x, mask_bias, dims,
-                               use_flash=use_flash_attention, fuse_qkv=fuse_qkv,
-                               attention_core=attention_core)
-        x = _layer_norm(layer["attn_ln"], x + attn)
-        ffn = _linear(layer["ffn_out"], jax.nn.gelu(_linear(layer["ffn_in"], x), approximate=False))
-        x = _layer_norm(layer["ffn_ln"], x + ffn)
+        x = encoder_layer(layer, x, mask_bias, dims,
+                          use_flash=use_flash_attention, fuse_qkv=fuse_qkv,
+                          attention_core=attention_core)
     return x
 
 
