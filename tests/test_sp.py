@@ -181,6 +181,78 @@ def test_pad_tokens_and_shape_checks():
         check_sp_shapes(dims, 4, dims.max_position_embeddings + 4, mesh)
 
 
+@pytest.mark.parametrize("partition", ["tp", "sp", "pp"])
+def test_text_engine_parallel_partitions(partition, tmp_path):
+    """The user-facing TextInferenceEngine drives all three text-tower
+    partitions with automatic batch/seq padding: 3 prompts on a mesh whose
+    divisibility requirements need padding, vs the single-device path."""
+    from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+        TextInferenceEngine,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+        PromptTokenizer,
+        write_test_vocab,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.sp import (
+        create_mesh_sp,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.pp import (
+        create_mesh_pp,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.tp import (
+        create_mesh_2d,
+    )
+
+    vocab = write_test_vocab(tmp_path / "vocab.txt")
+    tokenizer = PromptTokenizer(vocab, max_allowed_input_length=64)
+    n_layers = 4 if partition == "pp" else 2
+    dims = tiny_bert_dims(
+        vocab_size=tokenizer.tokenizer.vocab_size, max_position_embeddings=64,
+        num_heads=4, num_layers=n_layers,
+    )
+    params = init_cxr_bert(jax.random.PRNGKey(13), dims)
+    prompts = [
+        "Findings suggesting Edema",
+        "No evidence of Atelectasis",
+        "Pleural Effusion seen",
+    ]
+    single = TextInferenceEngine(params, dims, tokenizer)
+    ref = single.get_embeddings_from_prompt(prompts, normalize=True)
+
+    if partition == "tp":
+        mesh = create_mesh_2d(2, 4)
+    elif partition == "sp":
+        mesh = create_mesh_sp(2, 4)
+    else:
+        mesh = create_mesh_pp(2, 4)
+    eng = TextInferenceEngine(
+        params, dims, tokenizer, mesh=mesh, partition=partition,
+        n_microbatches=2,
+    )
+    out = eng.get_embeddings_from_prompt(prompts, normalize=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_text_engine_rejects_unknown_partition(tmp_path):
+    from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+        TextInferenceEngine,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+        PromptTokenizer,
+        write_test_vocab,
+    )
+
+    vocab = write_test_vocab(tmp_path / "vocab.txt")
+    tokenizer = PromptTokenizer(vocab, max_allowed_input_length=64)
+    dims = tiny_bert_dims(vocab_size=tokenizer.tokenizer.vocab_size)
+    params = init_cxr_bert(jax.random.PRNGKey(0), dims)
+    with pytest.raises(ValueError, match="unknown partition"):
+        TextInferenceEngine(
+            params, dims, tokenizer, mesh=create_mesh_sp(2, 4), partition="zz"
+        )
+
+
 def test_position_offset_default_bit_identical(rng):
     """position_offset=0 (the default) must not change the original path."""
     dims = tiny_bert_dims()
