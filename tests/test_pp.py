@@ -46,6 +46,7 @@ def test_pp_matches_single_device(rng):
     np.testing.assert_allclose(out, _ref(params, ids, mask, dims), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_composes_with_data_parallel(rng):
     dims = tiny_bert_dims(num_layers=4)
     params = init_cxr_bert(jax.random.PRNGKey(1), dims)
@@ -67,6 +68,7 @@ def test_pp_single_microbatch(rng):
     np.testing.assert_allclose(out, _ref(params, ids, mask, dims), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_bf16_runs(rng):
     dims = tiny_bert_dims(num_layers=4)
     params = init_cxr_bert(jax.random.PRNGKey(3), dims)

@@ -142,6 +142,7 @@ def test_sp_hidden_positions_match(rng):
     np.testing.assert_allclose(got[mask == 1], ref[mask == 1], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_bf16_runs(rng):
     dims = tiny_bert_dims()
     params = init_cxr_bert(jax.random.PRNGKey(7), dims)
@@ -181,7 +182,12 @@ def test_pad_tokens_and_shape_checks():
         check_sp_shapes(dims, 4, dims.max_position_embeddings + 4, mesh)
 
 
-@pytest.mark.parametrize("partition", ["tp", "sp", "pp"])
+@pytest.mark.parametrize(
+    "partition",
+    ["sp",
+     pytest.param("tp", marks=pytest.mark.slow),
+     pytest.param("pp", marks=pytest.mark.slow)],
+)
 def test_text_engine_parallel_partitions(partition, tmp_path):
     """The user-facing TextInferenceEngine drives all three text-tower
     partitions with automatic batch/seq padding: 3 prompts on a mesh whose

@@ -630,6 +630,55 @@ def test_twin_joint_change_labels_single_prompt(ref_mod, data):
     assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
 
 
+def test_twin_joint_only_image_adapter(ref_mod, data):
+    """TEXT_MODEL=False (Trainer.py:141-144 prints '*** No text adapter'):
+    only the image tower gets a head; text embeddings flow through raw."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, text_model=False)
+    ref_rec, ref_trainer, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=2, lr=1e-4, batch_size=BS,
+        eval_batch_size=EVAL_BS,
+    )
+    assert set(init_params) == {"image"}
+    cfg = base_cfg(mode="joint", epochs=2, adapter="mlp", prompt_mode="mean",
+                   text_adapter=False)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                           log_dir=None)
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
+def test_twin_joint_only_text_linear_pos_logits(ref_mod, data):
+    """Three knob values no other twin exercises, in one run: only-text
+    wiring (IMAGE_MODEL=False, Trainer.py:156-158), the linear adapter
+    (MODEL_USED='dense', models.py:21-26), and TRAIN_LOGIT_DIFF=False
+    (pos-only train logits, Trainer.py:52/1662-1669)."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, image_model=False, model_used="dense",
+                           train_logit_diff=False)
+    ref_rec, ref_trainer, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=2, lr=1e-4, batch_size=BS,
+        eval_batch_size=EVAL_BS,
+    )
+    assert set(init_params) == {"text"}
+    cfg = base_cfg(mode="joint", epochs=2, adapter="dense", prompt_mode="mean",
+                   image_adapter=False, train_logit_diff=False)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_zero_joint(
+            cfg, fw_bundle(data), fw_bank(prompts, train_logit_diff=False),
+            log_dir=None,
+        )
+    compare_streams(ref_rec, fw_rec)
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+
+
 def test_twin_joint_learnable_data(ref_mod):
     """Learnable synthetic data (class-direction structure): both sides'
     AUROC trajectories RISE and stay matched — the random-label twins pin
