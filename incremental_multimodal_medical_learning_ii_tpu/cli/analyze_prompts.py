@@ -33,6 +33,17 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=27)
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
+    p.add_argument(
+        "--partition", choices=["tp", "sp", "pp"],
+        help="multi-device text encode over all visible devices: tensor- "
+             "(heads/FFN), sequence- (ring attention) or pipeline-parallel "
+             "(parallel/{tp,sp,pp}.py); default single-device",
+    )
+    p.add_argument(
+        "--partition-size", type=int, default=0,
+        help="devices on the model/seq/pipe axis (0 = all visible devices; "
+             "the rest become the data axis)",
+    )
     args = p.parse_args(argv)
 
     from incremental_multimodal_medical_learning_ii_tpu.evaluation import plots
@@ -65,15 +76,46 @@ def main(argv=None) -> None:
         )
 
         params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+        engine_kw = {}
+        if args.partition:
+            import jax
+
+            from incremental_multimodal_medical_learning_ii_tpu.parallel.pp import (
+                create_mesh_pp,
+            )
+            from incremental_multimodal_medical_learning_ii_tpu.parallel.sp import (
+                create_mesh_sp,
+            )
+            from incremental_multimodal_medical_learning_ii_tpu.parallel.tp import (
+                create_mesh_2d,
+            )
+
+            n = len(jax.devices())
+            size = args.partition_size or n
+            if n % size:
+                raise SystemExit(
+                    f"--partition-size {size} does not divide {n} devices"
+                )
+            make = {"tp": create_mesh_2d, "sp": create_mesh_sp,
+                    "pp": create_mesh_pp}[args.partition]
+            engine_kw = {"mesh": make(n // size, size),
+                         "partition": args.partition}
         encode = TextInferenceEngine(
-            params, dims, PromptTokenizer(args.cxr_bert_vocab)
+            params, dims, PromptTokenizer(args.cxr_bert_vocab), **engine_kw
         ).encode_fn(normalize=False)
+        emb_dim = dims.projection_size  # 128 for real CXR-BERT; honors
+        # nonstandard checkpoints instead of failing the bank's shape check
     else:
+        if args.partition:
+            raise SystemExit("--partition needs --cxr-bert-checkpoint "
+                             "(the synthetic encoder has no device program)")
         print("[warn] no CXR-BERT checkpoint; synthetic prompt encoder")
         encode = synthetic_encode_fn(seed=args.seed)
+        emb_dim = 128
 
     bank = build_prompt_bank(
-        encode, prompts, CHEXPERT_COMPETITION_TASKS, train_logit_diff=not args.pos_only
+        encode, prompts, CHEXPERT_COMPETITION_TASKS,
+        train_logit_diff=not args.pos_only, emb_dim=emb_dim,
     )
     pos = np.asarray(masked_mean(bank.pos, bank.pos_count))
     neg = np.asarray(masked_mean(bank.neg, bank.neg_count))

@@ -105,6 +105,50 @@ def test_analyze_prompts_cli(tmp_path):
     assert (tmp_path / "tsne_multiple_prompts.png").exists()
 
 
+def test_analyze_prompts_partition_requires_checkpoint(tmp_path):
+    from incremental_multimodal_medical_learning_ii_tpu.cli.analyze_prompts import main
+
+    with pytest.raises(SystemExit, match="partition needs"):
+        main(["--out-dir", str(tmp_path), "--partition", "sp"])
+
+
+@pytest.mark.slow
+def test_analyze_prompts_cli_partitioned(tmp_path):
+    """--partition sp drives the real multi-device text encode end-to-end
+    through the CLI: tiny torch CXR-BERT checkpoint -> converter -> ring
+    attention over a (2 data x 4 seq) mesh -> figures."""
+    import torch
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.analyze_prompts import main
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+        tiny_bert_dims,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+        PromptTokenizer,
+        write_test_vocab,
+    )
+    from test_models import _hf_bert_with_projection, _state_dict_with_projection
+
+    vocab = write_test_vocab(tmp_path / "vocab.txt")
+    n_vocab = PromptTokenizer(vocab).tokenizer.vocab_size
+    dims = tiny_bert_dims(vocab_size=n_vocab, max_position_embeddings=64)
+    model, proj = _hf_bert_with_projection(dims)
+    ckpt = tmp_path / "cxr_bert.pt"
+    torch.save(_state_dict_with_projection(model, proj), ckpt)
+
+    out = tmp_path / "plots"
+    main([
+        "--out-dir", str(out),
+        "--cxr-bert-checkpoint", str(ckpt), "--cxr-bert-vocab", str(vocab),
+        "--partition", "sp", "--partition-size", "4",
+    ])
+    assert (out / "cosine_similarity_heat_map.png").exists()
+    assert (out / "pca_multiple_prompts.png").exists()
+    assert (out / "tsne_multiple_prompts.png").exists()
+    # numeric sp-vs-dense parity of the underlying embeddings is pinned by
+    # tests/test_sp.py; this test pins the CLI wiring end-to-end
+
+
 @pytest.mark.slow
 def test_vlp_similarity_engine(tmp_path, rng):
     from PIL import Image
