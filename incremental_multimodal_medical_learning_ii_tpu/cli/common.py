@@ -201,6 +201,16 @@ def build_bank(args, cfg: ExperimentConfig) -> PromptBank:
     else:
         print("[warn] no CXR-BERT checkpoint given; using synthetic prompt encoder")
         encode = synthetic_encode_fn(seed=cfg.seed)
+        dims = None
+    if dims is not None and dims.projection_size != 128:
+        # the bank must live in the image tower's 128-d joint space
+        # (JOINT_FEATURE_SIZE; BioViL projector output) — a text checkpoint
+        # with another projection size cannot score 128-d image embeddings
+        raise SystemExit(
+            f"text checkpoint projects to {dims.projection_size}-d but the "
+            f"joint space is 128-d; this checkpoint is not a BioViL-paired "
+            f"CXR-BERT"
+        )
     return build_prompt_bank(
         encode, prompts, CHEXPERT_COMPETITION_TASKS, train_logit_diff=cfg.train_logit_diff
     )

@@ -113,6 +113,39 @@ def test_analyze_prompts_partition_requires_checkpoint(tmp_path):
 
 
 @pytest.mark.slow
+def test_build_bank_rejects_mismatched_projection(tmp_path):
+    """A text checkpoint that projects outside the 128-d joint space must
+    fail with a clear message, not the bank's raw shape assertion."""
+    import argparse
+
+    import torch
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli import common
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+        tiny_bert_dims,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+        write_test_vocab,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        ExperimentConfig,
+    )
+    from test_models import _hf_bert_with_projection, _state_dict_with_projection
+
+    vocab = write_test_vocab(tmp_path / "vocab.txt")
+    model, proj = _hf_bert_with_projection(tiny_bert_dims(vocab_size=1000))
+    ckpt = tmp_path / "tiny.pt"
+    torch.save(_state_dict_with_projection(model, proj), ckpt)
+    args = argparse.Namespace(
+        cxr_bert_snapshot=None, cxr_bert_checkpoint=str(ckpt),
+        cxr_bert_vocab=str(vocab),
+    )
+    cfg = ExperimentConfig(mode="joint", epochs=1)
+    with pytest.raises(SystemExit, match="joint space is 128-d"):
+        common.build_bank(args, cfg)
+
+
+@pytest.mark.slow
 def test_analyze_prompts_cli_partitioned(tmp_path):
     """--partition sp drives the real multi-device text encode end-to-end
     through the CLI: tiny torch CXR-BERT checkpoint -> converter -> ring
