@@ -83,6 +83,41 @@ def test_pp_bf16_runs(rng):
     assert cos.min() > 0.999
 
 
+@pytest.mark.slow
+def test_pp_encode_grad_matches_dense(rng):
+    """Autodiff through the pipeline schedule (scan + ppermute + psum all
+    have transpose rules; the predicated fill/drain writes route cotangents
+    only to the microbatch that actually contributed) — pp is
+    training-capable, not inference-only."""
+    import jax.flatten_util
+
+    dims = tiny_bert_dims(num_layers=2)
+    params = init_cxr_bert(jax.random.PRNGKey(22), dims)
+    b, s = 4, 12
+    ids = jnp.asarray(rng.integers(0, dims.vocab_size, size=(b, s)).astype(np.int32))
+    mask = jnp.asarray(np.ones((b, s), np.int32))
+
+    def loss_dense(p):
+        out = get_projected_text_embeddings(p, ids, mask, dims, normalize=True)
+        return jnp.sum(out * out[::-1])
+
+    mesh = create_mesh_pp(1, 2)
+    encode = make_pp_text_encode(dims, mesh, n_microbatches=2, normalize=True)
+
+    def loss_pp(p):
+        out = encode(p, ids, mask)
+        return jnp.sum(out * out[::-1])
+
+    g_dense = jax.grad(loss_dense)(params)
+    g_pp = jax.grad(loss_pp)(params)
+    flat_d, _ = jax.flatten_util.ravel_pytree(g_dense)
+    flat_p, _ = jax.flatten_util.ravel_pytree(g_pp)
+    scale = float(jnp.max(jnp.abs(flat_d))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(flat_p) / scale, np.asarray(flat_d) / scale, atol=5e-5
+    )
+
+
 def test_pp_shape_guards():
     dims = tiny_bert_dims(num_layers=4)
     mesh = create_mesh_pp(2, 4)

@@ -165,6 +165,42 @@ def test_sp_bf16_runs(rng):
     assert cos.min() > 0.999
 
 
+@pytest.mark.slow
+def test_sp_encode_grad_matches_dense(rng):
+    """Autodiff through the ring (scan + ppermute have transpose rules):
+    param gradients of the sharded encode match the single-device path —
+    sp is training-capable, not inference-only."""
+    import jax.flatten_util
+
+    dims = tiny_bert_dims()
+    params = init_cxr_bert(jax.random.PRNGKey(21), dims)
+    b, s = 2, 16
+    ids = jnp.asarray(rng.integers(0, dims.vocab_size, size=(b, s)).astype(np.int32))
+    mask = np.ones((b, s), np.int32)
+    mask[1, 11:] = 0
+    mask = jnp.asarray(mask)
+
+    def loss_dense(p):
+        out = get_projected_text_embeddings(p, ids, mask, dims, normalize=True)
+        return jnp.sum(out * out[::-1])
+
+    mesh = create_mesh_sp(1, 4)
+    encode = make_sp_text_encode(dims, mesh, normalize=True)
+
+    def loss_sp(p):
+        out = encode(p, ids, mask)
+        return jnp.sum(out * out[::-1])
+
+    g_dense = jax.grad(loss_dense)(params)
+    g_sp = jax.grad(loss_sp)(params)
+    flat_d, _ = jax.flatten_util.ravel_pytree(g_dense)
+    flat_s, _ = jax.flatten_util.ravel_pytree(g_sp)
+    scale = float(jnp.max(jnp.abs(flat_d))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(flat_s) / scale, np.asarray(flat_d) / scale, atol=5e-5
+    )
+
+
 def test_pad_tokens_and_shape_checks():
     ids = np.ones((2, 30), np.int32)
     mask = np.ones((2, 30), np.int32)
