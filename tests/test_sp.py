@@ -276,6 +276,38 @@ def test_text_engine_parallel_partitions(partition, tmp_path):
     np.testing.assert_allclose(out, ref, atol=3e-5)
 
 
+@pytest.mark.slow
+def test_text_engine_tp_sharded_params_serve_all_methods(tmp_path):
+    """With partition='tp' the engine holds TP-sharded params; the
+    single-device-written methods (MLM fill, pairwise sims) must keep
+    working — GSPMD compiles them against the sharded operands."""
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.tp import (
+        create_mesh_2d,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
+        TextInferenceEngine,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.tokenizer import (
+        PromptTokenizer,
+        write_test_vocab,
+    )
+
+    vocab = write_test_vocab(tmp_path / "vocab.txt")
+    tok = PromptTokenizer(vocab, max_allowed_input_length=64)
+    dims = tiny_bert_dims(vocab_size=tok.tokenizer.vocab_size, num_heads=4)
+    params = init_cxr_bert(jax.random.PRNGKey(0), dims)
+    ref = TextInferenceEngine(params, dims, tok)
+    eng = TextInferenceEngine(params, dims, tok, mesh=create_mesh_2d(2, 4),
+                              partition="tp")
+    prompts = ["Findings suggesting [MASK]"]
+    assert eng.predict_masked_tokens(prompts) == ref.predict_masked_tokens(prompts)
+    np.testing.assert_allclose(
+        eng.get_pairwise_similarities(["No Edema"], ["No Edema"]),
+        ref.get_pairwise_similarities(["No Edema"], ["No Edema"]),
+        atol=3e-5,
+    )
+
+
 def test_text_engine_rejects_unknown_partition(tmp_path):
     from incremental_multimodal_medical_learning_ii_tpu.text.engine import (
         TextInferenceEngine,
