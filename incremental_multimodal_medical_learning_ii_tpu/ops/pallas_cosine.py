@@ -94,7 +94,7 @@ def pallas_pairwise_cosine_sharded(
     cannot take sharded operands under whole-array jit — shard_map gives it
     per-device views)."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_shard(xs, ts):
         return pallas_pairwise_cosine(xs, ts, block_b=block_b, interpret=interpret)
@@ -104,5 +104,5 @@ def pallas_pairwise_cosine_sharded(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(None, None)),
         out_specs=P(axis_name, None),
-        check_rep=False,
+        check_vma=False,
     )(x, t)

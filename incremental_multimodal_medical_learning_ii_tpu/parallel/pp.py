@@ -114,7 +114,7 @@ def make_pp_text_encode(
     ``dtype`` composes as everywhere else (bf16 layer stack; fp32
     softmax/LN moments, [CLS] banking, and projection head).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_pipe = mesh.shape[pipe_axis]
     compute_dtype = dtype or jnp.float32
@@ -171,7 +171,7 @@ def make_pp_text_encode(
         mesh=mesh,
         in_specs=(P(pipe_axis), P(), P(data_axis, None), P(data_axis, None)),
         out_specs=P(data_axis, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -117,7 +117,7 @@ def make_sp_text_encode(
     the seq-shard 0 devices.  ``dtype`` composes as everywhere else (bf16
     layer stack, fp32 softmax/LN/ring accumulator and projection head).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_seq = mesh.shape[seq_axis]
     compute_dtype = dtype or jnp.float32
@@ -137,7 +137,7 @@ def make_sp_text_encode(
         mesh=mesh,
         in_specs=(P(), P(data_axis, seq_axis), P(data_axis, seq_axis)),
         out_specs=P(data_axis, seq_axis, None),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

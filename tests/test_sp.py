@@ -40,7 +40,7 @@ def _dense_reference(q, k, v, valid):
 
 def _run_ring(q, k, v, valid, n_seq):
     """Shard the sequence over an n_seq-device mesh and run the ring op."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = create_mesh_sp(1, n_seq)
@@ -54,7 +54,7 @@ def _run_ring(q, k, v, valid, n_seq):
         local, mesh=mesh,
         in_specs=(P(None, None, "seq", None),) * 3 + (P(None, "seq"),),
         out_specs=P(None, None, "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     return np.asarray(jax.jit(fn)(q, k, v, valid.astype(np.int32)))
 
@@ -104,7 +104,7 @@ def test_sp_text_encode_matches_single_device(rng):
 def test_sp_hidden_positions_match(rng):
     """Per-token hidden states (not just CLS) must agree — catches
     position-embedding offset bugs on non-zero shards."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     import functools
 
@@ -135,7 +135,7 @@ def test_sp_hidden_positions_match(rng):
         shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(None, "seq"), P(None, "seq")),
-            out_specs=P(None, "seq", None), check_rep=False,
+            out_specs=P(None, "seq", None), check_vma=False,
         )
     )(params, jnp.asarray(ids_p), jnp.asarray(mask_p))
     got = np.asarray(hidden)[:, :s]
