@@ -34,6 +34,11 @@ def main(argv=None) -> None:
     p.add_argument("--cxr-bert-checkpoint")
     p.add_argument("--cxr-bert-vocab")
     p.add_argument(
+        "--cxr-bert-num-heads", type=int, default=None,
+        help="attention heads for the raw state dict (default: hidden//64 "
+        "heuristic — right for real CXR-BERT, wrong for nonstandard dims)",
+    )
+    p.add_argument(
         "--partition", choices=["tp", "sp", "pp"],
         help="multi-device text encode over all visible devices: tensor- "
              "(heads/FFN), sequence- (ring attention) or pipeline-parallel "
@@ -75,7 +80,9 @@ def main(argv=None) -> None:
             PromptTokenizer,
         )
 
-        params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+        params, dims = load_cxr_bert_checkpoint(
+            args.cxr_bert_checkpoint, num_heads=args.cxr_bert_num_heads
+        )
         engine_kw = {}
         if args.partition:
             import jax

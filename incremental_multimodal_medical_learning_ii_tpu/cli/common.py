@@ -91,6 +91,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cxr-bert-checkpoint", help="torch state-dict path for CXR-BERT")
     p.add_argument("--cxr-bert-vocab", help="vocab.txt for the CXR-BERT tokenizer")
     p.add_argument(
+        "--cxr-bert-num-heads", type=int, default=None,
+        help="attention heads for --cxr-bert-checkpoint (a raw state dict "
+        "does not record them; default infers hidden//64, right for real "
+        "CXR-BERT but silently wrong for nonstandard checkpoints — prefer "
+        "--cxr-bert-snapshot, whose config.json is authoritative)",
+    )
+    p.add_argument(
         "--cxr-bert-snapshot",
         help="local HF snapshot dir (config.json + weights + vocab.txt), as "
         "materialised by the hub download of microsoft/BiomedVLP-CXR-BERT-specialized",
@@ -195,7 +202,10 @@ def build_bank(args, cfg: ExperimentConfig) -> PromptBank:
             PromptTokenizer,
         )
 
-        params, dims = load_cxr_bert_checkpoint(args.cxr_bert_checkpoint)
+        params, dims = load_cxr_bert_checkpoint(
+            args.cxr_bert_checkpoint,
+            num_heads=getattr(args, "cxr_bert_num_heads", None),
+        )
         engine = TextInferenceEngine(params, dims, PromptTokenizer(args.cxr_bert_vocab))
         encode = engine.encode_fn(normalize=False)
     else:

@@ -173,6 +173,8 @@ def test_analyze_prompts_cli_partitioned(tmp_path):
     main([
         "--out-dir", str(out),
         "--cxr-bert-checkpoint", str(ckpt), "--cxr-bert-vocab", str(vocab),
+        "--cxr-bert-num-heads", str(dims.num_heads),  # tiny dims defeat the
+        # hidden//64 heuristic; real CXR-BERT needs no flag
         "--partition", "sp", "--partition-size", "4",
     ])
     assert (out / "cosine_similarity_heat_map.png").exists()
