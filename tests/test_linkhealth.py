@@ -1,0 +1,52 @@
+"""Link-health probe CLI: JSON contract and timeout behavior."""
+
+import json
+
+import pytest
+
+
+def _run(argv, capsys):
+    from incremental_multimodal_medical_learning_ii_tpu.cli.linkhealth import main
+
+    main(argv)
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_linkhealth_ok_on_cpu(capsys):
+    line = _run(
+        ["--samples", "3", "--upload-mb", "1", "--platform", "cpu",
+         "--probe-timeout", "120", "--compile-timeout", "120"],
+        capsys,
+    )
+    assert line["backend"] == "cpu"
+    assert line["verdict"] in ("ok", "slow-sync")  # CI boxes can be slow
+    assert line["rtt_ms"] > 0 and line["upload_mbps"] > 0
+    assert line["compile_s"] > 0
+
+
+@pytest.mark.slow
+def test_linkhealth_degraded_on_timeout(capsys):
+    """A probe deadline of ~0 simulates a stalled compile terminal: every
+    leg must report null and the verdict degraded — the probe never hangs
+    on the condition it diagnoses."""
+    line = _run(
+        ["--samples", "3", "--upload-mb", "1", "--platform", "cpu",
+         "--probe-timeout", "0.01", "--compile-timeout", "0.01"],
+        capsys,
+    )
+    assert line["verdict"] == "degraded-compile"
+    assert line["rtt_ms"] is None and line["compile_s"] is None
+    assert line["probe_error"] == "timeout"
+
+
+@pytest.mark.slow
+def test_linkhealth_skip_compile(capsys):
+    line = _run(
+        ["--samples", "3", "--upload-mb", "1", "--platform", "cpu",
+         "--probe-timeout", "120", "--skip-compile"],
+        capsys,
+    )
+    assert line["compile_s"] is None
+    assert "compile_error" not in line
+    assert line["verdict"] in ("ok", "slow-sync")
