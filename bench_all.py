@@ -580,7 +580,12 @@ def main() -> None:
                     lambda r: ((lids_all + r + 1) % ldims.vocab_size, lmask, lbert),
                     k_short=2, k_long=10,
                 )
-            except Exception as e:  # pallas flash kernel is TPU-only
+            except Exception as e:
+                if not use_flash:
+                    raise  # dense path must run everywhere; don't mask a regression
+                # pallas flash kernel is TPU-only: skip off-TPU, fail on TPU
+                if jax.default_backend() != "cpu":
+                    raise
                 print(f"# {metric}: skipped ({type(e).__name__})")
                 continue
             rate = rate_or_none(per_batch, lb)

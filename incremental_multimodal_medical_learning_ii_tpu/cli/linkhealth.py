@@ -11,18 +11,28 @@ seconds:
 * ``rtt_ms``       — dispatch + readback round-trip of a tiny op (median
                      of ``--samples``); the per-sync cost that makes
                      per-batch ``.item()``-style code slow here.
-* ``upload_mbps``  — host->device bandwidth for a ``--upload-mb`` uint8
-                     buffer (fresh buffer each sample: the axon backend
-                     memoizes identical (executable, buffers) executions,
-                     so reused buffers measure nothing).
-* ``compile_s``    — wall time of ONE fresh trivial compile (pid-salted
-                     odd shape so no cache can serve it).
+* ``upload_mb_per_s`` — host->device bandwidth (MiB/s) for a
+                     ``--upload-mb`` uint8 buffer (fresh buffer each
+                     sample: the axon backend memoizes identical
+                     (executable, buffers) executions, so reused buffers
+                     measure nothing).
+* ``compile_s``    — wall time of ONE fresh trivial compile
+                     (urandom-salted odd shape so no program cache —
+                     in-process, persistent, or remote-terminal — can
+                     serve it).  A compile that returns but takes longer
+                     than ``--compile-slow-s`` still flags
+                     ``degraded-compile``: the outage phases documented
+                     on this host have a slow-but-alive onset.
 
 Every probe runs in its OWN subprocess under a deadline — during a
 compile-terminal outage even the tiny warmup jits stall, and a probe that
 hangs on the condition it diagnoses is useless.  Timed-out legs report
 ``null``; exit code is always 0; the ``verdict`` field says ``ok`` /
-``slow-sync`` / ``degraded-compile``.
+``slow-sync`` / ``degraded-compile``.  The rtt/upload probe serves its two
+warmup programs from the persistent compile cache, so once one healthy run
+has seeded the cache, execution health stays measurable even while the
+compile terminal is down (cache-hit programs keep executing there); the
+compile probe never touches the cache.
 
 ``--platform cpu`` pins the jax platform inside every subprocess via
 ``jax.config`` (the env var alone is overridden by this host's
@@ -44,6 +54,19 @@ import jax
 plat = os.environ.get("IMML_LINKHEALTH_PLATFORM")
 if plat:
     jax.config.update("jax_platforms", plat)
+cache = os.environ.get("IMML_LH_CACHE")
+if cache:
+    # rtt/upload probe only: with its two tiny warmup programs served from
+    # the persistent cache, execution health stays measurable DURING a
+    # compile-terminal outage (cache-hit programs keep running there); the
+    # min-compile-time floor is zeroed so even these sub-second programs
+    # persist after one healthy run.
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 import jax.numpy as jnp
 
 
@@ -83,11 +106,16 @@ for _ in range(max(3, samples // 2)):
     rates.append(mb / (time.perf_counter() - t0))
 
 print(json.dumps({"backend": jax.default_backend(),
-                  "rtt_ms": median(rtt), "upload_mbps": median(rates)}))
+                  "rtt_ms": median(rtt), "upload_mb_per_s": median(rates)}))
 """
 
 _COMPILE = _PRELUDE + """
-m, n = 31 + os.getpid() % 29, 53  # pid-salted odd shape: no cache can serve it
+# urandom-salted odd shape: ~1M distinct programs, so neither the in-process
+# jit cache, a persistent JAX_COMPILATION_CACHE_DIR, nor the remote compile
+# terminal's program cache can serve a repeat invocation (a pid salt mod a
+# small constant collides within a handful of runs)
+salt = int.from_bytes(os.urandom(4), "little")
+m, n = 31 + salt % 997, 53 + (salt // 997) % 991
 x = jnp.asarray(np.random.default_rng(1).random((m, n)).astype(np.float32))
 t0 = time.time()
 float(jax.jit(lambda a: (a @ a.T).sum())(x))
@@ -122,6 +150,10 @@ def main(argv=None) -> None:
                    help="deadline for the rtt/upload probe subprocess "
                    "(includes its two tiny warmup compiles)")
     p.add_argument("--compile-timeout", type=float, default=120.0)
+    p.add_argument("--compile-slow-s", type=float, default=30.0,
+                   help="a fresh trivial compile slower than this is "
+                   "verdict degraded-compile even if it finishes (healthy "
+                   "baseline is seconds; outage onset is slow-but-alive)")
     p.add_argument("--skip-compile", action="store_true",
                    help="skip the fresh-compile probe (it costs a real "
                    "compile on healthy links)")
@@ -133,7 +165,16 @@ def main(argv=None) -> None:
     if args.platform:
         env_extra["IMML_LINKHEALTH_PLATFORM"] = args.platform
 
-    base, base_err = _run_probe(_RTT_UPLOAD, args.probe_timeout, env_extra)
+    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import (
+        _DEFAULT as _CACHE_DIR,
+    )
+
+    # cache the rtt/upload probe's warmup programs (so they execute during a
+    # compile outage once a healthy run has seeded the cache) but NEVER the
+    # compile probe — its whole point is a fresh compile
+    base, base_err = _run_probe(
+        _RTT_UPLOAD, args.probe_timeout, {**env_extra, "IMML_LH_CACHE": _CACHE_DIR}
+    )
     compile_s = compile_err = None
     if not args.skip_compile:
         comp, compile_err = _run_probe(_COMPILE, args.compile_timeout, env_extra)
@@ -146,6 +187,9 @@ def main(argv=None) -> None:
         verdict = "degraded-compile"
     elif compile_err is not None and not args.skip_compile:
         verdict = "degraded-compile"
+    elif compile_s is not None and compile_s > args.compile_slow_s:
+        # slow-but-under-deadline: still compile-bound for real workloads
+        verdict = "degraded-compile"
     elif base["rtt_ms"] > 20.0:
         # >20ms per sync: per-batch readbacks will dominate; batch them
         # (engine/trainer.py defers metric readbacks to one device_get per
@@ -157,7 +201,7 @@ def main(argv=None) -> None:
     line = {
         "backend": None if base is None else base["backend"],
         "rtt_ms": None if base is None else round(base["rtt_ms"], 2),
-        "upload_mbps": None if base is None else round(base["upload_mbps"], 1),
+        "upload_mb_per_s": None if base is None else round(base["upload_mb_per_s"], 1),
         "compile_s": None if compile_s is None else round(compile_s, 2),
         "verdict": verdict,
     }

@@ -169,7 +169,8 @@ def main(argv=None) -> None:
             image_adapter=False, text_adapter=False,
             eval_batch_size=1024, seed=args.seed,
         )
-        res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh)
+        res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir,
+                             mesh=mesh, trace_dir=args.trace_dir)
         check("zero-shot", res["test_zero"]["auroc_macro"], TARGETS["zero-shot"][1])
 
     if "joint" in args.gates:
@@ -179,7 +180,8 @@ def main(argv=None) -> None:
             mode="joint", epochs=epochs, batch_size=batch, lr=1e-3,
             optim="adam", adapter="mlp", prompt_mode="max", seed=args.seed,
         )
-        res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh)
+        res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir,
+                             mesh=mesh, trace_dir=args.trace_dir)
         best = max(
             res[f"test_ep{e}"]["auroc_macro"] for e in range(1, cfg.epochs + 1)
         )
@@ -198,7 +200,8 @@ def main(argv=None) -> None:
             optim="sgd", adapter="mlp", shared=True, seed=args.seed,
         )
         res = run_class_incremental(
-            cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh
+            cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh,
+            trace_dir=args.trace_dir,
         )
         curve = [res[f"test_task{t}"]["auroc_macro"] for t in range(1, 6)]
         print("class-inc curve:", " ".join(f"{v:.4f}" for v in curve),

@@ -30,6 +30,7 @@ def main(argv=None) -> None:
 
     from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
     from incremental_multimodal_medical_learning_ii_tpu.utils.config import ExperimentConfig
+    from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import maybe_trace
 
     bundle = common.load_bundle(args)
     base = common.config_kwargs(args)
@@ -42,24 +43,25 @@ def main(argv=None) -> None:
     # share a bank); building per config would re-encode the prompts
     # through CXR-BERT once per grid point
     banks: dict = {}
-    for lr, optim, adapter, pm in itertools.product(
-        args.lrs, args.optims, args.adapters, args.prompt_modes
-    ):
-        cfg = ExperimentConfig(
-            mode="joint", lr=lr, optim=optim, adapter=adapter, prompt_mode=pm,
-            plot_figures="off", **base,
-        )
-        bank_key = cfg.single_prompt
-        if bank_key not in banks:
-            banks[bank_key] = common.build_bank(args, cfg)
-        bank = banks[bank_key]
-        trainer = Trainer(cfg, bank)
-        for epoch in range(1, cfg.epochs + 1):
-            trainer.train(bundle.train, epoch)
-        auroc = trainer.quick_auroc(bundle.val).mean()
-        results.append((float(auroc), lr, optim, adapter, pm))
-        print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
-              f"val-AUROC-macro={auroc:.4f}")
+    with maybe_trace(args.trace_dir):  # one trace spanning the whole grid
+        for lr, optim, adapter, pm in itertools.product(
+            args.lrs, args.optims, args.adapters, args.prompt_modes
+        ):
+            cfg = ExperimentConfig(
+                mode="joint", lr=lr, optim=optim, adapter=adapter, prompt_mode=pm,
+                plot_figures="off", **base,
+            )
+            bank_key = cfg.single_prompt
+            if bank_key not in banks:
+                banks[bank_key] = common.build_bank(args, cfg)
+            bank = banks[bank_key]
+            trainer = Trainer(cfg, bank)
+            for epoch in range(1, cfg.epochs + 1):
+                trainer.train(bundle.train, epoch)
+            auroc = trainer.quick_auroc(bundle.val).mean()
+            results.append((float(auroc), lr, optim, adapter, pm))
+            print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
+                  f"val-AUROC-macro={auroc:.4f}")
     results.sort(reverse=True)
     best = results[0]
     print(f"\n{len(results)} configs in {time.perf_counter() - t0:.1f}s")

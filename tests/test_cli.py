@@ -76,8 +76,18 @@ def test_extract_cli(tmp_path, capsys):
 
 def test_reproduce_dry_run(tmp_path, capsys):
     """The BASELINE.md parity-gate runbook command is executable end-to-end
-    today (tiny synthetic data, assertions skipped)."""
+    today (tiny synthetic data, assertions skipped) — and --trace-dir
+    actually captures a device trace (it was once accepted but ignored)."""
     from incremental_multimodal_medical_learning_ii_tpu.cli.reproduce import main
+
+    trace_dir = tmp_path / "trace"
+    main(["--dry-run", "--log-dir", str(tmp_path),
+          "--gates", "zero-shot", "--trace-dir", str(trace_dir)])
+    out = capsys.readouterr().out
+    assert "zero-shot: test AUROC-macro" in out
+    assert "dry-run OK" in out
+    assert any(f.is_file() for f in trace_dir.rglob("*")), \
+        "no trace captured under --trace-dir"
 
     main(["--dry-run", "--log-dir", str(tmp_path)])
     out = capsys.readouterr().out

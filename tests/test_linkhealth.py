@@ -21,8 +21,23 @@ def test_linkhealth_ok_on_cpu(capsys):
     )
     assert line["backend"] == "cpu"
     assert line["verdict"] in ("ok", "slow-sync")  # CI boxes can be slow
-    assert line["rtt_ms"] > 0 and line["upload_mbps"] > 0
+    assert line["rtt_ms"] > 0 and line["upload_mb_per_s"] > 0
     assert line["compile_s"] > 0
+
+
+@pytest.mark.slow
+def test_linkhealth_slow_compile_is_degraded(capsys):
+    """A fresh compile that finishes but exceeds --compile-slow-s must flag
+    degraded-compile: the documented outage phases have a slow-but-alive
+    onset where everything returns, just minutes late."""
+    line = _run(
+        ["--samples", "3", "--upload-mb", "1", "--platform", "cpu",
+         "--probe-timeout", "120", "--compile-timeout", "120",
+         "--compile-slow-s", "0.0"],
+        capsys,
+    )
+    assert line["compile_s"] is not None and line["compile_s"] > 0
+    assert line["verdict"] == "degraded-compile"
 
 
 @pytest.mark.slow
