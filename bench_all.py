@@ -237,6 +237,60 @@ def text_roofline(batch: int, seq: int, dims=None):
     return cap, flops_per_prompt / 1e9
 
 
+def parallel_model(batch: int = 32, seq: int = 512, ways: int = 4,
+                   microbatches: int = 8) -> None:
+    """Analytic per-axis scaling model for the text tower (host math only;
+    docs/SCALING.md 'What each axis pays' table, executable).
+
+    For each partition axis of a BERT-base-dims encoder layer it prints the
+    per-device comm bytes, per-device matmul FLOPs, the resulting
+    arithmetic intensity over ICI, and the hardware's FLOPs-per-ICI-byte
+    ratio — whichever is smaller decides compute- vs ICI-bound (the
+    scaling-book recipe).  pp additionally reports its fill/drain bubble
+    fraction.  Peak/ICI overridable via IMML_PEAK_FLOPS / IMML_ICI_BW for
+    other TPU generations (defaults: v5e 197 TFLOP/s bf16, 45 GB/s per
+    link direction).
+    """
+    import os
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import BertDims
+
+    d = BertDims()
+    peak = float(os.environ.get("IMML_PEAK_FLOPS", 197e12))
+    ici = float(os.environ.get("IMML_ICI_BW", 45e9))
+    hw_ratio = peak / ici
+    h, i_sz, b = d.hidden_size, d.intermediate_size, 2  # bf16 bytes
+    B, S, T = batch, seq, ways
+    # per-layer matmul FLOPs (2xMACs): QKVO 8BSH^2, FFN 4BSHI, attn 4BS^2H
+    layer_flops = 8 * B * S * h * h + 4 * B * S * h * i_sz + 4 * B * S * S * h
+    rows = []
+    # tp: 2 ring all-reduces per layer on (B,S,H) activations
+    tp_bytes = 4 * (T - 1) / T * B * S * h * b
+    rows.append(("tp", layer_flops / T, tp_bytes, None))
+    # sp: P-1 K/V+validity hops per layer (ops/ring_attention.py, no
+    # homecoming hop)
+    sp_bytes = (T - 1) * (2 * B * (S // T) * h * b + B * (S // T) * 4)
+    rows.append(("sp", layer_flops / T, sp_bytes, None))
+    # pp: per LAYER share of the per-boundary microbatch handoffs — each
+    # non-last stage sends M activations of (B/M,S,H) per batch, i.e.
+    # B*S*H*b per stage boundary, amortised over L/P layers of compute
+    pp_bytes = B * S * h * b / (d.num_layers / T)
+    bubble = (T - 1) / (microbatches + T - 1)
+    rows.append(("pp", layer_flops / T, pp_bytes, bubble))
+    for axis, flops, comm, extra in rows:
+        ai = flops / comm
+        extras = {"per_device_layer_gflops": round(flops / 1e9, 2),
+                  "comm_mb_per_layer": round(comm / 1e6, 3),
+                  "hw_flops_per_ici_byte": round(hw_ratio, 0),
+                  "bound": "compute" if ai >= hw_ratio else "ICI",
+                  "batch": B, "seq": S, "ways": T}
+        if extra is not None:
+            extras["bubble_fraction"] = round(extra, 3)
+            extras["microbatches"] = microbatches
+        report(f"parallel_model_{axis}_flops_per_comm_byte", ai, "flops/byte",
+               **extras)
+
+
 def serving_benchmark(quick: bool = False) -> None:
     """Live-endpoint serving benchmark: concurrent clients POSTing PNG CXRs
     against cli.serve, micro-batching ON (5 ms window) vs OFF (plain lock).
@@ -382,6 +436,17 @@ def main() -> None:
         help="print the analytic per-stage roofline caps (host math only; "
         "compare against --stages measurements)",
     )
+    p.add_argument(
+        "--parallel-model", action="store_true", dest="parallel_model",
+        help="print the analytic per-axis scaling model for the text tower "
+        "(tp/sp/pp comm bytes, arithmetic intensity vs the hardware "
+        "FLOPs-per-ICI-byte ratio, pp bubble; host math only — "
+        "docs/SCALING.md's table, executable)",
+    )
+    p.add_argument("--pm-batch", type=int, default=32)
+    p.add_argument("--pm-seq", type=int, default=512)
+    p.add_argument("--pm-ways", type=int, default=4)
+    p.add_argument("--pm-microbatches", type=int, default=8)
     args = p.parse_args()
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
@@ -392,6 +457,10 @@ def main() -> None:
         # batch must track --stages' (--quick measures batch 128) or the
         # ms-per-batch comparison the help text points at is off by 2x
         roofline_model(batch=128 if args.quick else 256)
+        return
+    if args.parallel_model:
+        parallel_model(batch=args.pm_batch, seq=args.pm_seq,
+                       ways=args.pm_ways, microbatches=args.pm_microbatches)
         return
     if args.stages:
         stage_attribution(quick=args.quick, s2d_stem=args.s2d_stem)

@@ -70,16 +70,17 @@ def ring_attention(
     valid0 = kv_valid.astype(jnp.int32)
 
     # Rotate chunks one hop per step: device j's kv buffer holds chunk
-    # (j - t) mod P at step t, so after n_shards steps every device has
-    # seen every chunk (and the buffers are back home).
+    # (j - t) mod P at step t, so after n_shards - 1 hops every device has
+    # seen every chunk.  The final chunk is consumed WITHOUT a trailing
+    # rotation — permuting the buffers back home would be a pure-overhead
+    # hop costing 1/P of the ring's ICI traffic.
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     m0 = jnp.full((b, nh, sl), _NEG, jnp.float32)
     l0 = jnp.zeros((b, nh, sl), jnp.float32)
     o0 = jnp.zeros((b, nh, sl, hd), jnp.float32)
 
-    def step(carry, _):
-        m, l, o, k_c, v_c, valid_c = carry
+    def accumulate(m, l, o, k_c, v_c, valid_c):
         scores = (
             jnp.einsum("bnqd,bnkd->bnqk", qf, k_c.astype(jnp.float32),
                        precision=_HIGHEST)
@@ -95,14 +96,20 @@ def ring_attention(
         o_new = o * corr[..., None] + jnp.einsum(
             "bnqk,bnkd->bnqd", p, v_c.astype(jnp.float32), precision=_HIGHEST
         )
+        return m_new, l_new, o_new
+
+    def step(carry, _):
+        m, l, o, k_c, v_c, valid_c = carry
+        m_new, l_new, o_new = accumulate(m, l, o, k_c, v_c, valid_c)
         k_n = jax.lax.ppermute(k_c, axis_name, perm)
         v_n = jax.lax.ppermute(v_c, axis_name, perm)
         valid_n = jax.lax.ppermute(valid_c, axis_name, perm)
         return (m_new, l_new, o_new, k_n, v_n, valid_n), None
 
-    (m, l, o, _, _, _), _ = jax.lax.scan(
-        step, (m0, l0, o0, k, v, valid0), None, length=n_shards
+    (m, l, o, k_last, v_last, valid_last), _ = jax.lax.scan(
+        step, (m0, l0, o0, k, v, valid0), None, length=n_shards - 1
     )
+    m, l, o = accumulate(m, l, o, k_last, v_last, valid_last)
     out = o / jnp.maximum(l, 1e-30)[..., None]
     return out.astype(orig_dtype)
 
