@@ -30,10 +30,20 @@ model FLOPs and pipeline: **1.509 imgs/sec**.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Always exits 0 unless the framework itself is broken (a link that stays
 down for the whole budget reports value 0.0 with the failure count).
+
+Supervision: the measurement runs in a CHILD process under a hard
+deadline.  The internal deadline can only fire between operations — a
+single in-flight readback through a dead link blocks in a C call for
+arbitrarily long (measured: the first warm-up readback hung >9 min during
+the 2026-08-17 compile-terminal outage), and a bench that dies to an
+external timeout records nothing.  The parent kills the stuck child and
+still prints the JSON line (value 0.0 + the bounded link probe for
+attribution).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -71,6 +81,55 @@ DEADLINE_S = float(os.environ.get("IMML_BENCH_DEADLINE", 540.0))
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _supervise() -> int:
+    """Run the measurement in a child; ALWAYS print one JSON line.
+
+    The child gets DEADLINE_S for its own graceful skipping; the parent
+    grants +120s of grace for one overshooting in-flight op, then kills it
+    and reports a value-0 line with link attribution."""
+    env = dict(os.environ, IMML_BENCH_CHILD="1")
+    hard = DEADLINE_S + 120.0
+    out, reason = None, None
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, timeout=hard, text=True,
+        )
+        out = res.stdout
+        if res.returncode != 0:
+            reason = f"child exited rc={res.returncode}"
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout if isinstance(e.stdout, str) else (
+            e.stdout.decode() if e.stdout else None
+        )
+        reason = f"child killed after {hard:.0f}s (in-flight op never returned)"
+    for line in (out or "").strip().splitlines()[::-1]:
+        try:
+            json.loads(line)
+        except ValueError:
+            continue
+        print(line)  # the child delivered its report — forward it verbatim
+        if reason:
+            _log(f"[bench] note: {reason} after reporting")
+        return 0
+    _log(f"[bench] {reason or 'child produced no report'}; emitting failure line")
+    link = None
+    try:
+        from incremental_multimodal_medical_learning_ii_tpu.cli.linkhealth import (
+            quick_probe,
+        )
+
+        link = quick_probe(timeout_s=45.0)
+    except Exception as e:  # noqa: BLE001
+        _log(f"[bench] link probe skipped: {type(e).__name__}: {e}")
+    print(json.dumps({
+        "metric": "chexpert_extraction_images_per_sec_per_chip",
+        "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+        "failure": reason or "no report", "link": link,
+    }))
+    return 0
 
 
 def main() -> None:
@@ -187,6 +246,20 @@ def main() -> None:
         device_rate = _try_device(BATCH)
         device_rate_256 = _try_device(256)
 
+    # Link attribution IN the artifact: a throughput number on this host is
+    # a sample of link health as much as of the code, so the report carries
+    # its own rtt/upload probe (bounded; no compile probe).
+    link = None
+    if not past_deadline("link probe"):
+        try:
+            from incremental_multimodal_medical_learning_ii_tpu.cli.linkhealth import (
+                quick_probe,
+            )
+
+            link = quick_probe(timeout_s=45.0)
+        except Exception as e:  # noqa: BLE001 - attribution must never fail the bench
+            _log(f"[bench] link probe skipped: {type(e).__name__}: {e}")
+
     def mfu(rate):
         if not rate:
             return None
@@ -218,6 +291,7 @@ def main() -> None:
                     round(device_rate_256, 1) if device_rate_256 else None
                 ),
                 "mfu_device_b256": mfu(device_rate_256),
+                "link": link,
             }
         )
     )
@@ -246,4 +320,7 @@ def _device_side_rate(batch: int = 256) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("IMML_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())

@@ -142,6 +142,28 @@ def _run_probe(code: str, timeout_s: float, env_extra: dict):
         return None, f"unparseable probe output: {res.stdout[-200:]!r}"
 
 
+def quick_probe(timeout_s: float = 45.0, samples: int = 3, upload_mb: int = 4,
+                platform: str | None = None) -> dict:
+    """One bounded rtt/upload probe for embedding in other reports
+    (bench.py attaches this to its JSON so a bad throughput number carries
+    its own link attribution).  Returns ``{"rtt_ms", "upload_mb_per_s"}``
+    or ``{"probe_error": ...}``; never raises, never exceeds ~timeout_s.
+    No compile probe — a fresh compile is too expensive for a side-channel."""
+    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import (
+        _DEFAULT as _cache_dir,
+    )
+
+    env_extra = {"IMML_LH_SAMPLES": samples, "IMML_LH_UPLOAD_MB": upload_mb,
+                 "IMML_LH_CACHE": _cache_dir}
+    if platform:
+        env_extra["IMML_LINKHEALTH_PLATFORM"] = platform
+    base, err = _run_probe(_RTT_UPLOAD, timeout_s, env_extra)
+    if base is None:
+        return {"probe_error": err}
+    return {"rtt_ms": round(base["rtt_ms"], 2),
+            "upload_mb_per_s": round(base["upload_mb_per_s"], 1)}
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--samples", type=int, default=5)

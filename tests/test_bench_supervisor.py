@@ -1,0 +1,74 @@
+"""bench.py's supervised execution: the driver must ALWAYS get one JSON
+line, even when the child hangs in an in-flight readback (measured >9 min
+during the 2026-08-17 outage) or dies — the parent forwards the child's
+report verbatim or emits a value-0 failure line with link attribution."""
+
+import json
+import subprocess
+
+import pytest
+
+import bench
+
+
+def _patch_probe(monkeypatch):
+    from incremental_multimodal_medical_learning_ii_tpu.cli import linkhealth
+
+    monkeypatch.setattr(
+        linkhealth, "quick_probe", lambda **kw: {"probe_error": "timeout"}
+    )
+
+
+@pytest.mark.fast
+def test_supervisor_forwards_child_report(monkeypatch, capsys):
+    line = json.dumps({"metric": "m", "value": 123.0, "unit": "images/sec"})
+
+    def fake_run(*a, **kw):
+        return subprocess.CompletedProcess(a, 0, stdout="noise\n" + line + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._supervise() == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [line]
+
+
+@pytest.mark.fast
+def test_supervisor_reports_on_hang(monkeypatch, capsys):
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd=a, timeout=kw["timeout"], output=b"")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    _patch_probe(monkeypatch)
+    assert bench._supervise() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "chexpert_extraction_images_per_sec_per_chip"
+    assert line["value"] == 0.0 and "killed" in line["failure"]
+    assert line["link"] == {"probe_error": "timeout"}
+
+
+@pytest.mark.fast
+def test_supervisor_reports_on_child_crash(monkeypatch, capsys):
+    def fake_run(*a, **kw):
+        return subprocess.CompletedProcess(a, 1, stdout="Traceback ...\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    _patch_probe(monkeypatch)
+    assert bench._supervise() == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0.0 and "rc=1" in line["failure"]
+
+
+@pytest.mark.fast
+def test_supervisor_forwards_report_even_if_child_then_hung(monkeypatch, capsys):
+    """A child that printed its JSON but never exited (stuck TPU teardown)
+    still delivers the real number."""
+    line = json.dumps({"metric": "m", "value": 9.0, "unit": "images/sec"})
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(
+            cmd=a, timeout=kw["timeout"], output=(line + "\n").encode()
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._supervise() == 0
+    assert capsys.readouterr().out.strip() == line

@@ -65,3 +65,19 @@ def test_linkhealth_skip_compile(capsys):
     assert line["compile_s"] is None
     assert "compile_error" not in line
     assert line["verdict"] in ("ok", "slow-sync")
+
+
+@pytest.mark.slow
+def test_quick_probe_embeddable(capsys):
+    """quick_probe (the bench.py side-channel) returns rtt/upload on a
+    healthy backend, a bounded probe_error on a stalled one, and never
+    raises or prints."""
+    from incremental_multimodal_medical_learning_ii_tpu.cli.linkhealth import (
+        quick_probe,
+    )
+
+    ok = quick_probe(timeout_s=120, samples=3, upload_mb=1, platform="cpu")
+    assert ok["rtt_ms"] > 0 and ok["upload_mb_per_s"] > 0
+    dead = quick_probe(timeout_s=0.01, platform="cpu")
+    assert dead == {"probe_error": "timeout"}
+    assert capsys.readouterr().out == ""
