@@ -253,6 +253,15 @@ def extract_embeddings(
 
         params = quantize_biovil_int8(params)
     if mesh is not None:
+        # every batch is padded to exactly batch_size, so one upfront check
+        # covers the whole run — without it a non-divisible size dies at the
+        # first device_put mid-run with an opaque backend error
+        n_shards = mesh.shape.get(mesh_lib.DATA_AXIS, mesh.devices.size)
+        if batch_size % n_shards:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by the mesh's "
+                f"{n_shards} data shards"
+            )
         params = mesh_lib.replicate(mesh, params)
 
     if device_preprocess:

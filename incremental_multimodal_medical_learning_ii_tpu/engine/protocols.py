@@ -118,6 +118,15 @@ def _maybe_resume(trainer: Trainer, writer: TBWriter, resume: bool):
                 print(f"[resume] aux state unreadable ({e}); resuming without "
                       "bit-reproducibility")  # just without byte-identical TB output
                 aux = None
+        if aux is None:
+            # degraded (aux-less) resume: the optimizer count restored with
+            # the checkpoint, so the LR actually applied continues from
+            # state.step — reseed the host-side mirror or the train/LR
+            # stream would restart at sched(1) while training runs at
+            # sched(step+1)
+            import jax as _jax
+
+            trainer._py_step = int(_jax.device_get(trainer.state.step))
         print(f"[resume] restored checkpoint; skipping {completed} completed unit(s)")
     return completed, aux
 

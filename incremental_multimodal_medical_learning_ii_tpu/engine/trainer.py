@@ -605,7 +605,13 @@ class Trainer:
         elif (epoch == (final_unit if final_unit is not None else 5)
               and mode in ("class-pos-neg", "class-pos")):
             order = list(tasks_order or range(NUM_CLASSES))
-            rows = [self.class_names[i] for i in order][-len(f1_rows):]
+            unit = final_unit if final_unit is not None else 5
+            # row i is the eval after training task i, whose class is
+            # order[i-1]; only the FIRST `unit` classes are ever trained, and
+            # a mid-run resume keeps only the trailing rows — so label with
+            # the tail of the first `unit` trained classes (plain [-len:]
+            # would mislabel every n_tasks < 5 run with the UNtrained tail)
+            rows = [self.class_names[i] for i in order][:unit][-len(f1_rows):]
             cols = [self.class_names[i] for i in order]
             tag = f"{val_test}/{mode} incremental/"
         else:

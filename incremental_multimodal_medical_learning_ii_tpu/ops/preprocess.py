@@ -24,10 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from incremental_multimodal_medical_learning_ii_tpu.ops.resize import (
+    apply_uint8_rounding,
     batched_matmul_resize,
     resize_matrix,
     resize_shape_for_smaller_edge,
 )
+
+
+def _normalize_and_expand(resized: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """ToTensor (/255) + optional ExpandChannels — the one finalization all
+    device preprocess paths share (keeps the shared-size fast path
+    bit-identical to the per-image path by construction)."""
+    out = (resized / 255.0)[..., None]
+    if channels == 1:
+        return out
+    return jnp.broadcast_to(out, (*out.shape[:3], channels))
 
 
 # ----------------------------------------------------------------------
@@ -237,10 +248,7 @@ def preprocess_device(
     (:func:`models.biovil_image.fold_grayscale_conv1`).
     """
     resized = batched_matmul_resize(raw, w_h, w_w, round_uint8=True)
-    out = (resized / 255.0)[..., None]
-    if channels == 1:
-        return out
-    return jnp.broadcast_to(out, (*out.shape[:3], channels))
+    return _normalize_and_expand(resized, channels)
 
 
 def preprocess_device_indexed(
@@ -286,11 +294,7 @@ def preprocess_device_shared(
     x = raw.astype(jnp.float32)
     out = jnp.einsum("oh,bhw->bow", w_h, x, precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("bow,pw->bop", out, w_w, precision=jax.lax.Precision.HIGHEST)
-    out = jnp.clip(jnp.round(out), 0.0, 255.0)
-    out = (out / 255.0)[..., None]
-    if channels == 1:
-        return out
-    return jnp.broadcast_to(out, (*out.shape[:3], channels))
+    return _normalize_and_expand(apply_uint8_rounding(out), channels)
 
 
 def expand_channels(x: jnp.ndarray) -> jnp.ndarray:

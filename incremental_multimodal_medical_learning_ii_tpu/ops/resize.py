@@ -60,13 +60,21 @@ def resize_shape_for_smaller_edge(h: int, w: int, size: int) -> Tuple[int, int]:
     return max(1, int(size * h / w)), size
 
 
+def apply_uint8_rounding(out: jnp.ndarray) -> jnp.ndarray:
+    """PIL's uint8 output rounding (the reference resizes uint8 PIL images,
+    so round-then-clip is part of the math).  THE one definition — every
+    resize/preprocess path must share it, or a future parity fix would
+    leave the other paths computing subtly different pixels."""
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
 def matmul_resize(
     img: jnp.ndarray, w_h: jnp.ndarray, w_w: jnp.ndarray, round_uint8: bool = True
 ) -> jnp.ndarray:
     """(H, W) x (outH, H) x (outW, W) -> (outH, outW); two MXU matmuls.
 
-    ``round_uint8`` reproduces PIL's uint8 output rounding (the reference
-    resizes uint8 PIL images, so the rounding is part of the math).
+    ``round_uint8`` reproduces PIL's uint8 output rounding via
+    :func:`apply_uint8_rounding`.
     """
     x = img.astype(jnp.float32)
     out = jnp.matmul(
@@ -75,7 +83,7 @@ def matmul_resize(
         precision=jax.lax.Precision.HIGHEST,
     )
     if round_uint8:
-        out = jnp.clip(jnp.round(out), 0.0, 255.0)
+        out = apply_uint8_rounding(out)
     return out
 
 
@@ -88,5 +96,5 @@ def batched_matmul_resize(
     out = jnp.einsum("boh,bhw->bow", w_h, x, precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("bow,bpw->bop", out, w_w, precision=jax.lax.Precision.HIGHEST)
     if round_uint8:
-        out = jnp.clip(jnp.round(out), 0.0, 255.0)
+        out = apply_uint8_rounding(out)
     return out

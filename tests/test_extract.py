@@ -198,6 +198,16 @@ def test_extract_on_mesh(image_params, rng):
     # sharded conv/reduce ordering differs slightly from single-device
     np.testing.assert_allclose(ds.embeddings, ds_single.embeddings, rtol=1e-4, atol=1e-3)
 
+    # a batch size the mesh cannot shard must fail up front with a clear
+    # message, not at the first device_put mid-run
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible by the mesh"):
+        extract_embeddings(
+            iter(imgs), image_params, batch_size=6, size=64, pad_to=128,
+            dtype=jnp.float32, mesh=mesh,
+        )
+
 
 def test_manifest_iteration(tmp_path, rng):
     import pandas as pd

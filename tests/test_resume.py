@@ -199,3 +199,41 @@ def test_load_aux_state_is_all_or_nothing():
     with pytest.raises(KeyError):
         trainer.load_aux_state(bad)
     assert trainer.aux_state() == before  # nothing was applied
+
+
+@pytest.mark.slow
+def test_auxless_resume_reseeds_lr_step(tmp_path):
+    """Degraded (aux-unreadable) resume: the optimizer count restores with
+    the checkpoint, so the host-side LR mirror must continue from
+    state.step — not restart the train/LR stream at sched(1)."""
+    import json
+
+    import jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
+        _maybe_resume,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation.tb import TBWriter
+
+    cfg = data_incremental_config(
+        batch_size=64, eval_batch_size=64, epochs=1, parts=3, lr=1e-3,
+    )
+    bank = _bank()
+    run_data_incremental(cfg, bundle := _bundle(), bank, log_dir=str(tmp_path))
+    run_dir = tmp_path / cfg.run_name()
+    assert load_progress(run_dir) == 3
+
+    # corrupt the aux payload but keep completed + the checkpoint pointer
+    progress = json.loads((run_dir / "progress.json").read_text())
+    state_name = progress["aux"]["state_name"]
+    progress["aux"] = {"state_name": state_name, "py_step": "corrupt"}
+    (run_dir / "progress.json").write_text(json.dumps(progress))
+
+    trainer = Trainer(cfg, bank)
+    assert trainer._py_step == 0
+    completed, aux = _maybe_resume(trainer, TBWriter(str(run_dir)), resume=True)
+    assert completed == 3 and aux is None
+    restored_step = int(jax.device_get(trainer.state.step))
+    assert restored_step > 0
+    assert trainer._py_step == restored_step

@@ -113,3 +113,60 @@ def test_label_pattern_frequency_figure_guards_and_custom_names():
     )
     labels = [t.get_text() for t in fig.axes[0].get_xticklabels()]
     assert labels == ["NODU+FIBR", ""]
+
+
+@pytest.mark.fast
+def test_class_inc_heatmap_row_labels(monkeypatch):
+    """Forgetting-heatmap row i must be labeled with the class trained at
+    task i (order[i-1]) — for n_tasks < 5 the labels are the FIRST n_tasks
+    classes of tasks_order (a plain [-len:] tail would attribute each row
+    to an untrained disease), while a resume that kept only trailing rows
+    still gets the trailing labels."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation import plots
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    cfg = ExperimentConfig(mode="class-pos", epochs=1, batch_size=32)
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    trainer = Trainer(cfg, bank)
+    captured = []
+    monkeypatch.setattr(
+        plots, "heatmap_figure",
+        lambda data, rows, cols, title, metric: captured.append((rows, cols)),
+    )
+    monkeypatch.setattr(trainer.writer, "add_figure", lambda *a, **kw: None)
+    names = trainer.class_names
+    order = [4, 2, 0, 1, 3]
+    rows3 = [np.zeros(5)] * 3
+
+    # 3-task run: rows are the 3 TRAINED classes, in training order
+    trainer._emit_heatmaps_if_due(
+        "test", "class-pos", epoch=3, epochs=10, tasks_order=order,
+        f1_rows=rows3, auroc_rows=rows3, final_unit=3,
+    )
+    rows, cols = captured[-1]
+    assert rows == [names[4], names[2], names[0]]
+    assert cols == [names[i] for i in order]
+
+    # 5-task resume that kept only the last 2 rows: trailing labels
+    captured.clear()
+    trainer._emit_heatmaps_if_due(
+        "test", "class-pos", epoch=5, epochs=10, tasks_order=order,
+        f1_rows=rows3[:2], auroc_rows=rows3[:2], final_unit=5,
+    )
+    rows, cols = captured[-1]
+    assert rows == [names[1], names[3]]
+
+    # reference shape: 5 tasks, 5 rows -> full order (parity unchanged)
+    captured.clear()
+    trainer._emit_heatmaps_if_due(
+        "test", "class-pos", epoch=5, epochs=10, tasks_order=order,
+        f1_rows=[np.zeros(5)] * 5, auroc_rows=[np.zeros(5)] * 5, final_unit=None,
+    )
+    rows, cols = captured[-1]
+    assert rows == [names[i] for i in order]
