@@ -685,7 +685,9 @@ class Trainer:
     def quick_auroc(self, dataset: EmbeddingDataset) -> np.ndarray:
         """Per-class AUROC computed entirely on device (evaluation/metrics
         rank statistic) — no sklearn, no per-batch host sync; for in-loop
-        monitoring and sweeps. Returns a (C,) array."""
+        monitoring and sweeps. Returns a (C,) array; a class with no valid
+        positives or negatives is NaN (sklearn raises there — a NaN mean is
+        louder than a silently wrong ranking)."""
         from incremental_multimodal_medical_learning_ii_tpu.evaluation.metrics import (
             auroc_device,
         )

@@ -97,7 +97,12 @@ def auroc_device(scores: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) ->
         n_neg = jnp.sum((1 - y_sorted) * m_sorted)
         rank_sum_pos = jnp.sum(avg_rank * y_sorted * m_sorted)
         u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
-        return u / jnp.maximum(n_pos * n_neg, 1.0)
+        # a class with no valid positives or no valid negatives has no
+        # defined AUROC (sklearn raises there); NaN surfaces it instead of
+        # a silent 0.0 dragging a sweep's mean ranking
+        return jnp.where(
+            n_pos * n_neg > 0, u / jnp.maximum(n_pos * n_neg, 1.0), jnp.nan
+        )
 
     return jnp.stack([one_class(scores[:, i], labels[:, i]) for i in range(c)])
 

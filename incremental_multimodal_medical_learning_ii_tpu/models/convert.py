@@ -134,26 +134,29 @@ def load_biovil_image_checkpoint(path: str) -> Params:
 # CXR-BERT
 # ----------------------------------------------------------------------
 def infer_bert_dims(sd: Mapping, projection_size: int = 128) -> BertDims:
-    word = _np(sd["bert.embeddings.word_embeddings.weight"])
-    pos = _np(sd["bert.embeddings.position_embeddings.weight"])
-    tt = _np(sd["bert.embeddings.token_type_embeddings.weight"])
-    inter = _np(sd["bert.encoder.layer.0.intermediate.dense.weight"])
+    # shape reads only: torch tensors and numpy arrays both expose .shape
+    # without a copy (the word-embedding table alone is ~90 MB fp32 —
+    # detaching it just to read its shape is real time on a 1-vCPU host)
+    word = sd["bert.embeddings.word_embeddings.weight"].shape
+    pos = sd["bert.embeddings.position_embeddings.weight"].shape
+    tt = sd["bert.embeddings.token_type_embeddings.weight"].shape
+    inter = sd["bert.encoder.layer.0.intermediate.dense.weight"].shape
     n_layers = 0
     while f"bert.encoder.layer.{n_layers}.attention.self.query.weight" in sd:
         n_layers += 1
-    hidden = word.shape[1]
+    hidden = int(word[1])
     # heads: standard BERT uses head_dim 64
     num_heads = max(1, hidden // 64)
     if "cls_projection_head.dense_to_hidden.weight" in sd:
-        projection_size = _np(sd["cls_projection_head.dense_to_hidden.weight"]).shape[0]
+        projection_size = int(sd["cls_projection_head.dense_to_hidden.weight"].shape[0])
     return BertDims(
-        vocab_size=word.shape[0],
+        vocab_size=int(word[0]),
         hidden_size=hidden,
         num_layers=n_layers,
         num_heads=num_heads,
-        intermediate_size=inter.shape[0],
-        max_position_embeddings=pos.shape[0],
-        type_vocab_size=tt.shape[0],
+        intermediate_size=int(inter[0]),
+        max_position_embeddings=int(pos[0]),
+        type_vocab_size=int(tt[0]),
         projection_size=projection_size,
     )
 
@@ -285,8 +288,27 @@ def load_cxr_bert_snapshot(snapshot_dir):
             PromptTokenizer,
         )
 
+        # honor the snapshot's tokenizer_config.json like the reference's
+        # CXRBertTokenizer.from_pretrained does — a non-default
+        # do_lower_case/strip_accents would otherwise silently tokenize
+        # every prompt differently from the reference
+        tok_kwargs = {}
+        tok_cfg_path = d / "tokenizer_config.json"
+        if tok_cfg_path.exists():
+            raw = json.loads(tok_cfg_path.read_text())
+            allowed = {
+                "do_lower_case", "do_basic_tokenize", "never_split",
+                "unk_token", "sep_token", "pad_token", "cls_token",
+                "mask_token", "tokenize_chinese_chars", "strip_accents",
+            }
+            for k, v in raw.items():
+                if k in allowed:
+                    # newer HF formats serialize special tokens as
+                    # AddedToken dicts {"content": "...", ...}
+                    tok_kwargs[k] = v["content"] if isinstance(v, dict) else v
         tokenizer = PromptTokenizer(
-            vocab, max_allowed_input_length=dims.max_position_embeddings
+            vocab, max_allowed_input_length=dims.max_position_embeddings,
+            **tok_kwargs,
         )
     return params, dims, tokenizer
 

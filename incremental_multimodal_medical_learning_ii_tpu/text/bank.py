@@ -49,11 +49,21 @@ def build_prompt_bank(
         else:
             neg_lists.append(list(prompts[c]["positive"]))
 
-    # One batched encoder call for the whole bank.
+    # One batched encoder call over the UNIQUE prompts ("every prompt is
+    # encoded exactly once" — with train_logit_diff=False the negative side
+    # mirrors the positives, and through a real CXR-BERT the duplicate
+    # forward is the single most expensive part of the bank build).
+    # Bit-identical to encoding the full list: padded positions never
+    # affect a prompt's [CLS] embedding, so batch composition is free.
     flat: List[str] = [t for lst in pos_lists + neg_lists for t in lst]
-    embs = np.asarray(encode_fn(flat), dtype=np.float32)
-    if embs.shape != (len(flat), emb_dim):
-        raise ValueError(f"encode_fn returned {embs.shape}, expected {(len(flat), emb_dim)}")
+    uniq: List[str] = list(dict.fromkeys(flat))
+    uniq_embs = np.asarray(encode_fn(uniq), dtype=np.float32)
+    if uniq_embs.shape != (len(uniq), emb_dim):
+        raise ValueError(
+            f"encode_fn returned {uniq_embs.shape}, expected {(len(uniq), emb_dim)}"
+        )
+    index = {t: i for i, t in enumerate(uniq)}
+    embs = uniq_embs[[index[t] for t in flat]]
 
     c = len(class_names)
     p_max = max(len(lst) for lst in pos_lists + neg_lists)

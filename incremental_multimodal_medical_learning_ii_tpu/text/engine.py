@@ -59,7 +59,13 @@ class TextInferenceEngine:
         self.params = params
         self.dims = dims
         self.tokenizer = tokenizer
-        tokenizer.max_allowed_input_length = dims.max_position_embeddings
+        # enforce the model's hard position cap, but never RAISE a tighter
+        # budget the caller configured on the tokenizer (the reference keeps
+        # this cap on the engine, inference_engine.py:43-46 — mutating the
+        # shared tokenizer upward would silently accept over-long prompts)
+        tokenizer.max_allowed_input_length = min(
+            tokenizer.max_allowed_input_length, dims.max_position_embeddings
+        )
         self._embed = jax.jit(
             lambda p, ids, mask, normalize: get_projected_text_embeddings(
                 p, ids, mask, dims, normalize=normalize, dtype=dtype

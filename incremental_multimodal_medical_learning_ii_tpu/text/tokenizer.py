@@ -25,10 +25,15 @@ TypePrompts = Union[str, List[str]]
 
 
 class PromptTokenizer:
-    def __init__(self, vocab_file: str | Path, max_allowed_input_length: int = 512):
+    def __init__(self, vocab_file: str | Path, max_allowed_input_length: int = 512,
+                 **tokenizer_kwargs):
+        """``tokenizer_kwargs`` pass through to ``BertTokenizer`` (e.g.
+        ``do_lower_case``/``strip_accents`` from a snapshot's
+        tokenizer_config.json — the reference's ``from_pretrained`` honors
+        that file, so ignoring it would silently tokenize differently)."""
         from transformers import BertTokenizer
 
-        self.tokenizer = BertTokenizer(vocab_file=str(vocab_file))
+        self.tokenizer = BertTokenizer(vocab_file=str(vocab_file), **tokenizer_kwargs)
         self.max_allowed_input_length = max_allowed_input_length
 
     @property

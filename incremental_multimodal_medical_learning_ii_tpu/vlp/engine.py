@@ -24,11 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from incremental_multimodal_medical_learning_ii_tpu.models.biovil_image import (
-    biovil_image_forward,
-    get_patchwise_projected_embeddings,
-)
-from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import preprocess_host
 
 
 def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
@@ -60,35 +55,41 @@ def gaussian_smooth_2d(grid: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
 
 
 class ImageTextInferenceEngine:
-    def __init__(self, image_params, text_engine, resize_size: int = 512, crop_size: int = 480):
+    def __init__(self, image_params, text_engine, resize_size: int = 512,
+                 crop_size: int = 480, dtype=None):
         """``text_engine``: a :class:`text.engine.TextInferenceEngine`.
         Default geometry matches the vendored engine factory
-        (``image/utils.py:11-12``: resize 512 / crop 480)."""
+        (``image/utils.py:11-12``: resize 512 / crop 480).  The image side
+        COMPOSES :class:`models.image_engine.ImageInferenceEngine` (the
+        reference's ImageTextInferenceEngine likewise takes the image
+        engine as a component, ``vlp/inference_engine.py:21-28``) — one
+        preprocessing contract, one jit cache, and the engine's ``dtype``
+        knob (``jnp.bfloat16`` for the measured fast path) comes for free."""
+        from incremental_multimodal_medical_learning_ii_tpu.models.image_engine import (
+            ImageInferenceEngine,
+        )
+
+        self.image_engine = ImageInferenceEngine(
+            image_params, resize_size=resize_size, crop_size=crop_size,
+            dtype=dtype or jnp.float32,
+        )
         self.image_params = image_params
         self.text_engine = text_engine
         self.resize_size = resize_size
         self.crop_size = crop_size
-        self._global = jax.jit(
-            lambda p, img: biovil_image_forward(p, img).projected_global_embedding
-        )
-        self._patches = jax.jit(
-            lambda p, img: get_patchwise_projected_embeddings(p, img, normalize=True)
-        )
 
     # ------------------------------------------------------------------
     def _load(self, image_path) -> Tuple[np.ndarray, Tuple[int, int]]:
-        from incremental_multimodal_medical_learning_ii_tpu.data.images import load_image
-
-        raw = load_image(image_path)
-        pre = preprocess_host(raw, size=self.resize_size, crop=self.crop_size)
-        return pre[None], (raw.shape[1], raw.shape[0])  # (width, height)
+        return self.image_engine.load_and_transform_input_image(image_path)
 
     def get_similarity_score_from_raw_data(
         self, image_path, query_text: Union[str, List[str]]
     ) -> float:
         query = [query_text] if isinstance(query_text, str) else list(query_text)
         img, _ = self._load(image_path)
-        img_emb = np.asarray(self._global(self.image_params, jnp.asarray(img)))[0]
+        img_emb = np.asarray(
+            self.image_engine._global(self.image_params, jnp.asarray(img))
+        )[0]
         img_emb = img_emb / max(np.linalg.norm(img_emb), 1e-12)
         txt = self.text_engine.get_embeddings_from_prompt(query, normalize=False)
         txt = txt.mean(axis=0)
@@ -104,7 +105,7 @@ class ImageTextInferenceEngine:
         return self._map_from(img, (width, height), txt, interpolation)
 
     def _map_from(self, img, size_wh, txt_norm, interpolation="nearest") -> np.ndarray:
-        patches = self._patches(self.image_params, jnp.asarray(img))[0]  # (h, w, D)
+        patches = self.image_engine._patches(self.image_params, jnp.asarray(img))[0]  # (h, w, D)
         sim = jnp.einsum(
             "hwd,d->hw", patches, jnp.asarray(txt_norm),
             precision=jax.lax.Precision.HIGHEST,
@@ -124,7 +125,9 @@ class ImageTextInferenceEngine:
         tunneled host)."""
         assert isinstance(query_text, str)
         img, size_wh = self._load(image_path)
-        img_emb = np.asarray(self._global(self.image_params, jnp.asarray(img)))[0]
+        img_emb = np.asarray(
+            self.image_engine._global(self.image_params, jnp.asarray(img))
+        )[0]
         img_emb = img_emb / max(np.linalg.norm(img_emb), 1e-12)
         txt = self.text_engine.get_embeddings_from_prompt([query_text], normalize=False)[0]
         txt_norm = txt / max(np.linalg.norm(txt), 1e-12)
@@ -152,7 +155,17 @@ def convert_similarity_to_image_size(
         out = np.full((height, width), np.nan, np.float32)
         margin_w, margin_h = width - target, height - target
         top, left = math.floor(margin_h / 2), math.floor(margin_w / 2)
-        out[top : top + target, left : left + target] = upsized
+        # negative margins (target larger than the image side, e.g.
+        # crop_size > dim with resize_size=None) reproduce the reference's
+        # negative F.pad: CROP floor(|margin|/2) off the near side and
+        # ceil(|margin|/2) off the far side, instead of a wrapped slice
+        src_top, dst_top = max(0, -top), max(0, top)
+        src_left, dst_left = max(0, -left), max(0, left)
+        h_span = min(target - src_top, height - dst_top)
+        w_span = min(target - src_left, width - dst_left)
+        out[dst_top : dst_top + h_span, dst_left : dst_left + w_span] = (
+            upsized[src_top : src_top + h_span, src_left : src_left + w_span]
+        )
         return out
     return _interpolate(similarity_map, (height, width), interpolation)
 

@@ -72,3 +72,22 @@ def test_subset_accuracy_device(rng):
     got = float(subset_accuracy_device(jnp.asarray(y_pred), jnp.asarray(y_true), jnp.asarray(mask)))
     expected = np.mean(np.all(y_pred == y_true, axis=1))
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_auroc_device_degenerate_class_is_nan(rng):
+    """A class with no valid positives (or negatives) has no defined AUROC —
+    sklearn raises; the device metric must surface NaN, not a silent 0.0."""
+    n = 32
+    y_score = rng.random((n, 3)).astype(np.float32)
+    y_true = (rng.random((n, 3)) > 0.5).astype(np.float32)
+    y_true[:, 0] = 0.0  # all-negative class
+    y_true[:, 1] = 1.0  # all-positive class
+    mask = np.ones(n, np.float32)
+    got = np.asarray(
+        auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask))
+    )
+    assert np.isnan(got[0]) and np.isnan(got[1])
+    from sklearn.metrics import roc_auc_score
+
+    assert got[2] == pytest.approx(roc_auc_score(y_true[:, 2], y_score[:, 2]), abs=1e-6)

@@ -349,3 +349,38 @@ def test_cxr_bert_snapshot_missing_weights(tmp_path):
     (tmp_path / "config.json").write_text(json.dumps({"num_attention_heads": 4}))
     with pytest.raises(FileNotFoundError, match="model.safetensors"):
         load_cxr_bert_snapshot(tmp_path)
+
+
+def test_cxr_bert_snapshot_honors_tokenizer_config(tmp_path):
+    """tokenizer_config.json options (here do_lower_case=false, as the
+    reference's CXRBertTokenizer.from_pretrained would apply them) must
+    reach the tokenizer — ignoring the file silently tokenizes every
+    prompt differently from the reference."""
+    import json
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        load_cxr_bert_snapshot,
+    )
+
+    dims = tiny_bert_dims()
+    model, proj = _hf_bert_with_projection(dims)
+    _write_snapshot(tmp_path, dims, model, proj, "safetensors")
+    # give the vocab a cased token so the case policy is observable
+    vocab_path = tmp_path / "vocab.txt"
+    vocab = vocab_path.read_text().splitlines()
+    vocab[5] = "Tok0"
+    vocab_path.write_text("\n".join(vocab) + "\n")
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps(
+        {"do_lower_case": False,
+         "mask_token": {"content": "[MASK]"},  # AddedToken-dict form
+         "model_max_length": 512}              # non-BertTokenizer key: ignored
+    ))
+
+    _, _, tok = load_cxr_bert_snapshot(tmp_path)
+    ids_cased, _ = tok.tokenize_prompts(["Tok0"])
+    assert 5 in ids_cased[0]  # cased token survives
+
+    (tmp_path / "tokenizer_config.json").write_text(json.dumps({"do_lower_case": True}))
+    _, _, tok_lower = load_cxr_bert_snapshot(tmp_path)
+    ids_lower, _ = tok_lower.tokenize_prompts(["Tok0"])
+    assert 5 not in ids_lower[0]  # lower-cased away from the cased entry

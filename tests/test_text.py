@@ -112,6 +112,31 @@ def test_build_prompt_bank_pos_only_mirrors():
     np.testing.assert_array_equal(np.asarray(bank.pos), np.asarray(bank.neg))
 
 
+def test_build_prompt_bank_encodes_each_prompt_once():
+    """The bank build must hit the encoder once per UNIQUE prompt — with
+    train_logit_diff=False the mirrored negative side is gathered, not
+    re-encoded (through a real CXR-BERT the duplicate forward is the most
+    expensive part of the build)."""
+    prompts = create_prompts(TASKS)
+    inner = synthetic_encode_fn()
+    seen: list = []
+
+    def counting(texts):
+        seen.extend(texts)
+        return inner(texts)
+
+    bank = build_prompt_bank(counting, prompts, TASKS, train_logit_diff=False)
+    n_pos = sum(len(prompts[c]["positive"]) for c in TASKS)
+    assert len(seen) == len(set(seen)) == n_pos
+    np.testing.assert_array_equal(np.asarray(bank.pos), np.asarray(bank.neg))
+
+    # with negatives: still no duplicate encodes, same bank as before
+    seen.clear()
+    bank2 = build_prompt_bank(counting, prompts, TASKS, train_logit_diff=True)
+    assert len(seen) == len(set(seen))
+    np.testing.assert_array_equal(np.asarray(bank2.pos), np.asarray(bank.pos))
+
+
 # ----------------------------------------------------------------------
 # Tokenizer + engine
 # ----------------------------------------------------------------------
@@ -218,3 +243,24 @@ def test_pairwise_similarities_diag_semantics(tokenizer):
     )
     assert sims.shape == (2,)
     assert np.all(np.abs(sims) <= 1.0 + 1e-5)
+
+
+def test_engine_never_raises_tokenizer_cap(tokenizer):
+    """A tighter caller-configured prompt-length budget must survive engine
+    construction; only the model's hard position cap may LOWER it."""
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+        init_cxr_bert,
+        tiny_bert_dims,
+    )
+    import jax
+
+    dims = tiny_bert_dims(vocab_size=tokenizer.tokenizer.vocab_size,
+                          max_position_embeddings=512)
+    params = init_cxr_bert(jax.random.PRNGKey(0), dims)
+    tokenizer.max_allowed_input_length = 7
+    TextInferenceEngine(params, dims, tokenizer)
+    assert tokenizer.max_allowed_input_length == 7  # budget kept
+    tokenizer.max_allowed_input_length = 10_000
+    TextInferenceEngine(params, dims, tokenizer)
+    assert tokenizer.max_allowed_input_length == 512  # hard cap enforced
+    tokenizer.max_allowed_input_length = 64  # restore the fixture's value

@@ -43,3 +43,46 @@ def test_nearest_interpolation_matches_torch(rng):
             torch.tensor(g)[None, None], size=(out, out), mode="nearest"
         )[0, 0].numpy()
         np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.fast
+def test_convert_similarity_negative_margin_crops_like_reference():
+    """crop_size larger than an image side (negative pad margins) must CROP
+    the upsized map exactly like the reference's negative F.pad — not crash
+    or wrap the slice (vlp/inference_engine.py:145-147)."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from incremental_multimodal_medical_learning_ii_tpu.vlp.engine import (
+        convert_similarity_to_image_size,
+    )
+
+    grid = np.arange(15 * 15, dtype=np.float32).reshape(15, 15)
+    for (w, h, resize, crop) in [
+        (100, 200, None, 120),   # width < crop <= height
+        (90, 80, None, 120),     # both sides smaller than crop
+        (100, 200, 512, 480),    # the BioViL geometry, normal positive pad
+        (300, 200, 256, 480),    # resize-scaled target larger than both
+    ]:
+        got = convert_similarity_to_image_size(grid, w, h, resize, crop,
+                                               interpolation="nearest")
+        smallest = min(w, h)
+        target = int(crop * smallest / resize) if resize is not None else crop
+        up = F.interpolate(
+            torch.from_numpy(grid).reshape(1, 1, 15, 15),
+            size=(target, target), mode="nearest",
+        )
+        mw, mh = w - target, h - target
+        ref = F.pad(
+            up[0, 0],
+            (math.floor(mw / 2), math.ceil(mw / 2),
+             math.floor(mh / 2), math.ceil(mh / 2)),
+            value=float("nan"),
+        ).numpy()
+        assert got.shape == (h, w) == ref.shape
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+        np.testing.assert_allclose(
+            np.nan_to_num(got), np.nan_to_num(ref), atol=0, rtol=0
+        )
