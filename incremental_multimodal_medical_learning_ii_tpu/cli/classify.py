@@ -42,6 +42,16 @@ def add_classifier_args(p: argparse.ArgumentParser) -> None:
                    "with (the saved TrainState carries its opt-state tree; "
                    "a mismatched template cannot restore)")
     p.add_argument("--shared", action="store_true")
+    p.add_argument("--no-image-adapter", action="store_true",
+                   help="--adapter-checkpoint was trained with only a text "
+                   "adapter (the restore template must match its tree)")
+    p.add_argument("--no-text-adapter", action="store_true",
+                   help="--adapter-checkpoint was trained with only an "
+                   "image adapter")
+    p.add_argument("--train-logit-pos", action="store_true",
+                   help="the served adapter was trained with the pos-only "
+                   "logit (TRAIN_LOGIT_DIFF=False): build the bank with "
+                   "mirrored negatives exactly as training did")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--pad-to", type=int, default=1024)
@@ -79,7 +89,7 @@ def build_classifier(args):
         bank = build_bank(args, types.SimpleNamespace(
             single_prompt=args.single_prompt,
             new_prompts=args.new_prompts,
-            train_logit_diff=True,
+            train_logit_diff=not args.train_logit_pos,
             seed=args.seed,
         ))
     if args.save_bank:
@@ -140,6 +150,8 @@ def build_classifier(args):
 
         cfg = joint_config(adapter=args.adapter, shared=args.shared,
                            optim=args.optim,
+                           image_adapter=not args.no_image_adapter,
+                           text_adapter=not args.no_text_adapter,
                            prompt_mode="max" if args.max_emb else "mean")
         pair = AdapterPair(cfg.adapter, cfg.shared, cfg.image_adapter, cfg.text_adapter)
         template, _ = init_train_state(pair, pair.init(jax.random.PRNGKey(0)), cfg)

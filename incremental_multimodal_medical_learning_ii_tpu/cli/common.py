@@ -208,6 +208,14 @@ def build_bank(args, cfg: ExperimentConfig) -> PromptBank:
         )
         engine = TextInferenceEngine(params, dims, PromptTokenizer(args.cxr_bert_vocab))
         encode = engine.encode_fn(normalize=False)
+    elif args.cxr_bert_checkpoint or args.cxr_bert_vocab:
+        # a half-specified pair must NOT silently fall back to the synthetic
+        # encoder: a full run would complete exit-0 against a random bank
+        missing = "--cxr-bert-vocab" if args.cxr_bert_checkpoint else "--cxr-bert-checkpoint"
+        raise SystemExit(
+            f"--cxr-bert-checkpoint and --cxr-bert-vocab go together; "
+            f"{missing} is missing (or pass --cxr-bert-snapshot instead)"
+        )
     else:
         print("[warn] no CXR-BERT checkpoint given; using synthetic prompt encoder")
         encode = synthetic_encode_fn(seed=cfg.seed)

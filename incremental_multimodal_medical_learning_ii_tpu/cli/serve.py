@@ -113,12 +113,14 @@ def _decode_image(data: bytes):
 
 
 def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
-                microbatch_s: float = 0.0):
+                microbatch_s: float = 0.0, client_timeout_s: float = 30.0):
     """Build (not start) the HTTP server around a ChexpertClassifier.
 
     ``microbatch_s > 0`` routes requests through a :class:`MicroBatcher`
     with that coalescing window; otherwise device access is serialized
-    with a plain lock."""
+    with a plain lock.  ``client_timeout_s`` bounds every socket read —
+    including the request line/headers — so a stalled client cannot pin a
+    handler thread."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
@@ -133,6 +135,13 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
     classes = list(clf.class_names)
 
     class Handler(BaseHTTPRequestHandler):
+        # a stalled client (slowloris) must not pin its handler thread —
+        # BaseHTTPRequestHandler blocks in rfile.readline on the REQUEST
+        # LINE/HEADERS before any do_* method runs, so the bound has to be
+        # the class-level socket timeout (applied by StreamRequestHandler
+        # .setup()), not a settimeout inside do_POST
+        timeout = client_timeout_s
+
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -160,10 +169,6 @@ def make_server(clf, host: str = "127.0.0.1", port: int = 8000,
             if self.path != "/classify":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
-            # a stalled client (slowloris) must not pin its handler thread
-            # forever in rfile.read — ThreadingHTTPServer spawns one thread
-            # per connection with no bound
-            self.connection.settimeout(30.0)
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:

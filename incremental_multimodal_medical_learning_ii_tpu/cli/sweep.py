@@ -62,9 +62,20 @@ def main(argv=None) -> None:
             results.append((float(auroc), lr, optim, adapter, pm))
             print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
                   f"val-AUROC-macro={auroc:.4f}")
-    results.sort(reverse=True)
-    best = results[0]
+    import math
+
+    # quick_auroc is NaN for a class with single-polarity labels; NaN
+    # compares False everywhere so a plain sort could print it as "best"
+    ranked = [r for r in results if not math.isnan(r[0])]
+    dropped = len(results) - len(ranked)
+    if dropped:
+        print(f"[warn] {dropped} config(s) had undefined AUROC "
+              f"(a val class with one polarity) and were excluded from ranking")
+    ranked.sort(reverse=True)
     print(f"\n{len(results)} configs in {time.perf_counter() - t0:.1f}s")
+    if not ranked:
+        raise SystemExit("every config's AUROC was undefined on this val split")
+    best = ranked[0]
     print(f"best: AUROC {best[0]:.4f} @ lr={best[1]} opt={best[2]} "
           f"adapter={best[3]} prompts={best[4]}")
 

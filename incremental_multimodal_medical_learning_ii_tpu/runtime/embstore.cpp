@@ -112,6 +112,16 @@ struct Batcher {
   }
 
   void start_epoch() {
+    // A prior epoch abandoned mid-way leaves `worker` joinable (assigning a
+    // new thread over it would std::terminate) — and possibly RUNNING
+    // inside fill(), reading order/cursor.  Join it BEFORE touching that
+    // state: mutating order (resize can reallocate) or cursor under a live
+    // fill() is a use-after-free / torn read.
+    if (worker.joinable()) {
+      stop.store(true);
+      cv.notify_all();
+      worker.join();
+    }
     const uint64_t n = store->hdr.n;
     order.resize(n);
     for (uint64_t i = 0; i < n; ++i) order[i] = i;
@@ -125,13 +135,6 @@ struct Batcher {
     ++epoch;
     cursor = 0;
     consume_idx = 0;
-    // a prior epoch abandoned mid-way leaves `worker` joinable; assigning a
-    // new thread over it would std::terminate
-    if (worker.joinable()) {
-      stop.store(true);
-      cv.notify_all();
-      worker.join();
-    }
     stop.store(false);
     for (auto& s : slots) s.ready = false;
     worker = std::thread([this] {

@@ -154,3 +154,68 @@ def test_classify_cli_sgd_checkpoint_fallback(tmp_path, capsys, rng):
           "--optim", "sgd"])
     out = capsys.readouterr().out
     assert "opt-state template" not in out
+
+
+def test_classify_cli_single_adapter_checkpoint(tmp_path, capsys, rng):
+    """A checkpoint trained with only an image adapter (--no-text-adapter, a
+    supported/twinned training config) must be servable: the restore
+    template's tree has to match the single-adapter checkpoint."""
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import synthetic_dataset
+    from incremental_multimodal_medical_learning_ii_tpu.engine.checkpoint import save_checkpoint
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import Trainer
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        build_prompt_bank,
+        synthetic_encode_fn,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.text.prompts import create_prompts
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        CHEXPERT_COMPETITION_TASKS,
+        joint_config,
+    )
+
+    cfg = joint_config(batch_size=64, epochs=1, text_adapter=False)
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    trainer = Trainer(cfg, bank)
+    trainer.train(synthetic_dataset(128), epoch=1)
+    assert set(trainer.state.params) == {"image"}
+    save_checkpoint(tmp_path / "run", trainer.state)
+
+    from PIL import Image
+
+    path = tmp_path / "cxr.png"
+    Image.fromarray((rng.random((120, 100)) * 255).astype(np.uint8), "L").save(path)
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.classify import main
+
+    main([str(path), "--random-weights",
+          "--adapter-checkpoint", str(tmp_path / "run"),
+          "--no-text-adapter", "--batch-size", "1"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith(str(path))]
+    assert len(lines) == 1 and len(lines[0].split(",")) == 6
+
+
+def test_build_bank_rejects_half_specified_checkpoint_pair(tmp_path):
+    """--cxr-bert-checkpoint without --cxr-bert-vocab must fail loudly, not
+    silently serve a synthetic random bank."""
+    import argparse
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.common import build_bank
+    from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    cfg = ExperimentConfig(mode="joint", epochs=1)
+    args = argparse.Namespace(
+        cxr_bert_snapshot=None, cxr_bert_checkpoint="missing.pt", cxr_bert_vocab=None,
+    )
+    with pytest.raises(SystemExit, match="go together"):
+        build_bank(args, cfg)
+    args = argparse.Namespace(
+        cxr_bert_snapshot=None, cxr_bert_checkpoint=None, cxr_bert_vocab="vocab.txt",
+    )
+    with pytest.raises(SystemExit, match="go together"):
+        build_bank(args, cfg)

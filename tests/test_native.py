@@ -144,3 +144,44 @@ def test_write_is_atomic(tmp_path):
     store.close()
     assert not list(tmp_path.glob("*.tmp"))
     assert NativeEmbeddingStore(tmp_path / "a.embstore").n == 15
+
+
+def test_batcher_c_abi_restart_mid_epoch(tmp_path):
+    """The C ABI's restart contract: batcher_start_epoch on the SAME batcher
+    abandoned mid-epoch must join the live prefetch worker BEFORE resetting
+    order/cursor (the worker reads them inside fill(); resetting first is a
+    use-after-free race) and then serve a complete epoch."""
+    import ctypes
+
+    ds = synthetic_dataset(64, seed=3)
+    store = NativeEmbeddingStore.write(tmp_path / "c.embstore", ds)
+    if store._handle is None:
+        pytest.skip("native library unavailable")
+    lib, padded = store._lib, 8
+    b = lib.batcher_create(store._handle, 8, padded, 1, 5)
+    fp = ctypes.POINTER(ctypes.c_float)
+    embs = np.empty((padded, store.emb_dim), np.float32)
+    labels = np.empty((padded, store.n_labels), np.float32)
+    mask = np.empty(padded, np.float32)
+
+    def next_valid():
+        return lib.batcher_next(
+            b, embs.ctypes.data_as(fp), labels.ctypes.data_as(fp),
+            mask.ctypes.data_as(fp),
+        )
+
+    try:
+        for _ in range(50):  # hammer the restart path
+            lib.batcher_start_epoch(b)
+            assert next_valid() == 8  # worker live, slot freed -> fill() races restart
+        lib.batcher_start_epoch(b)
+        total = 0
+        while True:
+            v = next_valid()
+            if v == 0:
+                break
+            total += v
+        assert total == 64
+    finally:
+        lib.batcher_destroy(b)
+        store.close()

@@ -241,3 +241,31 @@ def test_huge_content_length_rejected_before_buffering(server):
     conn.close()
     assert resp.status == 413
     assert "exceeds" in payload["error"]
+
+
+def test_stalled_header_client_is_disconnected(server):
+    """A client that opens a connection and never finishes its HEADERS must
+    be dropped by the class-level socket timeout — the handler blocks in
+    rfile.readline before any do_* method runs, so a do_POST-level
+    settimeout cannot bound this (the slowloris hole)."""
+    import socket
+    import time as _time
+
+    from incremental_multimodal_medical_learning_ii_tpu.cli.serve import make_server
+
+    _, clf = server
+    srv = make_server(clf, "127.0.0.1", 0, client_timeout_s=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.server_address[1]), timeout=10)
+        s.sendall(b"POST /classify HTTP/1.1\r\nContent-")  # stall mid-headers
+        s.settimeout(10)
+        t0 = _time.monotonic()
+        data = s.recv(1024)  # server must close (b"") rather than wait forever
+        assert data == b""
+        assert _time.monotonic() - t0 < 8
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
