@@ -38,7 +38,7 @@ nothing else.
 
 from __future__ import annotations
 
-import hashlib
+import contextlib
 import importlib
 import sys
 import types
@@ -53,14 +53,15 @@ EMB_DIM = 128
 # Deterministic prompt encoder shared by BOTH sides
 # ----------------------------------------------------------------------
 def fake_encode(texts: Sequence[str], seed: int = 123) -> np.ndarray:
-    """Same scheme as text/bank.synthetic_encode_fn: each distinct prompt
-    string maps to a fixed pseudo-random (128,) fp32 embedding."""
-    out = np.empty((len(texts), EMB_DIM), np.float32)
-    for i, t in enumerate(texts):
-        digest = hashlib.sha256(f"{seed}|{t}".encode()).digest()
-        h = int.from_bytes(digest[:8], "little") % (2**32)
-        out[i] = np.random.default_rng(h).normal(size=EMB_DIM)
-    return out
+    """THE framework encoder (text/bank.synthetic_encode_fn), not a copy:
+    the twin design requires the reference side's prompt embeddings to be
+    byte-identical to the framework bank's — a re-implementation would
+    silently desync the moment the scheme changes."""
+    from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+        synthetic_encode_fn,
+    )
+
+    return synthetic_encode_fn(seed=seed, emb_dim=EMB_DIM)(list(texts))
 
 
 class FakeTextEngine:
@@ -121,14 +122,22 @@ def _install_stubs() -> None:
         tm = _stub_module("torchmetrics")
         tm_f = _stub_module("torchmetrics.functional")
 
-        def pairwise_cosine_similarity(x, y=None, zero_diagonal=None):
-            # exact torchmetrics math: row-L2-normalise, matmul
+        def pairwise_cosine_similarity(x, y=None, reduction=None, zero_diagonal=None):
+            # exact torchmetrics math AND signature: reduction is the 3rd
+            # positional, and zero_diagonal defaults to True for the
+            # self-comparison case (y=None) exactly like the real library —
+            # a divergent default here would validate the framework against
+            # the stub while BOTH differ from the real reference
+            if zero_diagonal is None:
+                zero_diagonal = y is None
             y = x if y is None else y
             xn = x / x.norm(p=2, dim=1, keepdim=True)
             yn = y / y.norm(p=2, dim=1, keepdim=True)
             d = xn @ yn.T
             if zero_diagonal:
                 d.fill_diagonal_(0)
+            if reduction not in (None, "none"):
+                raise NotImplementedError(f"stub: reduction={reduction!r}")
             return d
 
         tm_f.pairwise_cosine_similarity = pairwise_cosine_similarity
@@ -174,7 +183,15 @@ def _load_vendored(dotted: str, relpath: str):
     spec = importlib.util.spec_from_file_location(dotted, str(Path(REF_DIR) / relpath))
     mod = importlib.util.module_from_spec(spec)
     sys.modules[dotted] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        # CPython's import machinery removes the entry on failure; so must
+        # we, or the next caller gets the half-executed module from the
+        # fast path above and fails with an AttributeError that masks the
+        # root cause
+        sys.modules.pop(dotted, None)
+        raise
     setattr(sys.modules[parent], dotted.rsplit(".", 1)[1], mod)
     return mod
 
@@ -238,7 +255,6 @@ def make_real_text_engine(
     return engine
 
 
-import contextlib  # noqa: E402
 
 
 @contextlib.contextmanager
@@ -458,8 +474,14 @@ def run_reference_joint(
 ):
     """ZERO_JOINT_BOUNDS.py:16-72; deterministic loaders unless
     ``train_shuffle_seed`` turns on the reference's reshuffling train
-    DataLoader (eval loaders stay deterministic — their shuffle only
-    permutes rows under permutation-invariant sklearn metrics)."""
+    DataLoader.  Eval loaders stay deterministic on BOTH sides: the sklearn
+    metrics are permutation-invariant, but the per-batch val/Loss stream
+    (Trainer.py:846-848) is NOT — batch composition changes each value —
+    so a real reference run's shuffled eval loaders (Trainer.py:241-246)
+    would need the same order-injection treatment as the train twins to
+    compare that one stream.  The twin is sound because both sides use the
+    same deterministic order; the uncovered regime is only the shuffled
+    val/Loss stream shape."""
     import torch
     import torch.nn as nn
 
@@ -656,7 +678,6 @@ def make_fw_recorder():
     return FWRecorder()
 
 
-import contextlib  # noqa: E402
 
 
 @contextlib.contextmanager
