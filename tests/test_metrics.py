@@ -91,3 +91,30 @@ def test_auroc_device_degenerate_class_is_nan(rng):
     from sklearn.metrics import roc_auc_score
 
     assert got[2] == pytest.approx(roc_auc_score(y_true[:, 2], y_score[:, 2]), abs=1e-6)
+
+
+@pytest.mark.slow
+def test_auroc_device_randomized_sweep_vs_sklearn(rng):
+    """Distribution-level evidence for the rank-statistic AUROC: 40 random
+    trials sweeping tie density (2..64 score levels), class imbalance, and
+    padded-tail length, each against sklearn."""
+    for trial in range(40):
+        n = int(rng.integers(16, 400))
+        levels = int(rng.integers(2, 64))
+        p_pos = float(rng.uniform(0.05, 0.95))
+        y_true = (rng.random((n, 1)) < p_pos).astype(np.float32)
+        y_score = np.round(rng.random((n, 1)) * levels) / levels
+        valid = int(rng.integers(8, n + 1))
+        mask = np.zeros(n, np.float32)
+        mask[:valid] = 1.0
+        got = float(
+            auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask))[0]
+        )
+        yt, ys = y_true[:valid, 0], y_score[:valid, 0]
+        if len(np.unique(yt)) < 2:
+            assert np.isnan(got), (trial, "degenerate class must be NaN")
+            continue
+        np.testing.assert_allclose(
+            got, roc_auc_score(yt, ys), atol=1e-5,
+            err_msg=f"trial {trial}: n={n} levels={levels} valid={valid}",
+        )

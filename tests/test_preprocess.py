@@ -151,3 +151,27 @@ def test_prepare_deduped_matches_dense(rng):
         jnp.asarray(raw), jnp.asarray(uw_h), jnp.asarray(uw_w), jnp.asarray(idx)
     ))
     np.testing.assert_array_equal(indexed, dense)
+
+
+@pytest.mark.slow
+def test_matmul_resize_matches_pil_randomized_sweep(rng):
+    """Broad randomized geometry sweep of the <=1-uint8-level PIL parity
+    claim: 60 random (h, w) pairs across extreme aspect ratios, up/down
+    scaling, odd sizes, and both target sizes the pipelines use.  The four
+    fixed shapes above are the fast regression anchor; this is the
+    distribution-level evidence for the claim."""
+    sizes = [96, 512]
+    for trial in range(60):
+        h = int(rng.integers(33, 700))
+        w = int(rng.integers(33, 700))
+        size = sizes[trial % 2]
+        img = _rand_img(rng, h, w)
+        out_h, out_w = resize_shape_for_smaller_edge(h, w, size)
+        pil = np.asarray(Image.fromarray(img, "L").resize((out_w, out_h), Image.BILINEAR))
+        ours = np.asarray(
+            matmul_resize(jnp.asarray(img), jnp.asarray(resize_matrix(h, out_h)),
+                          jnp.asarray(resize_matrix(w, out_w)))
+        )
+        err = np.abs(ours - pil.astype(np.float32))
+        assert err.max() <= 1.0, (h, w, size, float(err.max()))
+        assert err.mean() < 0.35, (h, w, size, float(err.mean()))
