@@ -36,9 +36,12 @@ deadline.  The internal deadline can only fire between operations — a
 single in-flight readback through a dead link blocks in a C call for
 arbitrarily long (measured: the first warm-up readback hung >9 min during
 the 2026-08-17 compile-terminal outage), and a bench that dies to an
-external timeout records nothing.  The parent kills the stuck child and
-still prints the JSON line (value 0.0 + the bounded link probe for
-attribution).
+external timeout records nothing.  The child prints a PRELIMINARY
+wall-only report before the optional device/link stages and the enriched
+final one after; the parent forwards the LAST report (so a hang in an
+optional stage still delivers the collected wall samples) or, if the
+child produced none, a value-0 line with the bounded link probe for
+attribution.
 """
 
 import json
@@ -107,10 +110,18 @@ def _supervise() -> int:
         reason = f"child killed after {hard:.0f}s (in-flight op never returned)"
     for line in (out or "").strip().splitlines()[::-1]:
         try:
-            json.loads(line)
+            parsed = json.loads(line)
         except ValueError:
             continue
-        print(line)  # the child delivered its report — forward it verbatim
+        # the child prints a PRELIMINARY wall-only report before the
+        # optional device/link stages and the final enriched one after —
+        # forward the LAST real report line, so a hang in an optional stage
+        # still delivers the collected wall samples.  Require the metric
+        # dict shape: a stray JSON-parseable fragment on stdout (a bare
+        # number from a library) must not become the benchmark artifact.
+        if not (isinstance(parsed, dict) and "metric" in parsed):
+            continue
+        print(line)
         if reason:
             _log(f"[bench] note: {reason} after reporting")
         return 0
@@ -185,7 +196,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - backend errors are opaque
             _log(f"[bench] warm-up attempt {attempt + 1} failed: {type(e).__name__}: {e}")
             if attempt == WARMUP_ATTEMPTS - 1:
-                _log("[bench] warm-up never succeeded; reporting 0")
+                # the sampling loop still runs and can succeed if the link
+                # recovers — don't burn deadline on a final pointless sleep
+                _log("[bench] warm-up never succeeded; sampling anyway")
+                break
             if past_deadline("remaining warm-up attempts"):
                 break
             time.sleep(2.0 * (attempt + 1))
@@ -224,6 +238,34 @@ def main() -> None:
     best = max(samples) if samples else 0.0
     median = float(np.median(samples)) if samples else 0.0
 
+    def mfu(rate):
+        if not rate:
+            return None
+        return round(rate * FLOPS_PER_IMAGE / PEAK_FLOPS_PER_CHIP, 4)
+
+    base_report = {
+        "metric": "chexpert_extraction_images_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(best / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
+        "batch": BATCH,
+        "samples": [round(s, 2) for s in samples],
+        "median": round(median, 2),
+        "dispatch_ms_per_batch": [round(x, 1) for x in dispatch_ms],
+        "readback_ms_per_batch": [round(x, 1) for x in readback_ms],
+        "retried_batches": retried,
+        "failed_rounds": failures,
+        "flops_per_image": FLOPS_PER_IMAGE,
+        # wall MFU is tunnel-capped; device MFU is the chip's truth
+        "mfu_wall": mfu(best),
+    }
+    # PRELIMINARY report before the optional device/link stages: if one of
+    # them hangs in a C call past the supervisor's grace (measured >9 min
+    # during a compile-terminal outage), the parent still forwards the
+    # collected wall samples instead of a value-0 failure line (it takes
+    # the LAST report printed).
+    print(json.dumps({**base_report, "preliminary": True}), flush=True)
+
     # Device-side truth: the same fused preprocess+encode timed INSIDE one
     # jitted chained lax.scan (long-minus-short difference cancels dispatch
     # and readback) — the chip's real throughput, vs the tunnel-capped wall
@@ -260,28 +302,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - attribution must never fail the bench
             _log(f"[bench] link probe skipped: {type(e).__name__}: {e}")
 
-    def mfu(rate):
-        if not rate:
-            return None
-        return round(rate * FLOPS_PER_IMAGE / PEAK_FLOPS_PER_CHIP, 4)
-
     print(
         json.dumps(
             {
-                "metric": "chexpert_extraction_images_per_sec_per_chip",
-                "value": round(best, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(best / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
-                "batch": BATCH,
-                "samples": [round(s, 2) for s in samples],
-                "median": round(median, 2),
-                "dispatch_ms_per_batch": [round(x, 1) for x in dispatch_ms],
-                "readback_ms_per_batch": [round(x, 1) for x in readback_ms],
-                "retried_batches": retried,
-                "failed_rounds": failures,
-                "flops_per_image": FLOPS_PER_IMAGE,
-                # wall MFU is tunnel-capped; device MFU is the chip's truth
-                "mfu_wall": mfu(best),
+                **base_report,
                 "device_images_per_sec_per_chip": (
                     round(device_rate, 1) if device_rate else None
                 ),
@@ -293,7 +317,8 @@ def main() -> None:
                 "mfu_device_b256": mfu(device_rate_256),
                 "link": link,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -11,18 +11,53 @@ import time
 import numpy as np
 
 
+_QUICK = False  # set by main(--quick); stamps every line (see report())
+
+
+def make_bert_chained_loop(k, bert_dims, n_slabs, dtype, use_flash=False):
+    """Chained-scan BERT-encode loop (ONE definition of the chaining idiom
+    — the `mask + (0*acc)` perturbation that stops XLA parallelising/CSEing
+    the iterations — shared by --text and --text-long)."""
+    import jax
+    import jax.numpy as jnp
+
+    from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
+        get_projected_text_embeddings,
+    )
+
+    @jax.jit
+    def loop(ids_, mask_, p):
+        def body(acc, i):
+            m = mask_ + (0 * acc).astype(jnp.int32)
+            emb = get_projected_text_embeddings(
+                p, ids_[i % n_slabs], m, bert_dims, normalize=True,
+                dtype=dtype, use_flash_attention=use_flash,
+            )
+            return acc + emb.sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+        return acc
+
+    return loop
+
+
 def report(metric, value, unit, baseline=None, **extras):
     """value=None marks an invalid chained-scan sample (the long scan timed
     no slower than the short one — a link-phase artifact, see
-    utils/chained_timing.py); it is reported as null, never clamped."""
-    if value is None:
-        print(json.dumps({"metric": metric, "value": None, "unit": unit,
-                          "note": "invalid sample (link phase straddle)"}))
-        return
-    line = {"metric": metric, "value": round(value, 3), "unit": unit}
-    if baseline:
-        line["vs_baseline"] = round(value / baseline, 2)
-    line.update(extras)
+    utils/chained_timing.py); it is reported as null, never clamped.
+
+    --quick runs stamp ``"quick": true`` on every line: their chained-scan
+    windows are below the ~0.1s link-jitter floor on tunneled hosts, so the
+    numbers are smoke-test signals, not comparable measurements."""
+    line = {"metric": metric, "value": None, "unit": unit,
+            "note": "invalid sample (link phase straddle)"}
+    if value is not None:
+        line = {"metric": metric, "value": round(value, 3), "unit": unit}
+        if baseline:
+            line["vs_baseline"] = round(value / baseline, 2)
+        line.update(extras)
+    if _QUICK:
+        line["quick"] = True
     print(json.dumps(line))
 
 
@@ -372,11 +407,20 @@ def serving_benchmark(quick: bool = False) -> None:
 
         one_request(pngs[0])  # jit warm-up outside the timed window
         latencies: list = []
+        errors: list = []
         lock = threading.Lock()
 
         def client(idx):
             for r in range(reqs_per_client):
-                lat = one_request(pngs[idx * reqs_per_client + r])
+                # a failed request must surface in the REPORT, not die with
+                # the daemon thread: otherwise req/s and percentiles are
+                # silently computed over a shrunken request set
+                try:
+                    lat = one_request(pngs[idx * reqs_per_client + r])
+                except Exception as e:  # noqa: BLE001 - recorded, not hidden
+                    with lock:
+                        errors.append(f"{type(e).__name__}: {e}")
+                    continue
                 with lock:
                     latencies.append(lat)
 
@@ -389,8 +433,18 @@ def serving_benchmark(quick: bool = False) -> None:
         wall = time.perf_counter() - t0
         srv.shutdown()
         srv.server_close()
+        if errors:
+            print(f"# {metric}: {len(errors)} request(s) FAILED "
+                  f"(first: {errors[0]}) — rates below cover the "
+                  f"{len(latencies)} completed requests only")
+        if not latencies:
+            report(f"{metric}_requests_per_sec", None, "req/s",
+                   failed_requests=len(errors))
+            continue
         lat_ms = np.sort(np.asarray(latencies)) * 1e3
-        report(f"{metric}_requests_per_sec", len(latencies) / wall, "req/s")
+        extras = {"failed_requests": len(errors)} if errors else {}
+        report(f"{metric}_requests_per_sec", len(latencies) / wall, "req/s",
+               **extras)
         report(f"{metric}_latency_p50_ms", float(np.percentile(lat_ms, 50)), "ms")
         report(f"{metric}_latency_p99_ms", float(np.percentile(lat_ms, 99)), "ms")
         if srv.microbatcher is not None:
@@ -401,7 +455,11 @@ def serving_benchmark(quick: bool = False) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--quick", action="store_true")
+    p.add_argument("--quick", action="store_true",
+                   help="small shapes/scan windows for smoke runs; every "
+                   "JSON line is stamped 'quick': true because the windows "
+                   "sit below the tunneled link's ~0.1s jitter floor — do "
+                   "not compare quick numbers against full runs")
     p.add_argument(
         "--stages", action="store_true",
         help="per-ResNet-stage device-time attribution only (slow compiles)",
@@ -448,6 +506,9 @@ def main() -> None:
     p.add_argument("--pm-ways", type=int, default=4)
     p.add_argument("--pm-microbatches", type=int, default=8)
     args = p.parse_args()
+    if args.quick:
+        global _QUICK
+        _QUICK = True
 
     from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
 
@@ -558,7 +619,6 @@ def main() -> None:
     if args.text:
         from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
             BertDims,
-            get_projected_text_embeddings,
             init_cxr_bert,
         )
 
@@ -571,18 +631,7 @@ def main() -> None:
         mask = jnp.ones((tb, ts), jnp.int32)
 
         def make_text_loop(k, dtype):
-            @jax.jit
-            def loop(ids_, mask_, p):
-                def body(acc, i):
-                    # chain: the accumulator perturbs the mask's dtype-safe copy
-                    m = mask_ + (0 * acc).astype(jnp.int32)
-                    emb = get_projected_text_embeddings(
-                        p, ids_[i % n_slabs], m, dims, normalize=True, dtype=dtype
-                    )
-                    return acc + emb.sum(), None
-                acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
-                return acc
-            return loop
+            return make_bert_chained_loop(k, dims, n_slabs, dtype)
 
         tk_long, tk_short = (8, 2) if args.quick else (24, 4)
         # analytic cap first so each measured number gets a %-of-cap (the
@@ -612,7 +661,6 @@ def main() -> None:
     if args.text_long:
         from incremental_multimodal_medical_learning_ii_tpu.models.cxr_bert import (
             BertDims,
-            get_projected_text_embeddings,
             init_cxr_bert,
         )
 
@@ -625,18 +673,8 @@ def main() -> None:
         lmask = jnp.ones((lb, ls), jnp.int32)
 
         def make_long_loop(k, use_flash):
-            @jax.jit
-            def loop(ids_, mask_, p):
-                def body(acc, i):
-                    m = mask_ + (0 * acc).astype(jnp.int32)
-                    emb = get_projected_text_embeddings(
-                        p, ids_[i % 2], m, ldims, normalize=True,
-                        dtype=jnp.bfloat16, use_flash_attention=use_flash,
-                    )
-                    return acc + emb.sum(), None
-                acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
-                return acc
-            return loop
+            return make_bert_chained_loop(k, ldims, 2, jnp.bfloat16,
+                                          use_flash=use_flash)
 
         long_cap, _ = text_roofline(lb, ls, ldims)
         for metric, use_flash in (

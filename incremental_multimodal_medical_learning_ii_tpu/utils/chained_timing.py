@@ -44,17 +44,22 @@ def time_chained(
         raise ValueError(f"repeats must be >= 1, got {repeats}")
     if k_long <= k_short:
         raise ValueError(f"k_long ({k_long}) must exceed k_short ({k_short})")
-    times = {}
+    loops = {}
     for k in (k_short, k_long):
-        loop = loop_factory(k)
-        float(np.asarray(loop(*args_for_repeat(-1))))  # compile + warm
-        best = float("inf")
-        for r in range(repeats):
-            args = args_for_repeat(r)
+        loops[k] = loop_factory(k)
+        float(np.asarray(loops[k](*args_for_repeat(-1))))  # compile + warm
+    # INTERLEAVE the repeats (short, long, short, long, ...): timing all
+    # shorts before all longs leaves a one-sided hole — a link phase change
+    # between the two blocks inflates the long-minus-short difference and
+    # only the deflation direction is caught by the diff<=0 guard below.
+    # Interleaved, both mins can come from the same link phase.
+    times = {k_short: float("inf"), k_long: float("inf")}
+    for r in range(repeats):
+        args = args_for_repeat(r)
+        for k in (k_short, k_long):
             t0 = time.perf_counter()
-            float(np.asarray(loop(*args)))  # readback = the only real barrier
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
+            float(np.asarray(loops[k](*args)))  # readback = the only real barrier
+            times[k] = min(times[k], time.perf_counter() - t0)
     diff = times[k_long] - times[k_short]
     if diff <= 0:
         return None

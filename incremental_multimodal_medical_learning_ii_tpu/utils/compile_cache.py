@@ -23,7 +23,15 @@ def enable(cache_dir: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
+    except Exception as e:
         # best-effort optimization: an unwritable cache dir (read-only HOME)
-        # or an older jax must never take down a CLI/bench at startup
-        pass
+        # or an older jax must never take down a CLI/bench at startup — but
+        # on a host where each lost cache hit costs a 4-6 minute remote
+        # compile, a SILENT disable is undiagnosable; say so once
+        import sys
+
+        print(
+            f"[warn] persistent compile cache disabled "
+            f"({type(e).__name__}: {e}); compiles will not be cached",
+            file=sys.stderr,
+        )

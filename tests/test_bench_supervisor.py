@@ -72,3 +72,32 @@ def test_supervisor_forwards_report_even_if_child_then_hung(monkeypatch, capsys)
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._supervise() == 0
     assert capsys.readouterr().out.strip() == line
+
+
+@pytest.mark.fast
+def test_supervisor_prefers_last_report_and_ignores_stray_json(monkeypatch, capsys):
+    """The child prints a preliminary wall-only report before the optional
+    device/link stages and the enriched one after: the parent must forward
+    the LAST metric dict — and a stray JSON-parseable fragment (a bare
+    number from a library) must never become the artifact."""
+    prelim = json.dumps({"metric": "m", "value": 5.0, "preliminary": True})
+    final = json.dumps({"metric": "m", "value": 5.0, "mfu_device": 0.43})
+
+    def fake_run(*a, **kw):
+        return subprocess.CompletedProcess(
+            a, 0, stdout=prelim + "\n" + final + "\n0\n[]\n"
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._supervise() == 0
+    assert capsys.readouterr().out.strip() == final
+
+    # hang AFTER the preliminary line: the wall samples still land
+    def fake_hang(*a, **kw):
+        raise subprocess.TimeoutExpired(
+            cmd=a, timeout=kw["timeout"], output=(prelim + "\n").encode()
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_hang)
+    assert bench._supervise() == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["preliminary"]
