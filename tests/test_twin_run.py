@@ -981,3 +981,55 @@ def test_twin_zero_shot_single_prompt(ref_mod, data):
         protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
                                  log_dir=None)
     compare_streams(ref_rec, fw_rec, losses=("val/Loss",))
+
+
+@pytest.mark.slow
+def test_twin_class_incremental_reference_scale(ref_mod):
+    """The class-incremental twin at ITS BASELINE.md operating point:
+    191,027 rows split 5 ways, batch 6144, 10 epochs/task, SGD lr 0.1,
+    SHARED mlp (the forgetting-curve run, CLASS_INCREMENTAL.py:32-57 /
+    BASELINE row 'class-pos-neg sgd 0.1 SHARED').  Complements the joint
+    reference-scale twin, which measured Adam's intrinsic param
+    sensitivity (~1.1e-2); SGD has no moment amplification, so param
+    parity here is expected to be tight — this test records the number."""
+    import reference_twin as rt
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        synthetic_dataset,
+    )
+
+    rng = np.random.default_rng(6)
+    dirs = rng.normal(size=(5, 128)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    tr = synthetic_dataset(191_027, seed=21, class_directions=dirs)
+    va = synthetic_dataset(6144, seed=22, class_directions=dirs)
+    te = synthetic_dataset(6144, seed=23, class_directions=dirs)
+    data = {
+        "train_x": tr.embeddings, "train_y": tr.labels,
+        "val_x": va.embeddings, "val_y": va.labels,
+        "test_x": te.embeddings, "test_y": te.labels,
+    }
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, shared=True, optim="sgd")
+    ref_rec, ref_trainer, init_params = run_reference_class_incremental(
+        ref_mod, prompts, data, mode="class-pos-neg", more_labels=False,
+        epochs=10, lr=0.1, batch_size=6144, eval_batch_size=1024,
+    )
+    cfg = base_cfg(mode="class-pos-neg", epochs=10, shared=True, optim="sgd",
+                   lr=0.1, batch_size=6144, eval_batch_size=1024)
+    bundle = protocols.DataBundle(train=tr, val=va, test=te)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_class_incremental(cfg, bundle,
+                                                  fw_bank(prompts), log_dir=None)
+    drifts = {}
+    for tag in ("train/Loss", "val/Loss"):
+        r = np.array([v for _, v in stream(ref_rec.scalars, tag)])
+        f = np.array([v for _, v in stream(fw_rec.scalars, tag)])
+        assert len(r) == len(f) > 0
+        drifts[tag] = float(np.abs(r - f).max())
+    final_ref = rt.reference_final_params(ref_trainer, shared=True)
+    drifts["final params"] = max_param_diff(final_ref, results["trainer"].params)
+    print(f"\nclass-inc reference-scale drift (191,027 rows 5-way, bs 6144, "
+          f"10 ep/task, SGD 0.1 SHARED): {drifts}")
+    compare_streams(ref_rec, fw_rec)
+    assert drifts["final params"] < 1e-3  # SGD: no Adam moment amplification
