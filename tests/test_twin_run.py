@@ -1033,3 +1033,26 @@ def test_twin_class_incremental_reference_scale(ref_mod):
           f"10 ep/task, SGD 0.1 SHARED): {drifts}")
     compare_streams(ref_rec, fw_rec)
     assert drifts["final params"] < 1e-3  # SGD: no Adam moment amplification
+
+
+def test_twin_harness_detects_mutation(ref_mod, data):
+    """Meta-test: the twin machinery must FAIL on a real semantic mismatch
+    — reference in MAX prompt mode vs framework in MEAN diverges by ~1e-2
+    in train/Loss, three orders above LOSS_ATOL.  Guards the harness (and
+    its tolerances) against ever becoming a test that cannot fail."""
+    import reference_twin as rt
+
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod, max_emb=True)  # reference runs MAX
+    ref_rec, _, init_params = run_reference_joint(
+        ref_mod, prompts, data, epochs=2, lr=1e-4, batch_size=BS,
+        eval_batch_size=EVAL_BS,
+    )
+    cfg = base_cfg(mode="joint", epochs=2, adapter="mlp",
+                   prompt_mode="mean")  # deliberately WRONG
+    with patched_protocols(init_params) as fw_rec:
+        protocols.run_zero_joint(cfg, fw_bundle(data), fw_bank(prompts),
+                                 log_dir=None)
+    with pytest.raises(AssertionError, match="diverge"):
+        assert_stream_match(ref_rec.scalars, fw_rec.scalars, "train/Loss",
+                            atol=LOSS_ATOL)
