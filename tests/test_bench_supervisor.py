@@ -101,3 +101,49 @@ def test_supervisor_prefers_last_report_and_ignores_stray_json(monkeypatch, caps
     monkeypatch.setattr(subprocess, "run", fake_hang)
     assert bench._supervise() == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["preliminary"]
+
+
+@pytest.mark.slow
+def test_bench_child_flow_end_to_end(monkeypatch, capsys):
+    """The child-side measurement flow (warm-up -> sampling -> PRELIMINARY
+    report -> link probe -> final report) with the extraction loop stubbed:
+    exactly two metric lines, preliminary first, final enriched with the
+    link field, consistent values."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine import extract
+    from incremental_multimodal_medical_learning_ii_tpu.cli import linkhealth
+
+    class FakeDS:
+        def __init__(self, n):
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+    def fake_extract(images, params, **kw):
+        imgs = list(images)
+        stats = kw.get("stats")
+        if stats is not None:
+            stats.update({"batches": 4, "dispatch_s": 0.01, "readback_s": 0.02,
+                          "retried_batches": 1})
+        return FakeDS(len(imgs))
+
+    monkeypatch.setattr(extract, "extract_embeddings", fake_extract)
+    monkeypatch.setattr(
+        linkhealth, "quick_probe",
+        lambda **kw: {"rtt_ms": 3.0, "upload_mb_per_s": 50.0},
+    )
+    monkeypatch.setenv("IMML_BENCH_DEVICE", "0")  # skip the chained-scan stage
+
+    import bench
+
+    bench.main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    prelim, final = lines
+    assert prelim.get("preliminary") is True and "link" not in prelim
+    assert "preliminary" not in final
+    assert final["link"] == {"rtt_ms": 3.0, "upload_mb_per_s": 50.0}
+    assert final["value"] == prelim["value"] > 0
+    assert final["retried_batches"] == prelim["retried_batches"] > 0
+    assert final["device_images_per_sec_per_chip"] is None  # stage skipped
+    assert len(final["samples"]) >= 2
