@@ -1056,3 +1056,59 @@ def test_twin_harness_detects_mutation(ref_mod, data):
     with pytest.raises(AssertionError, match="diverge"):
         assert_stream_match(ref_rec.scalars, fw_rec.scalars, "train/Loss",
                             atol=LOSS_ATOL)
+
+
+def test_twin_splitters_randomized_sizes(ref_mod):
+    """The contiguous-splitter twin across RANDOM (n, parts) pairs — the
+    reference's remainder handling (Trainer.py:1214-1231) must match at
+    every ragged-tail shape, incl. n < parts and n % parts in all
+    residue classes, not just the one fixed prime size above."""
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+        split_contiguous,
+    )
+
+    def make(n):
+        x = rng.normal(size=(n, 128)).astype(np.float32)
+        y = (rng.random((n, 5)) < 0.35).astype(np.float32)
+        loader = DataLoader(
+            TensorDataset(torch.from_numpy(x), torch.from_numpy(y)),
+            batch_size=64, shuffle=False, num_workers=0,
+        )
+        return x, EmbeddingDataset(x, y), loader
+
+    import math
+
+    rng = np.random.default_rng(17)
+    done = 0
+    while done < 20:
+        parts = int(rng.integers(1, 25))
+        n = int(rng.integers(parts, 500))
+        if (parts - 1) * math.ceil(n / parts) >= n:
+            continue  # the reference crashes there — divergence pinned below
+        done += 1
+        x, ds, loader = make(n)
+        ref_parts = ref_mod.Trainer.split_dataloader_data_incremental(loader, parts)
+        ours = split_contiguous(ds, parts)
+        assert len(ref_parts) == len(ours), (n, parts)
+        for rp, op in zip(ref_parts, ours):
+            assert len(rp.dataset) == len(op), (n, parts)
+            if len(op):
+                np.testing.assert_array_equal(
+                    np.stack([x[i] for i in rp.dataset.indices]), op.embeddings
+                )
+
+    # Deliberate divergence, pinned (this sweep FOUND it): the reference's
+    # ceil-split makes an empty tail part whenever (parts-1)*ceil(n/parts)
+    # >= n — e.g. 10 rows into 7 parts, not just n < parts — and then
+    # CRASHES constructing RandomSampler over the 0-row Subset
+    # (Trainer.py:1222-1229).  The framework returns empty parts instead;
+    # parity holds everywhere the reference is defined.
+    x, ds, loader = make(10)
+    with pytest.raises(ValueError, match="num_samples"):
+        ref_mod.Trainer.split_dataloader_data_incremental(loader, 7)
+    ours = split_contiguous(ds, 7)
+    assert sum(len(p) for p in ours) == 10
