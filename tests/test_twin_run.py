@@ -1112,3 +1112,52 @@ def test_twin_splitters_randomized_sizes(ref_mod):
         ref_mod.Trainer.split_dataloader_data_incremental(loader, 7)
     ours = split_contiguous(ds, 7)
     assert sum(len(p) for p in ours) == 10
+
+
+def test_twin_split_by_label_randomized(ref_mod):
+    """Randomized by-label splitter twin (Trainer.py:1187-1213): per-class
+    index sets match at random label densities; the reference crashes when
+    ANY class has zero positive rows (RandomSampler over an empty Subset),
+    while the framework returns an empty per-class subset — pinned."""
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+        split_by_label,
+    )
+
+    rng = np.random.default_rng(23)
+    done = 0
+    while done < 12:
+        n = int(rng.integers(5, 400))
+        dens = rng.uniform(0.05, 0.9, size=5)
+        y = (rng.random((n, 5)) < dens).astype(np.float32)
+        if (y.sum(0) == 0).any():
+            continue  # the crash regime, pinned below
+        done += 1
+        x = rng.normal(size=(n, 128)).astype(np.float32)
+        loader = DataLoader(
+            TensorDataset(torch.from_numpy(x), torch.from_numpy(y)),
+            batch_size=64, shuffle=False, num_workers=0,
+        )
+        ref_parts = ref_mod.Trainer.split_dataloader_by_label(loader, 64)
+        ours = split_by_label(EmbeddingDataset(x, y))
+        for c, (rp, op) in enumerate(zip(ref_parts, ours)):
+            np.testing.assert_array_equal(
+                np.asarray(rp.dataset.indices), np.where(y[:, c] == 1)[0]
+            )
+            assert len(rp.dataset) == len(op)
+
+    # divergence pin: class 0 has no positives -> the reference crashes
+    x = rng.normal(size=(8, 128)).astype(np.float32)
+    y = np.ones((8, 5), np.float32)
+    y[:, 0] = 0.0
+    loader = DataLoader(
+        TensorDataset(torch.from_numpy(x), torch.from_numpy(y)),
+        batch_size=64, shuffle=False, num_workers=0,
+    )
+    with pytest.raises(ValueError, match="num_samples"):
+        ref_mod.Trainer.split_dataloader_by_label(loader, 64)
+    ours = split_by_label(EmbeddingDataset(x, y))
+    assert len(ours[0]) == 0 and all(len(p) == 8 for p in ours[1:])
