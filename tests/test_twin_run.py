@@ -1161,3 +1161,49 @@ def test_twin_split_by_label_randomized(ref_mod):
         ref_mod.Trainer.split_dataloader_by_label(loader, 64)
     ours = split_by_label(EmbeddingDataset(x, y))
     assert len(ours[0]) == 0 and all(len(p) == 8 for p in ours[1:])
+
+
+def test_twin_pure_helpers_randomized(ref_mod):
+    """Direct randomized twins of the reference's pure helpers:
+    ``change_values`` (CHANGE_LABELS ±1 transform, Trainer.py:1707-1728 —
+    note the committed code maps to ±1, the 2/−2 of the docstring is
+    commented out) and ``count_positive_labels`` (Trainer.py:1233-1249)."""
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+        count_positive_labels,
+    )
+    from incremental_multimodal_medical_learning_ii_tpu.objectives.losses import (
+        change_labels,
+    )
+
+    rng = np.random.default_rng(29)
+    for _ in range(10):
+        n = int(rng.integers(1, 200))
+        y = (rng.random((n, 5)) < rng.uniform(0.1, 0.9)).astype(np.float32)
+        ref_changed = ref_mod.change_values(torch.from_numpy(y)).numpy()
+        np.testing.assert_array_equal(ref_changed, np.asarray(change_labels(y)))
+
+        x = rng.normal(size=(n, 128)).astype(np.float32)
+        loader = DataLoader(
+            TensorDataset(torch.from_numpy(x), torch.from_numpy(y)),
+            batch_size=16, shuffle=False, num_workers=0,
+        )
+        # the reference PRINTS its counts ("Label i: <n>") — run ITS
+        # function and parse the printed lines as ground truth
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ref_mod.Trainer.count_positive_labels(loader)
+        ref_counts = [
+            float(m.group(1))
+            for m in re.finditer(r"Label \d: .*?([\d.]+)", buf.getvalue())
+        ]
+        assert len(ref_counts) == 5, buf.getvalue()
+        np.testing.assert_array_equal(
+            ref_counts, count_positive_labels(EmbeddingDataset(x, y))
+        )
