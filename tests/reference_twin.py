@@ -10,9 +10,13 @@ shared misreading of its bookkeeping (``Trainer.py:526-1072``,
 Only three genuinely-absent imports are stubbed (``sys.modules``), exactly as
 scoped by the round-2 review:
 
-* ``torchvision.io.read_image`` / ``torchvision.utils.make_grid`` — unused on
-  the cached-embedding training path (only hit by the epoch-1 pre-rendered
-  PNG re-log, which the stub satisfies with a dummy image);
+* ``torchvision`` — absent from this environment; substituted by the
+  FUNCTIONAL primitive stub in ``tests/torchvision_stub.py`` (real v1.5
+  ResNet base class, PIL transforms, ``io.read_image``), which lets the
+  vendored image stack (``health_multimodal/image/**``, ``DataRetrieval.py``)
+  execute as twin ground truth too (``tests/test_twin_image_stack.py``);
+  the Trainer training path itself only touches it through the epoch-1
+  pre-rendered PNG re-log;
 * ``torchmetrics.functional.pairwise_cosine_similarity`` — re-stated with the
   exact torchmetrics math (row-L2-normalise both operands, matmul);
 * ``health_multimodal.text.get_cxr_bert_inference`` — a deterministic fake
@@ -103,20 +107,13 @@ def _stub_module(name: str) -> types.ModuleType:
 
 
 def _install_stubs() -> None:
-    import torch
+    # FUNCTIONAL torchvision primitives (tests/torchvision_stub.py): the
+    # v1.5 ResNet base class, PIL transforms, io.read_image — so the
+    # vendored image stack (health_multimodal/image/**, DataRetrieval.py)
+    # can execute as twin ground truth, not just Trainer.py.
+    import torchvision_stub
 
-    if "torchvision" not in sys.modules:
-        tv = _stub_module("torchvision")
-        tv_io = _stub_module("torchvision.io")
-        tv_io.read_image = lambda path: torch.zeros((3, 4, 4), dtype=torch.uint8)
-        tv_utils = _stub_module("torchvision.utils")
-        tv_utils.make_grid = lambda x, **k: x
-        tv_tf = _stub_module("torchvision.transforms")
-        tv.io, tv.utils, tv.transforms = tv_io, tv_utils, tv_tf
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.io"] = tv_io
-        sys.modules["torchvision.utils"] = tv_utils
-        sys.modules["torchvision.transforms"] = tv_tf
+    torchvision_stub.install()
 
     if "torchmetrics" not in sys.modules:
         tm = _stub_module("torchmetrics")
@@ -177,9 +174,15 @@ def _load_vendored(dotted: str, relpath: str):
 
     if dotted in sys.modules:
         return sys.modules[dotted]
+    # the import machinery resolves relative imports (model.py's
+    # ``from .resnet import ...``) through the full ancestor chain, so every
+    # missing ancestor needs a package stub, not just the direct parent
+    parts = dotted.split(".")
+    for depth in range(1, len(parts)):
+        ancestor = ".".join(parts[:depth])
+        if ancestor not in sys.modules:
+            sys.modules[ancestor] = _stub_module(ancestor)
     parent = dotted.rsplit(".", 1)[0]
-    if parent not in sys.modules:
-        sys.modules[parent] = _stub_module(parent)
     spec = importlib.util.spec_from_file_location(dotted, str(Path(REF_DIR) / relpath))
     mod = importlib.util.module_from_spec(spec)
     sys.modules[dotted] = mod
@@ -289,6 +292,110 @@ def real_text_stack(tmp_path, seed: int = 3):
         yield fw_engine.encode_fn(normalize=False), engine
     finally:
         _text_engine_factory[0] = prev
+
+
+# ----------------------------------------------------------------------
+# REAL vendored image stack: run the reference's own ImageModel /
+# ResNetHIML / MLP projector (health_multimodal/image/model/*.py),
+# transforms (data/transforms.py), loader (data/io.py) and inference
+# engine as twin ground truth.  torchvision itself is absent from this
+# environment; tests/torchvision_stub.py substitutes the *primitives*
+# (ResNet base class, PIL transforms, read_image) so only library code is
+# stubbed, never reference code.
+# ----------------------------------------------------------------------
+def _install_imaging_lib_stubs() -> None:
+    """The vendored image/data/io.py imports pydicom/SimpleITK/skimage at
+    module level; only ``skimage.io.imread`` is on the JPEG/PNG path the
+    twins exercise — implement it with PIL.  The DICOM/NIfTI libs get
+    loader-less stubs whose attributes raise on use."""
+    if "skimage" not in sys.modules:
+        sk = _stub_module("skimage")
+        sk_io = _stub_module("skimage.io")
+
+        def imread(path):
+            from PIL import Image
+
+            return np.asarray(Image.open(path))
+
+        sk_io.imread = imread
+        sk.io = sk_io
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = sk_io
+
+    class _Raiser:
+        def __init__(self, lib):
+            self._lib = lib
+
+        def __call__(self, *a, **k):
+            raise RuntimeError(f"twin stub: {self._lib} is not installed")
+
+    for lib in ("pydicom", "SimpleITK"):
+        if lib not in sys.modules:
+            mod = _stub_module(lib)
+            for attr in ("dcmread", "ReadImage", "GetArrayFromImage"):
+                setattr(mod, attr, _Raiser(lib))
+            sys.modules[lib] = mod
+
+
+def load_vendored_image_modules():
+    """Load the reference's vendored image stack by explicit path, returning
+    a dict of the executed modules.  Order matters: resnet/modules before
+    model (relative imports), transforms/io before the inference engine
+    (absolute imports)."""
+    import torchvision_stub
+
+    _install_stubs()
+    _install_imaging_lib_stubs()
+    mods = {}
+    mods["resnet"] = _load_vendored(
+        "health_multimodal.image.model.resnet",
+        "health_multimodal/image/model/resnet.py",
+    )
+    # resnet.py's module-level ``from torch.hub import load_state_dict_from_url``
+    # would hit the network for pretrained=True; rebind it to the
+    # deterministic stub-arch state dict (RNG-stream preserving)
+    mods["resnet"].load_state_dict_from_url = (
+        torchvision_stub.fake_load_state_dict_from_url
+    )
+    mods["modules"] = _load_vendored(
+        "health_multimodal.image.model.modules",
+        "health_multimodal/image/model/modules.py",
+    )
+    mods["model"] = _load_vendored(
+        "health_multimodal.image.model.model",
+        "health_multimodal/image/model/model.py",
+    )
+    mods["transforms"] = _load_vendored(
+        "health_multimodal.image.data.transforms",
+        "health_multimodal/image/data/transforms.py",
+    )
+    mods["io"] = _load_vendored(
+        "health_multimodal.image.data.io", "health_multimodal/image/data/io.py"
+    )
+    mods["engine"] = _load_vendored(
+        "health_multimodal.image.inference_engine",
+        "health_multimodal/image/inference_engine.py",
+    )
+    # the vlp engine imports the engine classes from the package roots
+    sys.modules["health_multimodal.image"].ImageInferenceEngine = (
+        mods["engine"].ImageInferenceEngine
+    )
+    return mods
+
+
+def make_vendored_image_model(seed: int = 11, model_type: str = "resnet50"):
+    """Random-init vendored ImageModel (model.py:88-160): executes the real
+    ImageEncoder -> get_encoder_output_dim probe -> 1x1-conv MLP projector
+    construction, with deterministic weights."""
+    import torch
+
+    mods = load_vendored_image_modules()
+    torch.manual_seed(seed)
+    model = mods["model"].ImageModel(
+        img_model_type=model_type, joint_feature_size=128
+    )
+    model.eval()
+    return model, mods
 
 
 class _VisualTSNE:
