@@ -227,6 +227,11 @@ def load_vendored_text_modules():
         "health_multimodal/text/inference_engine.py",
     )
     del io_mod
+    # the vendored vlp engine does `from health_multimodal.text import
+    # TextInferenceEngine` — expose it on the package stub
+    sys.modules["health_multimodal.text"].TextInferenceEngine = (
+        eng_mod.TextInferenceEngine
+    )
     return eng_mod.TextInferenceEngine, model_mod.CXRBertModel, cfg_mod.CXRBertConfig
 
 
@@ -260,15 +265,10 @@ def make_real_text_engine(
 
 
 
-@contextlib.contextmanager
-def real_text_stack(tmp_path, seed: int = 3):
-    """Swap the twin's text ground truth from the hash fake to the REAL
-    vendored stack, and yield an ``encode_fn`` that runs the SAME weights
-    through this framework's tokenize->BERT->projection path
-    (models/convert.py + text/engine.py) for the PromptBank build.
-
-    Inside the context the only remaining whole-component stub on the
-    reference side is torchvision."""
+def make_paired_text_engines(tmp_path, seed: int = 3):
+    """(vendored TextInferenceEngine, framework TextInferenceEngine) over
+    the SAME random-init CXR-BERT weights and the same tiny test vocab —
+    the building block for every twin that needs both text stacks live."""
     from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
         convert_cxr_bert_state_dict,
     )
@@ -286,6 +286,19 @@ def real_text_stack(tmp_path, seed: int = 3):
         engine.model.state_dict(), num_heads=engine.model.config.num_attention_heads
     )
     fw_engine = FwEngine(params, dims, PromptTokenizer(vocab))
+    return engine, fw_engine
+
+
+@contextlib.contextmanager
+def real_text_stack(tmp_path, seed: int = 3):
+    """Swap the twin's text ground truth from the hash fake to the REAL
+    vendored stack, and yield an ``encode_fn`` that runs the SAME weights
+    through this framework's tokenize->BERT->projection path
+    (models/convert.py + text/engine.py) for the PromptBank build.
+
+    Inside the context the only remaining whole-component stub on the
+    reference side is torchvision."""
+    engine, fw_engine = make_paired_text_engines(tmp_path, seed=seed)
     prev = _text_engine_factory[0]
     _text_engine_factory[0] = lambda: engine
     try:
@@ -381,6 +394,54 @@ def load_vendored_image_modules():
         mods["engine"].ImageInferenceEngine
     )
     return mods
+
+
+def load_vendored_vlp_module():
+    """Load the reference's own vlp/inference_engine.py (gaussian-smoothed
+    phrase-grounding maps, :59-155) on top of the vendored image + text
+    stacks.  Returns (vlp module, image mods dict)."""
+    mods = load_vendored_image_modules()
+    load_vendored_text_modules()  # exposes TextInferenceEngine on the stub
+    vlp = _load_vendored(
+        "health_multimodal.vlp.inference_engine",
+        "health_multimodal/vlp/inference_engine.py",
+    )
+    return vlp, mods
+
+
+def restore_upstream_image_forward(model, model_mod):
+    """Rebind one vendored ImageModel instance's forward to the upstream
+    hi-ml contract — the block the author commented out at
+    model.py:147-153 ('MODIFICA ENORME'): return the full ImageModelOutput
+    instead of the bare projected_global_embedding.  The vendored
+    inference/vlp engines are dead code without it (they crash, pinned in
+    test_twin_image_stack.py); restoring it makes their FULL geometry /
+    smoothing / scoring paths executable as twin ground truth.  Everything
+    inside still runs the vendored submodules."""
+    import types as _types
+
+    import torch
+
+    ImageModelOutput = model_mod.ImageModelOutput
+
+    def forward(self, x):
+        with torch.set_grad_enabled(not self.freeze_encoder):
+            patch_x, pooled_x = self.encoder(x, return_patch_embeddings=True)
+            projected_patch_embeddings = self.projector(patch_x)
+            projected_global_embedding = torch.mean(
+                projected_patch_embeddings, dim=(2, 3)
+            )
+        logits = self.classifier(pooled_x) if self.classifier else None
+        return ImageModelOutput(
+            img_embedding=pooled_x,
+            patch_embedding=patch_x,
+            class_logits=logits,
+            projected_patch_embeddings=projected_patch_embeddings,
+            projected_global_embedding=projected_global_embedding,
+        )
+
+    model.forward = _types.MethodType(forward, model)
+    return model
 
 
 def make_vendored_image_model(seed: int = 11, model_type: str = "resnet50"):

@@ -1,0 +1,189 @@
+"""Twin-run parity for the reference's vendored VLP engine.
+
+``health_multimodal/vlp/inference_engine.py`` (phrase-grounding similarity
+maps: patch·text cosine grid -> gaussian smooth sigma=1.5 -> resize/pad back
+to original image geometry) executes here as twin ground truth, composed
+from the vendored image stack (tests/test_twin_image_stack.py) and the
+real vendored text stack (reference_twin.make_paired_text_engines).
+
+The vendored engine's raw-data paths are dead code as committed — the
+author's ImageModel.forward modification breaks them (pinned in
+test_twin_image_stack.py) — so the full-path twins rebind ONE instance's
+forward to the upstream contract the author commented out
+(reference_twin.restore_upstream_image_forward); everything inside still
+runs vendored code.  The static helpers (_get_similarity_map_from_embeddings,
+convert_similarity_to_image_size) are twinned directly, no restoration
+needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from reference_twin import (  # noqa: E402
+    load_vendored_vlp_module,
+    make_paired_text_engines,
+    make_vendored_image_model,
+    restore_upstream_image_forward,
+)
+
+from incremental_multimodal_medical_learning_ii_tpu.models.convert import (  # noqa: E402
+    convert_biovil_image_state_dict,
+)
+from incremental_multimodal_medical_learning_ii_tpu.vlp.engine import (  # noqa: E402
+    convert_similarity_to_image_size,
+    gaussian_smooth_2d,
+)
+
+
+@pytest.fixture(scope="module")
+def vlp_mod():
+    vlp, mods = load_vendored_vlp_module()
+    return vlp, mods
+
+
+def test_twin_vendored_similarity_map_smoothing(vlp_mod, rng):
+    """_get_similarity_map_from_embeddings (vlp/inference_engine.py:94-112):
+    flatten-matmul cosine grid + scipy gaussian_filter sigma=1.5 vs the
+    framework's einsum + separable jax smooth."""
+    vlp, _ = vlp_mod
+    for h, w in [(3, 4), (5, 5), (2, 7), (1, 1)]:
+        patches = rng.normal(size=(h, w, 128)).astype(np.float32)
+        text = rng.normal(size=(1, 128)).astype(np.float32)
+        ref = vlp.ImageTextInferenceEngine._get_similarity_map_from_embeddings(
+            torch.from_numpy(patches), torch.from_numpy(text)
+        ).numpy()
+        fw = np.asarray(
+            gaussian_smooth_2d(
+                jnp.einsum("hwd,d->hw", jnp.asarray(patches), jnp.asarray(text[0])),
+                sigma=1.5,
+            )
+        )
+        np.testing.assert_allclose(fw, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("interpolation", ["nearest", "bilinear"])
+def test_twin_vendored_convert_similarity_to_image_size(vlp_mod, rng, interpolation):
+    """convert_similarity_to_image_size (vlp/inference_engine.py:114-155):
+    the crop/pad/NaN-margin geometry, including the negative-margin case
+    (crop > resize, the vendored library's own 512/480 default direction
+    reversed) where F.pad with negative margins CROPS."""
+    vlp, _ = vlp_mod
+    cases = [
+        # (grid h, grid w, width, height, resize, crop)
+        (2, 2, 100, 112, 96, 96),
+        (3, 3, 98, 120, 96, 96),
+        (2, 2, 80, 72, 64, 64),
+        (2, 2, 100, 112, 64, 96),   # crop > resize: negative margins crop
+        (4, 3, 57, 43, 32, 28),
+        (2, 2, 64, 64, None, 48),   # no resize: crop-only branch
+        (2, 2, 50, 40, None, None), # no crop: direct interpolate branch
+    ]
+    for gh, gw, width, height, resize, crop in cases:
+        sim = rng.normal(size=(gh, gw)).astype(np.float32)
+        ref = vlp.ImageTextInferenceEngine.convert_similarity_to_image_size(
+            torch.from_numpy(sim), width=width, height=height,
+            resize_size=resize, crop_size=crop, interpolation=interpolation,
+        )
+        fw = convert_similarity_to_image_size(
+            sim, width, height, resize, crop, interpolation
+        )
+        assert fw.shape == ref.shape, (gh, gw, width, height, resize, crop)
+        np.testing.assert_allclose(fw, ref, atol=2e-6, equal_nan=True)
+
+
+@pytest.fixture(scope="module")
+def paired_engines(vlp_mod, tmp_path_factory):
+    """(vendored ImageTextInferenceEngine w/ restored upstream forward,
+    framework ImageTextInferenceEngine) over identical weights."""
+    vlp, mods = vlp_mod
+    model, _ = make_vendored_image_model(seed=21)
+    ref_text, fw_text = make_paired_text_engines(
+        tmp_path_factory.mktemp("vlp_twin"), seed=4
+    )
+    transform = mods["transforms"].create_chest_xray_transform_for_inference(
+        resize=64, center_crop_size=64
+    )
+    img_engine = mods["engine"].ImageInferenceEngine(
+        image_model=model, transform=transform
+    )
+    ref_engine = vlp.ImageTextInferenceEngine(
+        image_inference_engine=img_engine, text_inference_engine=ref_text
+    )
+
+    from incremental_multimodal_medical_learning_ii_tpu.vlp.engine import (
+        ImageTextInferenceEngine as FwVlp,
+    )
+
+    fw_params = convert_biovil_image_state_dict(model.state_dict())
+    fw_engine = FwVlp(fw_params, fw_text, resize_size=64, crop_size=64)
+    return model, mods, ref_engine, fw_engine
+
+
+def _write_png(tmp_path, rng, h, w, name="cxr.png"):
+    from PIL import Image
+
+    path = tmp_path / name
+    Image.fromarray((rng.random((h, w)) * 255).astype(np.uint8), mode="L").save(path)
+    return path
+
+
+def test_pin_vendored_vlp_paths_crash(paired_engines, tmp_path, rng):
+    """PINS REFERENCE BEHAVIOR: without the forward restoration, BOTH vlp
+    raw-data paths die on the author's bare-tensor forward (AttributeError
+    via inference_engine.py:67/87)."""
+    model, _, ref_engine, _ = paired_engines
+    path = _write_png(tmp_path, rng, 80, 72)
+    if hasattr(model, "forward") and "forward" in vars(model):
+        pytest.skip("forward already restored by an earlier test in this module")
+    with pytest.raises(AttributeError):
+        ref_engine.get_similarity_score_from_raw_data(path, "there is edema")
+    with pytest.raises(AttributeError):
+        ref_engine.get_similarity_map_from_raw_data(path, "there is edema")
+
+
+@pytest.mark.parametrize("interpolation", ["nearest", "bilinear"])
+def test_twin_vlp_full_path(paired_engines, tmp_path, rng, interpolation):
+    """Full raw-data phrase grounding: vendored load_image -> vendored
+    transforms -> vendored ImageModel (restored upstream forward) ->
+    vendored patch-normalize/smooth/convert, with the vendored text stack
+    encoding the query — vs the framework vlp engine end to end."""
+    model, mods, ref_engine, fw_engine = paired_engines
+    restore_upstream_image_forward(model, mods["model"])
+    query = "no evidence of edema"
+    for h, w in [(80, 72), (70, 88)]:
+        path = _write_png(tmp_path, rng, h, w, name=f"cxr_{h}x{w}.png")
+        ref_score = ref_engine.get_similarity_score_from_raw_data(path, query)
+        fw_score = fw_engine.get_similarity_score_from_raw_data(path, query)
+        assert abs(ref_score - fw_score) < 5e-5
+        ref_map = ref_engine.get_similarity_map_from_raw_data(
+            path, query, interpolation=interpolation
+        )
+        fw_map = fw_engine.get_similarity_map_from_raw_data(
+            path, query, interpolation=interpolation
+        )
+        assert fw_map.shape == ref_map.shape == (h, w)
+        np.testing.assert_allclose(fw_map, ref_map, atol=5e-5, equal_nan=True)
+        # the fused score+map entry point matches its two halves
+        score2, map2 = fw_engine.get_score_and_map_from_raw_data(
+            path, query, interpolation=interpolation
+        )
+        assert abs(score2 - fw_score) < 1e-6
+        np.testing.assert_allclose(map2, fw_map, atol=1e-6, equal_nan=True)
+
+
+def test_twin_vlp_multi_prompt_score(paired_engines, tmp_path, rng):
+    """get_similarity_score_from_raw_data with a prompt LIST: embeddings are
+    mean-pooled before L2-normalisation (vlp/inference_engine.py:42-57)."""
+    model, mods, ref_engine, fw_engine = paired_engines
+    restore_upstream_image_forward(model, mods["model"])
+    path = _write_png(tmp_path, rng, 76, 84, name="cxr_multi.png")
+    query = ["there is edema", "no evidence of edema", "pleural effusion"]
+    ref_score = ref_engine.get_similarity_score_from_raw_data(path, query)
+    fw_score = fw_engine.get_similarity_score_from_raw_data(path, query)
+    assert abs(ref_score - fw_score) < 5e-5
