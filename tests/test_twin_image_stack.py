@@ -139,29 +139,37 @@ def test_twin_encoder_output_dim(vendored_r50, fw_params):
 
 
 @pytest.mark.parametrize(
-    "h,w",
-    [(40, 64), (64, 40), (33, 47), (47, 33), (32, 48), (28, 28), (20, 30)],
+    "h,w,resize,crop",
+    [
+        (40, 64, 32, 28), (64, 40, 32, 28), (33, 47, 32, 28), (47, 33, 32, 28),
+        (32, 48, 32, 28), (28, 28, 32, 28), (20, 30, 32, 28),
+        # crop > resize: the pad-before-crop path.  (47, 40) resizes to
+        # (37, 32) — an ODD pad difference on both axes, which separates
+        # torchvision's floor-top/ceil-bottom pad from a round()-centered
+        # out-of-bounds crop (they differ by 1px there)
+        (47, 40, 32, 40), (40, 47, 32, 40), (49, 40, 32, 40), (20, 30, 32, 40),
+    ],
 )
-def test_twin_vendored_transforms_geometry(h, w):
+def test_twin_vendored_transforms_geometry(h, w, resize, crop):
     """create_chest_xray_transform_for_inference (data/transforms.py:28-38:
     Resize -> CenterCrop -> ToTensor -> ExpandChannels) executed with the
     functional PIL primitives vs the framework's preprocess_host — exact
-    equality, including the pad-when-smaller crop case (20, 30)."""
+    equality, including the pad-when-smaller crop cases."""
     from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
         preprocess_host,
     )
 
     mods = load_vendored_image_modules()
     transform = mods["transforms"].create_chest_xray_transform_for_inference(
-        resize=32, center_crop_size=28
+        resize=resize, center_crop_size=crop
     )
-    assert mods["transforms"].infer_resize_params(transform.transforms) == (32, 28)
+    assert mods["transforms"].infer_resize_params(transform.transforms) == (resize, crop)
     rng = np.random.default_rng(h * 100 + w)
     raw = (rng.random((h, w)) * 255).astype(np.uint8)
     from PIL import Image
 
-    ref = transform(Image.fromarray(raw, mode="L")).numpy()  # (3, 28, 28)
-    fw = preprocess_host(raw, size=32, crop=28)  # (28, 28, 3)
+    ref = transform(Image.fromarray(raw, mode="L")).numpy()  # (3, crop, crop)
+    fw = preprocess_host(raw, size=resize, crop=crop)  # (crop, crop, 3)
     np.testing.assert_array_equal(fw.transpose(2, 0, 1), ref)
 
 

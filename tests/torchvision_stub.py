@@ -260,11 +260,26 @@ class CenterCrop:
         self.size = tuple(size)
 
     def __call__(self, img):
+        from PIL import Image
+
         ch, cw = self.size
         w, h = img.size
+        if cw > w or ch > h:
+            # torchvision pads FIRST with a floor-left/top, ceil-right/bottom
+            # split, then crops — one pixel different from a centered
+            # out-of-bounds PIL crop when the difference is odd (round()
+            # would put the extra zero row on top; torchvision puts it on
+            # the bottom)
+            pl = (cw - w) // 2 if cw > w else 0
+            pr = (cw - w + 1) // 2 if cw > w else 0
+            pt = (ch - h) // 2 if ch > h else 0
+            pb = (ch - h + 1) // 2 if ch > h else 0
+            padded = Image.new(img.mode, (w + pl + pr, h + pt + pb), 0)
+            padded.paste(img, (pl, pt))
+            img = padded
+            w, h = img.size
         top = int(round((h - ch) / 2.0))
         left = int(round((w - cw) / 2.0))
-        # PIL zero-fills out-of-bounds crops, matching torchvision's pad path
         return img.crop((left, top, left + cw, top + ch))
 
 
