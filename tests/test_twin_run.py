@@ -1035,6 +1035,85 @@ def test_twin_class_incremental_reference_scale(ref_mod):
     assert drifts["final params"] < 1e-3  # SGD: no Adam moment amplification
 
 
+@pytest.mark.slow
+def test_twin_data_incremental_reference_scale(ref_mod):
+    """The data-incremental twin at ITS BASELINE.md operating point:
+    191,027 rows in 20 contiguous parts, batch 6144, 10 epochs/part, Adam
+    lr 1e-4, myCL per-step weight reset with threshold scheduling
+    (DATA_INCREMENTAL.py:48-63).  Completes the reference-scale trio
+    (joint-Adam, class-inc-SGD, data-inc-myCL): here the knife-edge
+    surface is the per-step |delta| reset MASK — 400 steps of min-max
+    threshold comparisons over 394,498 params.
+
+    MEASURED (recorded in PARITY.md): Adam makes most |delta| cluster at
+    ~lr, so the min+t*(max-min) threshold slices through the bulk of the
+    distribution and ~0.11% of mask comparisons (max 434 of 394,498 per
+    step) flip on fp32 noise between the two implementations.  Those
+    flips are LOSS-NEUTRAL — resetting vs keeping a parameter that moved
+    by ~1e-9 changes nothing downstream — so train/val Loss stay pinned
+    at 7.7e-7 / 1.5e-6 across all 400 steps while the reset-count streams
+    differ by up to 434 (0.33% in percentage terms) and final params land
+    1.04e-3 apart (the divergently-reset knife-edge params themselves).
+    A mask-logic BUG would flip entire tensors (percentage-resets off by
+    tens of points) and unpin the loss streams; the tolerances below are
+    set an order above the measured fp32 noise and two below a bug."""
+    import reference_twin as rt
+
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        synthetic_dataset,
+    )
+
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(5, 128)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    tr = synthetic_dataset(191_027, seed=31, class_directions=dirs)
+    va = synthetic_dataset(6144, seed=32, class_directions=dirs)
+    te = synthetic_dataset(6144, seed=33, class_directions=dirs)
+    data = {
+        "train_x": tr.embeddings, "train_y": tr.labels,
+        "val_x": va.embeddings, "val_y": va.labels,
+        "test_x": te.embeddings, "test_y": te.labels,
+    }
+    prompts = ref_prompts(single=False)
+    rt.configure_reference(ref_mod)
+    ref_rec, ref_trainer, init_params = run_reference_data_incremental(
+        ref_mod, prompts, data, parts=20, epochs=10, lr=1e-4,
+        batch_size=6144, eval_batch_size=1024, continual="myCL",
+        threshold=0.01, adder=0.001, threshold_scheduling=True,
+    )
+    cfg = base_cfg(
+        mode="data-inc", parts=20, epochs=10, lr=1e-4, batch_size=6144,
+        eval_batch_size=1024, continual_learning="myCL", threshold=0.01,
+        adder=0.001, threshold_scheduling=True,
+    )
+    bundle = protocols.DataBundle(train=tr, val=va, test=te)
+    with patched_protocols(init_params) as fw_rec:
+        results = protocols.run_data_incremental(cfg, bundle,
+                                                 fw_bank(prompts), log_dir=None)
+    drifts = {}
+    for tag in ("train/Loss", "val/Loss"):
+        r = np.array([v for _, v in stream(ref_rec.scalars, tag)])
+        f = np.array([v for _, v in stream(fw_rec.scalars, tag)])
+        assert len(r) == len(f) > 0
+        drifts[tag] = float(np.abs(r - f).max())
+    for tag in ("monitor-resets/resets", "monitor-resets/updates"):
+        r = np.array([v for _, v in stream(ref_rec.scalars, tag)])
+        f = np.array([v for _, v in stream(fw_rec.scalars, tag)])
+        assert len(r) == len(f) > 0
+        drifts[tag] = float(np.abs(r - f).max())
+    final_ref = rt.reference_final_params(ref_trainer, shared=False)
+    drifts["final params"] = max_param_diff(final_ref, results["trainer"].params)
+    print(f"\ndata-inc reference-scale drift (191,027 rows, 20 parts, bs "
+          f"6144, 10 ep/part, Adam 1e-4 myCL): {drifts}")
+    compare_streams(
+        ref_rec, fw_rec,
+        monitors=[("monitor-resets/threshold-scheduling", 1e-7),
+                  ("monitor-resets/percentage resets", 3e-2)],
+    )
+    assert drifts["monitor-resets/resets"] <= 4000  # measured 434 (0.11%)
+    assert drifts["final params"] < 1e-2  # measured 1.04e-3
+
+
 def test_twin_harness_detects_mutation(ref_mod, data):
     """Meta-test: the twin machinery must FAIL on a real semantic mismatch
     — reference in MAX prompt mode vs framework in MEAN diverges by ~1e-2
