@@ -177,6 +177,53 @@ def test_twin_vlp_full_path(paired_engines, tmp_path, rng, interpolation):
         np.testing.assert_allclose(map2, fw_map, atol=1e-6, equal_nan=True)
 
 
+def test_twin_vendored_overlay_plot(vlp_mod, tmp_path, rng):
+    """The vendored common/visualization.py executes for real:
+    plot_phrase_grounding_similarity_map (:109-120) renders the 3-panel
+    overlay (image / isolines / heatmap+colorbar) from a NaN-margin map,
+    and its _get_isolines_levels helper is twinned directly against the
+    framework plot's level grid."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from reference_twin import _load_vendored
+
+    from incremental_multimodal_medical_learning_ii_tpu.vlp.engine import (
+        plot_phrase_grounding_similarity_map as fw_plot,
+    )
+
+    load_vendored_vlp_module()  # image data/io must be loaded first
+    viz = _load_vendored(
+        "health_multimodal.common.visualization",
+        "health_multimodal/common/visualization.py",
+    )
+    # the helper the isoline panel draws from (default step 0.25)
+    np.testing.assert_allclose(
+        viz._get_isolines_levels(0.25), np.linspace(0.25, 1, 4)
+    )
+    np.testing.assert_allclose(
+        viz._get_isolines_levels(0.2), np.linspace(0.2, 1, 5)
+    )
+    path = _write_png(tmp_path, rng, 40, 48, name="overlay.png")
+    sim = rng.normal(scale=0.3, size=(40, 48)).astype(np.float32)
+    sim[:3, :] = np.nan  # the convert step pads margins with NaN
+    ref_fig = viz.plot_phrase_grounding_similarity_map(path, sim)
+    fw_fig = fw_plot(path, sim)
+    try:
+        ref_titles = [ax.get_title() for ax in ref_fig.axes[:3]]
+        fw_titles = [ax.get_title() for ax in fw_fig.axes[:3]]
+        assert ref_titles == fw_titles == [
+            "Input image", "Similarity isolines", "Similarity heatmap"
+        ]
+        # both attach a colorbar axes beyond the 3 panels
+        assert len(ref_fig.axes) == len(fw_fig.axes) == 4
+    finally:
+        plt.close(ref_fig)
+        plt.close(fw_fig)
+
+
 def test_twin_vlp_multi_prompt_score(paired_engines, tmp_path, rng):
     """get_similarity_score_from_raw_data with a prompt LIST: embeddings are
     mean-pooled before L2-normalisation (vlp/inference_engine.py:42-57)."""
