@@ -85,6 +85,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pred-logit-diff", action="store_true")
     p.add_argument("--change-labels", action="store_true")
     p.add_argument("--xrays-position", choices=["all", "frontal"], default="all")
+    p.add_argument(
+        "--no-shuffle", action="store_true",
+        help="deterministic epoch order (the reference's DataLoaders reshuffle "
+        "every epoch, Trainer.py:238-246; turning that off makes whole runs "
+        "bit-reproducible)",
+    )
     p.add_argument("--log-dir", default="runs")
     p.add_argument("--data-dir", help="dir with train/val/test .npz (or reference .pt) embedding datasets")
     p.add_argument("--synthetic", action="store_true", help="learnable fake data (smoke runs)")
@@ -135,6 +141,7 @@ def config_kwargs(args) -> dict:
         pred_logit_diff=args.pred_logit_diff,
         change_labels=args.change_labels,
         xrays_position=args.xrays_position,
+        shuffle_train=not args.no_shuffle,
     )
 
 

@@ -76,7 +76,7 @@ def main(argv=None) -> None:
         "optim": "adam", "single_prompt": False, "max_emb": False,
         "shared": False, "train_logit_pos": False, "pred_logit_diff": False,
         "new_prompts": False, "change_labels": False, "xrays_position": "all",
-        "no_image_adapter": False, "no_text_adapter": False,
+        "no_image_adapter": False, "no_text_adapter": False, "no_shuffle": False,
     }  # --seed is NOT pinned: gate configs and the rehearsal RNG honor it
     ignored = [k for k, v in defaults.items() if getattr(args, k) != v]
     if ignored:

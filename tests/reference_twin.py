@@ -785,6 +785,108 @@ def run_reference_class_incremental(
 
 
 # ----------------------------------------------------------------------
+# L4 driver scripts executed AS COMMITTED (runpy): the loops above mirror
+# the three __main__ blocks for configurable twins; these run the actual
+# driver FILES so the glue itself (constant flow, threshold scheduling,
+# model_copy guards, last_batch threading, val/test cadence, final save)
+# is ground truth too.  Patch boundary: Trainer._preprocessing (the
+# torch.load of the author's local embeddingDataset/*.pt — substituted
+# with synthetic loaders), SummaryWriter (recorder; the REAL run-name
+# construction still executes and is captured), playsound, and the
+# drivers' unused `health_multimodal.text.utils` import.
+# ----------------------------------------------------------------------
+def _install_driver_stubs() -> list:
+    """playsound + health_multimodal.text.utils stubs for the driver-script
+    imports; returns the (shared) list playsound calls append to."""
+    _install_stubs()
+    if "playsound" not in sys.modules:
+        ps = _stub_module("playsound")
+        ps.calls = []
+        ps.playsound = lambda path, block=True: ps.calls.append(path)
+        sys.modules["playsound"] = ps
+    hm_text = sys.modules["health_multimodal.text"]
+    if "health_multimodal.text.utils" not in sys.modules:
+        hm_utils = _stub_module("health_multimodal.text.utils")
+        hm_utils.get_cxr_bert_inference = lambda: _text_engine_factory[0]()
+        hm_text.utils = hm_utils
+        sys.modules["health_multimodal.text.utils"] = hm_utils
+    return sys.modules["playsound"].calls
+
+
+def run_reference_driver_script(script: str, data, tmp_path, *,
+                                eval_batch_size: int = 1024):
+    """Execute ``/root/reference/<script>`` via runpy with its committed
+    constants (seed 27, bs 6144, lr 1e-4, 10 epochs, ...).  The synthetic
+    loaders are deterministic and single-batch at the committed batch
+    sizes (n_rows < 1024 < 6144), so every compared stream is invariant
+    to the reference DataLoaders' reshuffling.  The train loader's dataset
+    is a two-chunk ConcatDataset exactly like the author's glued shards
+    (glue_dataset.py:33-37), so ``concat_to_tensor_dataloader`` and both
+    splitters execute for real on the class/data-incremental paths.
+
+    Returns ``(rec, script_globals, init_params, w_path)``; the script's
+    final ``trainer.save()`` lands in ``rec.log_dir`` for real."""
+    import os
+    import runpy
+
+    import torch
+    from torch.utils.data import ConcatDataset, DataLoader, TensorDataset
+
+    mod = load_reference_trainer_module()
+    sound_calls = _install_driver_stubs()
+    n_sounds = len(sound_calls)
+    rec = RefRecorder()
+    rec.log_dir = str(tmp_path / "ref_run")
+    os.makedirs(rec.log_dir, exist_ok=True)
+    w_paths: List[str] = []
+    captured_inits: List[Dict] = []
+
+    def fake_pre(chex_competition, xrays_position, batch_size):
+        assert chex_competition, "drivers run the chex-competition branch"
+        halves = []
+        for sl in (slice(0, len(data["train_x"]) // 2),
+                   slice(len(data["train_x"]) // 2, None)):
+            halves.append(TensorDataset(
+                torch.from_numpy(data["train_x"][sl].copy()),
+                torch.from_numpy(data["train_y"][sl].copy())))
+        train_loader = DataLoader(ConcatDataset(halves), batch_size=batch_size,
+                                  shuffle=False, num_workers=0)
+        val_loader = make_loader(data["val_x"], data["val_y"], eval_batch_size)
+        test_loader = make_loader(data["test_x"], data["test_y"], eval_batch_size)
+        return (CLASS_NAMES, "-chex", train_loader, val_loader, test_loader,
+                None)
+
+    def fake_writer(w_path):
+        w_paths.append(w_path)
+        return rec
+
+    orig_trainer_cls = mod.Trainer
+    orig_pre = orig_trainer_cls.__dict__["_preprocessing"]
+    orig_writer_cls = mod.SummaryWriter
+
+    class RecordingTrainer(orig_trainer_cls):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            captured_inits.append(reference_initial_params(self, mod.SHARED))
+
+    orig_trainer_cls._preprocessing = staticmethod(fake_pre)
+    mod.SummaryWriter = fake_writer
+    mod.Trainer = RecordingTrainer
+    try:
+        g = runpy.run_path(os.path.join(REF_DIR, script), run_name="__main__")
+    finally:
+        orig_trainer_cls._preprocessing = orig_pre
+        mod.SummaryWriter = orig_writer_cls
+        mod.Trainer = orig_trainer_cls
+    # the incremental drivers swallow exceptions (`except Exception: print`,
+    # DATA_INCREMENTAL.py:91-92) — make a silently-dead run loud here
+    assert len(sound_calls) == n_sounds + 1, "driver did not reach its finally"
+    assert captured_inits, "driver never constructed a Trainer"
+    assert stream(rec.scalars, "train/Loss"), "driver trained nothing (swallowed?)"
+    return rec, g, captured_inits[0], w_paths[0]
+
+
+# ----------------------------------------------------------------------
 # Stream comparison
 # ----------------------------------------------------------------------
 def stream(scalars: List[Tuple[str, float, int]], tag: str) -> List[Tuple[int, float]]:
@@ -859,6 +961,8 @@ def patched_protocols(init_params, permutation_source=None):
     from incremental_multimodal_medical_learning_ii_tpu.engine import protocols
 
     rec = make_fw_recorder()
+    rec.trainers, rec.cfgs = [], []  # exposed for CLI-driver twins (the CLI
+    # mains return None, so the trainer/config must be captured here)
     orig_writer, orig_trainer = protocols._make_writer, protocols.Trainer
 
     def factory(cfg, bank, writer, mesh=None):
@@ -868,6 +972,8 @@ def patched_protocols(init_params, permutation_source=None):
             t.state = t.state._replace(params=p, opt_state=t.tx.init(p))
         if permutation_source is not None:
             t.permutation_source = permutation_source
+        rec.trainers.append(t)
+        rec.cfgs.append(cfg)
         return t
 
     protocols._make_writer = lambda cfg, log_dir: rec
