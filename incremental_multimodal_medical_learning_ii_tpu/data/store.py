@@ -70,12 +70,53 @@ class EmbeddingDataset:
 
     @staticmethod
     def load_torch_pt(path: str | Path) -> "EmbeddingDataset":
-        """Load a reference-format torch ``TensorDataset`` checkpoint."""
+        """Load a reference-format torch dataset checkpoint.
+
+        The reference saves three shapes of ``.pt`` dataset: plain
+        ``TensorDataset`` shards (chexpert-get-embedding.py:86-113),
+        ``ConcatDataset`` of shards — the actual format of the
+        ``embeddings_dataset_final_old.pt`` files ``Trainer._preprocessing``
+        loads (glue_dataset.py:33-37) — and ``Subset`` head/tail splits
+        (splitTrainingEmbedding.py:17-29).  All three load here.
+        """
         import torch  # local import: torch is optional at runtime
 
         ds = torch.load(path, map_location="cpu", weights_only=False)
+        return EmbeddingDataset._from_torch_dataset(ds)
+
+    @staticmethod
+    def _from_torch_dataset(ds) -> "EmbeddingDataset":
+        import torch.utils.data as tud
+
+        if isinstance(ds, tud.ConcatDataset):
+            return EmbeddingDataset.concat(
+                [EmbeddingDataset._from_torch_dataset(d) for d in ds.datasets]
+            )
+        if isinstance(ds, tud.Subset):
+            base = EmbeddingDataset._from_torch_dataset(ds.dataset)
+            idx = np.asarray(list(ds.indices), dtype=np.int64)
+            # the reference's splitTrainingEmbedding Subsets were built
+            # against the full 191k dataset; clamp-free bounds check so a
+            # truncated base surfaces loudly instead of wrapping
+            if len(idx) and (idx.min() < 0 or idx.max() >= len(base)):
+                raise ValueError(
+                    f"Subset indices [{idx.min()}, {idx.max()}] out of range "
+                    f"for base dataset of {len(base)} rows"
+                )
+            return base.subset(idx)
         embs, labels = ds.tensors
         return EmbeddingDataset(embs.numpy(), labels.numpy())
+
+    def remove_all_negative(self) -> "EmbeddingDataset":
+        """Drop rows whose labels are all zero.
+
+        The embedding-level counterpart of the reference's
+        ``CSV_reformatting/new_test_set_senza sani.py:21-32`` (mask
+        ``sum(Y, dim=1) > 0`` over a cached embedding dataset);
+        ``ChexpertManifest.remove_all_negative`` is the CSV-level one.
+        """
+        keep = self.labels.sum(axis=1) > 0
+        return EmbeddingDataset(self.embeddings[keep], self.labels[keep])
 
     @staticmethod
     def concat(parts: Sequence["EmbeddingDataset"]) -> "EmbeddingDataset":

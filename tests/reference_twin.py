@@ -389,9 +389,13 @@ def load_vendored_image_modules():
         "health_multimodal.image.inference_engine",
         "health_multimodal/image/inference_engine.py",
     )
-    # the vlp engine imports the engine classes from the package roots
+    # the vlp engine imports the engine classes from the package roots;
+    # chexpert-get-embedding.py / test_first_emb.py import the model factory
     sys.modules["health_multimodal.image"].ImageInferenceEngine = (
         mods["engine"].ImageInferenceEngine
+    )
+    sys.modules["health_multimodal.image"].get_biovil_resnet = (
+        mods["model"].get_biovil_resnet
     )
     return mods
 
