@@ -54,6 +54,84 @@ REF_DIR = "/root/reference"
 EMB_DIM = 128
 
 # ----------------------------------------------------------------------
+# Script-execution helpers (utility/driver-script twins): the reference
+# scripts hard-code Windows paths, which on Linux are ordinary relative
+# filenames containing backslashes — materialising files under those
+# literal names in a temp cwd lets runpy execute the scripts UNPATCHED.
+# ----------------------------------------------------------------------
+@contextlib.contextmanager
+def chdir(path):
+    import os
+
+    old = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(old)
+
+
+@contextlib.contextmanager
+def serial_dataloaders():
+    """Clamp torch DataLoader workers to 0 — an execution-environment knob,
+    not semantics: the committed scripts use 1-4 forked workers, which are
+    hang-prone in a JAX-initialised 1-vCPU test process; with their
+    ``shuffle=False`` extraction loaders (and single-batch training
+    loaders) the order and math are identical at ``num_workers=0``."""
+    import torch.utils.data as tud
+
+    orig = tud.DataLoader.__init__
+
+    def patched(self, *args, **kwargs):
+        kwargs["num_workers"] = 0
+        orig(self, *args, **kwargs)
+
+    tud.DataLoader.__init__ = patched
+    try:
+        yield
+    finally:
+        tud.DataLoader.__init__ = orig
+
+
+@contextlib.contextmanager
+def reference_script_env(cwd):
+    """chdir + serial loaders + torch>=2.6 pickle allowlist for the three
+    Dataset classes the reference's scripts save/load whole (its code
+    predates the ``weights_only=True`` default; ``load_torch_pt`` passes
+    ``weights_only=False`` itself)."""
+    import torch
+    from torch.utils.data import ConcatDataset, Subset, TensorDataset
+
+    with chdir(cwd), serial_dataloaders(), torch.serialization.safe_globals(
+        [TensorDataset, ConcatDataset, Subset]
+    ):
+        yield
+
+
+def run_reference_script(relpath: str, cwd) -> dict:
+    """runpy-execute ``/root/reference/<relpath>`` as ``__main__`` in
+    ``cwd`` and return its globals."""
+    import os
+    import runpy
+
+    if REF_DIR not in sys.path:
+        sys.path.insert(0, REF_DIR)
+    with reference_script_env(cwd):
+        return runpy.run_path(
+            os.path.join(REF_DIR, relpath), run_name="__main__"
+        )
+
+
+def mkflat_parent(cwd, flat_name: str) -> None:
+    """torch>=2.6's save() checks that the backslash-split 'parent' of a
+    relative path exists even on Linux; a flat directory bearing that
+    literal name satisfies the check while the artifact still lands under
+    the flat backslash filename the scripts later load."""
+    parent = flat_name.rsplit("\\", 1)[0]
+    (cwd / parent).mkdir(exist_ok=True)
+
+
+# ----------------------------------------------------------------------
 # Deterministic prompt encoder shared by BOTH sides
 # ----------------------------------------------------------------------
 def fake_encode(texts: Sequence[str], seed: int = 123) -> np.ndarray:
@@ -818,7 +896,8 @@ def _install_driver_stubs() -> list:
 
 
 def run_reference_driver_script(script: str, data, tmp_path, *,
-                                eval_batch_size: int = 1024):
+                                eval_batch_size: int = 1024,
+                                real_preprocessing_cwd=None):
     """Execute ``/root/reference/<script>`` via runpy with its committed
     constants (seed 27, bs 6144, lr 1e-4, 10 epochs, ...).  The synthetic
     loaders are deterministic and single-batch at the committed batch
@@ -827,6 +906,14 @@ def run_reference_driver_script(script: str, data, tmp_path, *,
     is a two-chunk ConcatDataset exactly like the author's glued shards
     (glue_dataset.py:33-37), so ``concat_to_tensor_dataloader`` and both
     splitters execute for real on the class/data-incremental paths.
+
+    With ``real_preprocessing_cwd`` set (and ``data=None``), NOTHING on the
+    data path is patched: the REAL ``Trainer._preprocessing``
+    (Trainer.py:204-256) executes inside that cwd, ``torch.load``-ing the
+    committed literal ``embeddingDataset\\...\\embeddings_dataset_final_old.pt``
+    paths, building its shuffling DataLoaders (single-batch at the
+    committed sizes, so streams stay permutation-invariant) and running
+    the real t-SNE subset filters.
 
     Returns ``(rec, script_globals, init_params, w_path)``; the script's
     final ``trainer.save()`` lands in ``rec.log_dir`` for real."""
@@ -873,11 +960,16 @@ def run_reference_driver_script(script: str, data, tmp_path, *,
             super().__init__(*a, **k)
             captured_inits.append(reference_initial_params(self, mod.SHARED))
 
-    orig_trainer_cls._preprocessing = staticmethod(fake_pre)
+    if real_preprocessing_cwd is None:
+        orig_trainer_cls._preprocessing = staticmethod(fake_pre)
     mod.SummaryWriter = fake_writer
     mod.Trainer = RecordingTrainer
     try:
-        g = runpy.run_path(os.path.join(REF_DIR, script), run_name="__main__")
+        with contextlib.ExitStack() as stack:
+            if real_preprocessing_cwd is not None:
+                assert data is None, "real _preprocessing loads its own data"
+                stack.enter_context(reference_script_env(real_preprocessing_cwd))
+            g = runpy.run_path(os.path.join(REF_DIR, script), run_name="__main__")
     finally:
         orig_trainer_cls._preprocessing = orig_pre
         mod.SummaryWriter = orig_writer_cls

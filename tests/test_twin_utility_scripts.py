@@ -16,10 +16,10 @@ names in a temp cwd lets ``runpy`` execute the scripts UNPATCHED — real
 ``torch.load``/``torch.save``/``pd.read_csv`` on the committed paths.  The
 only substitutions are the harness's standing ones (functional torchvision
 primitives, tests/torchvision_stub.py) plus a DataLoader worker-count clamp
-(``serial_dataloaders`` below — an execution-environment knob, not
-semantics: forked loader workers in a JAX-initialised 1-vCPU test process
-are hang-prone, and with ``shuffle=False`` the order and math are identical
-at ``num_workers=0``).
+(``reference_twin.serial_dataloaders`` — an execution-environment knob,
+not semantics: forked loader workers in a JAX-initialised 1-vCPU test
+process are hang-prone, and with ``shuffle=False`` the order and math are
+identical at ``num_workers=0``).
 
 The framework side consumes the scripts' real on-disk artifacts through its
 own product surfaces: ``EmbeddingDataset.load_torch_pt`` (TensorDataset /
@@ -29,11 +29,6 @@ ConcatDataset / Subset — the three shapes these scripts actually save),
 """
 
 from __future__ import annotations
-
-import contextlib
-import os
-import runpy
-import sys
 
 import numpy as np
 import pytest
@@ -48,11 +43,12 @@ import pandas as pd  # noqa: E402
 from PIL import Image  # noqa: E402
 
 from reference_twin import (  # noqa: E402
-    REF_DIR,
     _install_driver_stubs,
     _install_stubs,
     load_reference_trainer_module,
     make_vendored_image_model,
+    mkflat_parent,
+    run_reference_script as run_script,
 )
 
 from incremental_multimodal_medical_learning_ii_tpu.data.manifest import (  # noqa: E402
@@ -74,63 +70,6 @@ RESNET_PT = (
 )
 TEST_IMG_PREFIX = "C:\\Users\\mistr\\OneDrive\\Desktop\\real-chexpert\\"
 TRAIN_IMG_PREFIX = "D:\\CheXpert-v1.0\\CheXpert-v1.0\\"
-
-
-@contextlib.contextmanager
-def chdir(path):
-    old = os.getcwd()
-    os.chdir(path)
-    try:
-        yield
-    finally:
-        os.chdir(old)
-
-
-@contextlib.contextmanager
-def serial_dataloaders():
-    """Clamp torch DataLoader workers to 0 for the scripts' committed
-    ``num_workers=4``/``1`` (see module docstring)."""
-    import torch.utils.data as tud
-
-    orig = tud.DataLoader.__init__
-
-    def patched(self, *args, **kwargs):
-        kwargs["num_workers"] = 0
-        orig(self, *args, **kwargs)
-
-    tud.DataLoader.__init__ = patched
-    try:
-        yield
-    finally:
-        tud.DataLoader.__init__ = orig
-
-
-def run_script(relpath: str, cwd) -> dict:
-    """runpy-execute ``/root/reference/<relpath>`` as ``__main__`` in ``cwd``
-    and return its globals."""
-    if REF_DIR not in sys.path:
-        sys.path.insert(0, REF_DIR)
-    # torch >= 2.6 defaults torch.load to weights_only=True; the reference
-    # scripts predate that and load whole Dataset objects — allowlist the
-    # three classes they actually save (an environment-compat shim, not a
-    # semantic patch; load_torch_pt passes weights_only=False itself)
-    from torch.utils.data import ConcatDataset, Subset, TensorDataset
-
-    with chdir(cwd), serial_dataloaders(), torch.serialization.safe_globals(
-        [TensorDataset, ConcatDataset, Subset]
-    ):
-        return runpy.run_path(
-            os.path.join(REF_DIR, relpath), run_name="__main__"
-        )
-
-
-def mkflat_parent(cwd, flat_name: str) -> None:
-    """torch>=2.6's save() checks that the backslash-split 'parent' of a
-    relative path exists even on Linux; a flat directory bearing that
-    literal name satisfies the check while the artifact still lands under
-    the flat backslash filename the scripts later load."""
-    parent = flat_name.rsplit("\\", 1)[0]
-    (cwd / parent).mkdir(exist_ok=True)
 
 
 def make_tensor_dataset(rng, n, dim=128):
