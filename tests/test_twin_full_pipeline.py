@@ -190,3 +190,64 @@ def test_twin_full_pipeline_extract_then_train(tmp_path):
         loaded = torch.load(f"{ref_rec.log_dir}/{name}", weights_only=False)
         saved = torch_adapter_params(loaded)
         assert max_param_diff({key: saved}, {key: fw_params[key]}) < PARAM_ATOL
+
+
+def test_twin_real_preprocessing_frontal(tmp_path):
+    """The REAL ``Trainer._preprocessing``'s FRONTAL branch
+    (Trainer.py:228-236 — DATA_INCREMENTAL.py's committed position, the one
+    branch the composed joint twin above doesn't take) executes its actual
+    ``torch.load``s over artifacts at the committed literal paths, and its
+    real t-SNE subset filters (Trainer.py:59-98) are twinned against the
+    framework's ``filter_multiclass`` / ``filter_sani_malati``."""
+    from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+        EmbeddingDataset,
+        filter_multiclass,
+        filter_sani_malati,
+    )
+    from reference_twin import CLASS_NAMES, reference_script_env
+
+    mod = rt.load_reference_trainer_module()
+    rng = np.random.default_rng(13)
+    data = {}
+    for split, n in (("train", 64), ("val", 24), ("test", 24)):
+        x = rng.normal(size=(n, 128)).astype(np.float32)
+        y = (rng.random((n, 5)) < 0.35).astype(np.float32)
+        # seed the exact patterns the t-SNE filters look for
+        y[0] = [1, 0, 0, 0, 0]
+        y[1] = [0, 1, 0, 0, 0]
+        y[2] = [0, 0, 1, 0, 0]
+        y[3] = 0.0
+        y[4] = 1.0
+        data[split] = (x, y)
+        torch.save(
+            torch.utils.data.TensorDataset(
+                torch.from_numpy(x), torch.from_numpy(y)
+            ),
+            tmp_path / (
+                f"embeddingDataset\\{split}\\512-chex-not-normalize-frontal\\"
+                "embeddings_dataset_final_old.pt"
+            ),
+        )
+
+    with reference_script_env(tmp_path):
+        class_names, chex_str, tr, va, te, tsne = mod.Trainer._preprocessing(
+            True, "frontal", 6144
+        )
+
+    assert class_names == CLASS_NAMES and chex_str == "-chex"
+    for loader, (x, y) in ((tr, data["train"]), (va, data["val"]),
+                           (te, data["test"])):
+        np.testing.assert_array_equal(loader.dataset.tensors[0].numpy(), x)
+        np.testing.assert_array_equal(loader.dataset.tensors[1].numpy(), y)
+    assert (tr.batch_size, va.batch_size, te.batch_size) == (6144, 1024, 1024)
+
+    fw_train = EmbeddingDataset(*data["train"])
+    for ref_loader, fw_subset in (
+        (tsne[0], filter_multiclass(fw_train)),
+        (tsne[1], filter_sani_malati(fw_train)),
+    ):
+        assert len(ref_loader.dataset) == len(fw_subset) > 0
+        ref_x = np.stack([inp.numpy() for inp, _ in ref_loader.dataset])
+        ref_y = np.stack([lbl.numpy() for _, lbl in ref_loader.dataset])
+        np.testing.assert_array_equal(ref_x, fw_subset.embeddings)
+        np.testing.assert_array_equal(ref_y, fw_subset.labels)
