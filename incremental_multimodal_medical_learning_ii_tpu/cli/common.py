@@ -91,6 +91,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         "every epoch, Trainer.py:238-246; turning that off makes whole runs "
         "bit-reproducible)",
     )
+    p.add_argument(
+        "--fused-unit", action="store_true",
+        help="fuse each incremental unit's epochs (a data-inc part / "
+        "class-inc task) into ONE dispatched XLA program — one device "
+        "round-trip per unit instead of per epoch (engine/steps.py::"
+        "build_fused_unit). Joint mode ignores it (the reference "
+        "evaluates between epochs).",
+    )
     p.add_argument("--log-dir", default="runs")
     p.add_argument("--data-dir", help="dir with train/val/test .npz (or reference .pt) embedding datasets")
     p.add_argument("--synthetic", action="store_true", help="learnable fake data (smoke runs)")
@@ -142,6 +150,7 @@ def config_kwargs(args) -> dict:
         change_labels=args.change_labels,
         xrays_position=args.xrays_position,
         shuffle_train=not args.no_shuffle,
+        fused_unit=args.fused_unit,
     )
 
 

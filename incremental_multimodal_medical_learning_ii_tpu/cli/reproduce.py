@@ -198,6 +198,9 @@ def main(argv=None) -> None:
         cfg = ExperimentConfig(
             mode="class-pos-neg", epochs=epochs, batch_size=batch, lr=0.1,
             optim="sgd", adapter="mlp", shared=True, seed=args.seed,
+            # honored (not pinned): same math, one dispatch per task instead
+            # of per epoch — lets --rehearsal A/B the unit-fusion wall time
+            fused_unit=args.fused_unit,
         )
         res = run_class_incremental(
             cfg, bundle, bank_for(cfg), log_dir=args.log_dir, mesh=mesh,

@@ -229,19 +229,35 @@ def run_data_incremental(
     try:
         with maybe_trace(trace_dir):
             for part in range(1 + skip, cfg.parts + 1):
-                for epoch in range(1, cfg.epochs + 1):
-                    count += 1
-                    threshold += cfg.adder  # DATA_INCREMENTAL.py:78
-                    if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                    if cfg.continual_learning == ContinualLearning.PROF_CL:
-                        trainer.model_copy()
-                    trainer.train(
-                        parts[part - 1], epoch, threshold=threshold,
-                        part=part, epochs=cfg.epochs, actual_task=part,
+                if trainer.unit_fusible(parts[part - 1]):
+                    # one dispatch for the whole part: the threshold schedule
+                    # advances host-side exactly as below, then rides into
+                    # the unit program as an (E,) operand
+                    thresholds = []
+                    for _ in range(cfg.epochs):
+                        count += 1
+                        threshold += cfg.adder  # DATA_INCREMENTAL.py:78
+                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                        thresholds.append(threshold)
+                    trainer.train_unit(
+                        parts[part - 1], thresholds, part=part, actual_task=part,
+                        use_prof=cfg.continual_learning == ContinualLearning.PROF_CL,
                     )
-                    if cfg.continual_learning == ContinualLearning.PROF_CL:
-                        trainer.prof_incremental(epoch, cfg.epochs, part, threshold)
+                else:
+                    for epoch in range(1, cfg.epochs + 1):
+                        count += 1
+                        threshold += cfg.adder  # DATA_INCREMENTAL.py:78
+                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                        if cfg.continual_learning == ContinualLearning.PROF_CL:
+                            trainer.model_copy()
+                        trainer.train(
+                            parts[part - 1], epoch, threshold=threshold,
+                            part=part, epochs=cfg.epochs, actual_task=part,
+                        )
+                        if cfg.continual_learning == ContinualLearning.PROF_CL:
+                            trainer.prof_incremental(epoch, cfg.epochs, part, threshold)
                 results[f"val_part{part}"] = trainer.validate(
                     data.val, part, cfg.parts, mode="data-inc", tasks_order=part
                 )
@@ -312,21 +328,38 @@ def run_class_incremental(
     try:
         with maybe_trace(trace_dir):
             for actual_task in range(1 + skip, n_tasks + 1):
-                for epoch in range(1, cfg.epochs + 1):
-                    count += 1
-                    threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
-                    if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                    if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
-                        trainer.model_copy()
-                    last_batch = trainer.train_class_incremental(
-                        tasks[actual_task - 1], epoch,
+                if trainer.unit_fusible(tasks[actual_task - 1]):
+                    thresholds = []
+                    for _ in range(cfg.epochs):
+                        count += 1
+                        threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
+                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                        thresholds.append(threshold)
+                    last_batch = trainer.train_unit(
+                        tasks[actual_task - 1], thresholds,
+                        actual_task=actual_task, last_batch=last_batch,
                         current_task=tasks_order[actual_task - 1],
-                        last_batch=last_batch, threshold=threshold,
-                        actual_task=actual_task, more_labels=cfg.more_labels,
+                        more_labels=cfg.more_labels,
+                        use_prof=(cfg.continual_learning == ContinualLearning.PROF_CL
+                                  and actual_task > 1),
                     )
-                    if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
-                        trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
+                else:
+                    for epoch in range(1, cfg.epochs + 1):
+                        count += 1
+                        threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
+                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                        if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                            trainer.model_copy()
+                        last_batch = trainer.train_class_incremental(
+                            tasks[actual_task - 1], epoch,
+                            current_task=tasks_order[actual_task - 1],
+                            last_batch=last_batch, threshold=threshold,
+                            actual_task=actual_task, more_labels=cfg.more_labels,
+                        )
+                        if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                            trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
                 results[f"val_task{actual_task}"] = trainer.validate(
                     data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
                     final_unit=n_tasks,

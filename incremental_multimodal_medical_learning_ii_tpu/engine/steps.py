@@ -199,29 +199,84 @@ def build_fused_epoch(
     source).  With ``shuffle_train=False`` perm is ignored (pass a 0-size
     array) and the gather is skipped entirely (compile-time branch).
     """
+    core = _train_core(pair, tx, cfg)
+
     def epoch(state: TrainState, embs, labels, valid, bank, class_mask, threshold, perm):
-        # One epoch-level permutation gather OUTSIDE the scan; the scan then
-        # streams contiguous (B, D) slabs (cheap to compile and to run —
-        # per-batch gathers inside the scan body compile far slower).
-        b = cfg.batch_size
-        if cfg.shuffle_train:
-            embs_s = jnp.take(embs, perm, axis=0).reshape(-1, b, embs.shape[1])
-            labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
-            valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
-        else:
-            embs_s = embs.reshape(-1, b, embs.shape[1])
-            labels_s = labels.reshape(-1, b, labels.shape[1])
-            valid_s = valid.reshape(-1, b)
-
-        core = _train_core(pair, tx, cfg)
-
-        def body(st, batch):
-            b_embs, b_labels, b_mask = batch
-            return core(st, b_embs, b_labels, b_mask, class_mask, bank, threshold)
-
-        return jax.lax.scan(body, state, (embs_s, labels_s, valid_s))
+        return _epoch_scan(core, cfg, state, embs, labels, valid, bank, class_mask, threshold, perm)
 
     return jax.jit(epoch, donate_argnums=(0,))
+
+
+def _epoch_scan(core, cfg, state, embs, labels, valid, bank, class_mask, threshold, perm):
+    """One epoch as a lax.scan over batch slabs (shared by the fused epoch
+    and the fused unit).  One epoch-level permutation gather OUTSIDE the
+    scan; the scan then streams contiguous (B, D) slabs (cheap to compile
+    and to run — per-batch gathers inside the scan body compile far
+    slower)."""
+    b = cfg.batch_size
+    if cfg.shuffle_train:
+        embs_s = jnp.take(embs, perm, axis=0).reshape(-1, b, embs.shape[1])
+        labels_s = jnp.take(labels, perm, axis=0).reshape(-1, b, labels.shape[1])
+        valid_s = jnp.take(valid, perm, axis=0).reshape(-1, b)
+    else:
+        embs_s = embs.reshape(-1, b, embs.shape[1])
+        labels_s = labels.reshape(-1, b, labels.shape[1])
+        valid_s = valid.reshape(-1, b)
+
+    def body(st, batch):
+        b_embs, b_labels, b_mask = batch
+        return core(st, b_embs, b_labels, b_mask, class_mask, bank, threshold)
+
+    return jax.lax.scan(body, state, (embs_s, labels_s, valid_s))
+
+
+def build_fused_unit(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+    use_prof: bool = False,
+) -> Callable:
+    """A WHOLE incremental unit — all E epochs of one data-inc part or one
+    class-inc task — as ONE jitted program: ``lax.scan`` over epochs around
+    the fused-epoch scan over batches.
+
+    The reference (and this trainer's per-epoch fused path) dispatches once
+    per epoch; through a tunneled device link each dispatch's readback costs
+    a full round-trip (~30-750 ms measured here), so a 10-epoch unit pays
+    10 RTTs for ~76 ms of device work.  The unit program pays ONE.  The
+    per-epoch driver bookkeeping moves inside: the myCL threshold schedule
+    becomes an (E,) operand (``DATA_INCREMENTAL.py:78`` advances threshold
+    every epoch), the per-epoch shuffle orders an (E, n_pad) operand, and
+    the profCL snapshot/reset pair (``model_copy`` + ``profIncremental``,
+    CLASS_INCREMENTAL.py:73-88) runs between epoch scans on-device.
+
+    Returns ``unit(state, embs, labels, valid, bank, class_mask,
+    thresholds (E,), perms (E, n_pad) or (E, 0)) -> (state, stacked)``
+    where every metric in ``stacked`` has a leading (E, n_batches) shape;
+    with ``use_prof`` the per-epoch reset counts are stacked under
+    ``prof_n_reset`` / ``prof_n_updated`` (E,).
+    """
+    core = _train_core(pair, tx, cfg)
+    applications = 2 if cfg.shared else 1
+
+    def unit(state: TrainState, embs, labels, valid, bank, class_mask, thresholds, perms):
+        def epoch_body(st, per_epoch):
+            threshold, perm = per_epoch
+            snapshot = st.params if use_prof else None
+            st, stacked = _epoch_scan(
+                core, cfg, st, embs, labels, valid, bank, class_mask, threshold, perm
+            )
+            if use_prof:
+                params, n_reset, n_updated = weight_reset(
+                    st.params, snapshot, threshold, applications=applications
+                )
+                st = st._replace(params=params)
+                stacked = dict(stacked, prof_n_reset=n_reset, prof_n_updated=n_updated)
+            return st, stacked
+
+        return jax.lax.scan(epoch_body, state, (thresholds, perms))
+
+    return jax.jit(unit, donate_argnums=(0,))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -45,6 +45,7 @@ from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
     build_eval_step,
     build_fused_epoch,
     build_fused_eval,
+    build_fused_unit,
     build_train_step,
     init_train_state,
 )
@@ -145,6 +146,10 @@ class Trainer:
         self._device_data_cache: dict = {}
         self._cache_refs: dict = {}  # id(dataset) -> weakref.ref
         self._epoch_counter = 0
+        # fused-UNIT programs (all E epochs of an incremental unit in one
+        # dispatch, engine/steps.py::build_fused_unit), built lazily per
+        # profCL-flag since the epoch-boundary reset changes the program
+        self._fused_unit_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Host-side stream state (for bit-reproducible resume)
@@ -469,6 +474,133 @@ class Trainer:
         if use_my_cl and last_metrics is not None and "n_reset" in last_metrics:
             self._log_reset_counts(last_metrics, pending[-1][0])
         return n_b
+
+    # ------------------------------------------------------------------
+    # Fused unit: all E epochs of one incremental unit in ONE dispatch
+    # ------------------------------------------------------------------
+    def unit_fusible(self, dataset) -> bool:
+        """Whether :meth:`train_unit` can run this dataset: the opt-in flag
+        is set, the fused-epoch machinery exists, and the data is an
+        HBM-residentable :class:`EmbeddingDataset` (native mmap stores
+        stream from C++ and stay on the per-batch path)."""
+        return (
+            self.cfg.fused_unit
+            and self._fused_epoch is not None
+            and isinstance(dataset, EmbeddingDataset)
+        )
+
+    def train_unit(
+        self,
+        dataset: EmbeddingDataset,
+        thresholds: Sequence[float],
+        *,
+        part: Optional[int] = None,
+        actual_task: Optional[int] = None,
+        last_batch: int = 0,
+        current_task: Optional[int] = None,
+        more_labels: bool = False,
+        use_prof: bool = False,
+    ) -> int:
+        """All ``len(thresholds)`` epochs of one unit (a data-incremental
+        part or a class-incremental task) as ONE on-device program
+        (engine/steps.py::build_fused_unit): the per-epoch dispatch+readback
+        round-trips collapse to one, with the myCL threshold schedule, the
+        per-epoch shuffle orders, and the profCL snapshot/reset inside the
+        scan.  TB streams, counters, and RNG consumption are identical to
+        ``epochs`` consecutive :meth:`train` / :meth:`train_class_incremental`
+        calls (the twin suite pins this).  Returns ``last_batch + E * n_b``
+        for the class-incremental iteration threading."""
+        import jax.numpy as jnp
+
+        from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+            epoch_permutation,
+        )
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
+        cfg = self.cfg
+        n_epochs = len(thresholds)
+        use_my_cl = (
+            cfg.continual_learning == ContinualLearning.MY_CL
+            and actual_task is not None
+            and actual_task > 1
+        )
+        if current_task is None:
+            class_mask = np.ones(NUM_CLASSES, np.float32)
+        else:
+            class_mask = np.zeros(NUM_CLASSES, np.float32)
+            if more_labels:
+                class_mask[: current_task + 1] = 1.0
+            else:
+                class_mask[current_task] = 1.0
+        d_embs, d_labels, d_valid = self._device_data(dataset)
+        n, n_pad = len(dataset), int(d_embs.shape[0])
+        # per-epoch orders, consuming the SAME counters/streams as E
+        # individual _train_fused calls (bit-reproducible resume relies on
+        # the counters; the twins rely on the injected-order consumption)
+        perms = []
+        for _ in range(n_epochs):
+            self._epoch_counter += 1
+            if not cfg.shuffle_train:
+                perms.append(jnp.zeros((0,), jnp.int32))
+            elif self.permutation_source is not None:
+                real = self._injected_permutation(n)
+                perms.append(jnp.asarray(np.concatenate(
+                    [real.astype(np.int32), np.arange(n, n_pad, dtype=np.int32)]
+                )))
+            else:
+                self._perm_counter += 1
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter
+                )
+                perms.append(epoch_permutation(key, n, n_pad))
+        d_perms = jnp.stack(perms)
+        # the threshold operand only feeds the myCL per-step reset and the
+        # profCL epoch reset; zeros make both exact no-ops (|delta| < min
+        # is false everywhere), matching the per-epoch path's
+        # `threshold if use_my_cl else 0.0`
+        eff = thresholds if (use_my_cl or use_prof) else [0.0] * n_epochs
+        d_thresholds = jnp.asarray(np.asarray(eff, np.float32))
+
+        fused_unit = self._fused_unit_cache.get(use_prof)
+        if fused_unit is None:
+            fused_unit = build_fused_unit(self.pair, self.tx, cfg, use_prof=use_prof)
+            self._fused_unit_cache[use_prof] = fused_unit
+        with annotate("fused-train-unit"):
+            self.state, stacked = fused_unit(
+                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
+                d_thresholds, d_perms,
+            )
+            fetched = jax.device_get(stacked)
+        prof_nr = fetched.pop("prof_n_reset", None)
+        prof_nu = fetched.pop("prof_n_updated", None)
+        n_b = fetched["loss"].shape[1]
+        epochs_for_base = cfg.epochs
+        for e in range(n_epochs):
+            if n_b:
+                pending = []
+                for i in range(n_b):
+                    metrics = {k: v[e, i] for k, v in fetched.items()}
+                    metrics["_step"] = self._py_step
+                    self._py_step += 1
+                    if part is not None:
+                        iteration = (part - 1) * epochs_for_base * n_b + e * n_b + i + 1
+                    else:
+                        iteration = last_batch + e * n_b + i + 1
+                    pending.append((iteration, metrics))
+                last_metrics = self._flush_train_logs(
+                    pending, cfg, trained_classes=np.nonzero(class_mask)[0]
+                )
+                if use_my_cl and last_metrics is not None and "n_reset" in last_metrics:
+                    self._log_reset_counts(last_metrics, pending[-1][0])
+            if use_prof:
+                # prof_incremental's stream position (Trainer.py:1589-1632)
+                step = ((actual_task or 1) - 1) * epochs_for_base + e + 1
+                self._log_reset_counts(
+                    {"n_reset": prof_nr[e], "n_updated": prof_nu[e]}, step
+                )
+        return last_batch + n_epochs * n_b
 
     # ------------------------------------------------------------------
     # Class-incremental  —  Trainer.py:608-756

@@ -123,6 +123,17 @@ class ExperimentConfig:
     # data (engine/steps.py::build_fused_epoch); falls back to the per-batch
     # path on a multi-chip mesh or non-resident batch sources.
     fused_epoch: bool = True
+    # Fuse ALL epochs of each incremental unit (a data-inc part / class-inc
+    # task) into ONE dispatched program — lax.scan over epochs around the
+    # fused epoch, with the myCL threshold schedule, per-epoch shuffle
+    # orders, and the profCL snapshot/reset as operands/on-device steps
+    # (engine/steps.py::build_fused_unit).  Collapses the per-epoch
+    # dispatch+readback round-trip (~30-750 ms each through a tunneled
+    # link) to one per unit.  Opt-in: the unit program is a NEW compile
+    # (minutes through a remote-compile terminal the first time), and
+    # joint mode cannot use it (the reference evaluates between epochs).
+    # Requires fused_epoch; ignored for native batch sources.
+    fused_unit: bool = False
     # Reference trains with a reshuffling DataLoader (Trainer.py:238-240).
     # False iterates batches in dataset order — used by most twin-run parity
     # configs (tests/test_twin_run.py) to lockstep against the reference's

@@ -1,0 +1,193 @@
+"""Fused-unit dispatch == the per-epoch fused path, stream for stream.
+
+``cfg.fused_unit`` runs ALL epochs of one incremental unit (a data-inc
+part / class-inc task) as ONE XLA program (engine/steps.py::
+build_fused_unit), moving the per-epoch driver bookkeeping — the myCL
+threshold schedule (DATA_INCREMENTAL.py:78), per-epoch shuffle orders,
+and the profCL snapshot/reset pair (CLASS_INCREMENTAL.py:73-88) — inside
+the program.  These tests pin that every TB scalar stream and the final
+parameters are IDENTICAL to the default per-epoch path across regimes,
+CL modes, the MAX-gap monitors, and shuffling — so unit fusion is purely
+a dispatch-count optimization, never a semantics change.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from incremental_multimodal_medical_learning_ii_tpu.data.store import (
+    synthetic_dataset,
+)
+from incremental_multimodal_medical_learning_ii_tpu.engine import protocols
+from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
+    DataBundle,
+    run_class_incremental,
+    run_data_incremental,
+    run_zero_joint,
+)
+from incremental_multimodal_medical_learning_ii_tpu.text.bank import (
+    build_prompt_bank,
+    synthetic_encode_fn,
+)
+from incremental_multimodal_medical_learning_ii_tpu.text.prompts import (
+    create_prompts,
+)
+from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
+    CHEXPERT_COMPETITION_TASKS,
+    ExperimentConfig,
+)
+
+
+def _bundle(n_train=400, n_eval=192, seed=7):
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(5, 128)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return DataBundle(
+        train=synthetic_dataset(n_train, seed=1, class_directions=dirs),
+        val=synthetic_dataset(n_eval, seed=2, class_directions=dirs),
+        test=synthetic_dataset(n_eval, seed=3, class_directions=dirs),
+    )
+
+
+def _bank():
+    prompts = create_prompts(CHEXPERT_COMPETITION_TASKS)
+    return build_prompt_bank(
+        synthetic_encode_fn(), prompts, CHEXPERT_COMPETITION_TASKS,
+        train_logit_diff=True,
+    )
+
+
+class _Recorder:
+    """Minimal TBWriter stand-in capturing scalar streams."""
+
+    log_dir = None
+    enabled = True
+
+    def __init__(self):
+        self.scalars = []
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.append((tag, float(value), int(step)))
+
+    def add_figure(self, tag, figure, step=0):
+        import matplotlib.pyplot as plt
+
+        plt.close(figure)
+
+    def add_image(self, *a, **k):
+        pass
+
+    def commit(self):
+        pass
+
+    def discard(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def _run(runner, cfg_kwargs):
+    rec = _Recorder()
+    orig = protocols._make_writer
+    protocols._make_writer = lambda cfg, log_dir: rec
+    try:
+        cfg = ExperimentConfig(plot_figures="off", **cfg_kwargs)
+        results = runner(cfg, _bundle(), _bank(), log_dir=None)
+    finally:
+        protocols._make_writer = orig
+    return rec, results["trainer"]
+
+
+def _assert_identical(kwargs, runner):
+    rec_a, tr_a = _run(runner, dict(kwargs, fused_unit=False))
+    rec_b, tr_b = _run(runner, dict(kwargs, fused_unit=True))
+    tags = {t for t, _, _ in rec_a.scalars}
+    assert tags == {t for t, _, _ in rec_b.scalars}
+    for tag in sorted(tags):
+        a = [(s, v) for t, v, s in rec_a.scalars if t == tag]
+        b = [(s, v) for t, v, s in rec_b.scalars if t == tag]
+        assert [s for s, _ in a] == [s for s, _ in b], tag
+        np.testing.assert_allclose(
+            [v for _, v in a], [v for _, v in b], rtol=0, atol=0,
+            err_msg=tag,
+        )
+    pa = jax.device_get(tr_a.params)
+    pb = jax.device_get(tr_b.params)
+    for la, lb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_fused_unit_data_incremental_mycl_shuffled():
+    """myCL per-step resets + threshold scheduling + the trainer's own
+    device-RNG shuffle: the unit program must consume the identical
+    fold_in(epoch_counter) permutation stream."""
+    _assert_identical(
+        dict(mode="data-inc", parts=3, epochs=2, batch_size=64,
+             eval_batch_size=64, lr=1e-3, continual_learning="myCL",
+             threshold=0.01, adder=0.001, threshold_scheduling=True,
+             shuffle_train=True),
+        run_data_incremental,
+    )
+
+
+@pytest.mark.slow
+def test_fused_unit_data_incremental_profcl():
+    """profCL: model_copy + epoch reset move inside the scan; the
+    monitor-resets streams (counts at (part-1)*epochs+epoch) must match."""
+    _assert_identical(
+        dict(mode="data-inc", parts=2, epochs=3, batch_size=64,
+             eval_batch_size=64, lr=1e-3, continual_learning="profCL",
+             threshold=0.05, adder=0.001, threshold_scheduling=True,
+             shuffle_train=False),
+        run_data_incremental,
+    )
+
+
+@pytest.mark.slow
+def test_fused_unit_class_incremental_shared_sgd_permuted_mycl():
+    _assert_identical(
+        dict(mode="class-pos-neg", epochs=2, batch_size=64,
+             eval_batch_size=64, lr=0.1, optim="sgd", shared=True,
+             continual_learning="myCL", threshold=0.01, adder=0.001,
+             tasks_order=(2, 0, 4, 1, 3), shuffle_train=True),
+        run_class_incremental,
+    )
+
+
+@pytest.mark.slow
+def test_fused_unit_class_incremental_more_labels_max_gaps():
+    """MORE_LABELS growing class masks x the raw per-(class,polarity)
+    MAX-gap stream: the gap counters advance per trained class per batch
+    and must land on identical TB steps through the unit program."""
+    _assert_identical(
+        dict(mode="class-pos", epochs=2, batch_size=64, eval_batch_size=64,
+             lr=1e-3, more_labels=True, prompt_mode="max",
+             max_gap_per_class=True, shuffle_train=False),
+        run_class_incremental,
+    )
+
+
+@pytest.mark.slow
+def test_fused_unit_class_incremental_profcl_task_guard():
+    """profCL's class-inc task>1 guard: task 1 must train with NO reset
+    (use_prof off) — a distinct unit program from tasks 2..5."""
+    _assert_identical(
+        dict(mode="class-pos-neg", epochs=2, batch_size=64,
+             eval_batch_size=64, lr=1e-3, continual_learning="profCL",
+             threshold=0.05, adder=0.001, shuffle_train=True),
+        run_class_incremental,
+    )
+
+
+def test_fused_unit_flag_is_inert_for_joint():
+    """Joint mode evaluates between epochs (ZERO_JOINT_BOUNDS.py:33-45),
+    so the flag must not change anything there — it runs per-epoch."""
+    rec_a, tr_a = _run(run_zero_joint,
+                       dict(mode="joint", epochs=2, batch_size=64,
+                            eval_batch_size=64, lr=1e-3, fused_unit=False))
+    rec_b, tr_b = _run(run_zero_joint,
+                       dict(mode="joint", epochs=2, batch_size=64,
+                            eval_batch_size=64, lr=1e-3, fused_unit=True))
+    assert rec_a.scalars == rec_b.scalars

@@ -100,14 +100,19 @@ def _tb_scalars(run_dir):
 
 
 @pytest.mark.slow
-def test_resume_is_bit_reproducible(tmp_path):
+@pytest.mark.parametrize("fused_unit", [False, True],
+                         ids=["per-epoch", "fused-unit"])
+def test_resume_is_bit_reproducible(tmp_path, fused_unit):
     """A resumed run's TB scalars must byte-match an uninterrupted run's:
     the shuffle-rng stream, iteration counters, threshold accumulation and
-    heatmap rows are all restored/replayed (VERDICT r1 weak #6)."""
+    heatmap rows are all restored/replayed (VERDICT r1 weak #6).  The
+    fused-unit variant pins that train_unit advances the SAME persisted
+    counters (epoch/perm/py_step) as per-epoch training, so resume stays
+    bit-reproducible through one-dispatch units."""
     cfg = data_incremental_config(
         batch_size=64, eval_batch_size=64, epochs=2, parts=3, lr=1e-3,
         continual_learning="myCL", threshold=0.1, adder=0.01,
-        threshold_scheduling=True,
+        threshold_scheduling=True, fused_unit=fused_unit,
     )
     bank = _bank()
     bundle = _bundle()

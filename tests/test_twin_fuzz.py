@@ -161,6 +161,9 @@ def sample_config(seed: int) -> dict:
         c["threshold"] = round(rng.uniform(0.004, 0.02), 6)
         c["adder"] = round(rng.uniform(0.0, 0.002), 6)
         c["threshold_scheduling"] = rng.random() < 0.5
+    # drawn LAST so adding this knob kept every earlier field's draw stable
+    # for a given seed (incremental units only; joint evals between epochs)
+    c["fused_unit"] = c["regime"] != "joint" and rng.random() < 0.4
     return c
 
 
@@ -253,7 +256,8 @@ def run_sampled_twin(ref_mod, data, c: dict) -> None:
         train_logit_diff=c["train_logit_diff"],
         pred_logit_diff=c["pred_logit_diff"],
         change_labels=c["change_labels"], new_prompts=c["new_prompts"],
-        fused_epoch=c["fused"], shuffle_train=shuffle_seed is not None,
+        fused_epoch=c["fused"] or c["fused_unit"],
+        fused_unit=c["fused_unit"], shuffle_train=shuffle_seed is not None,
         shared=shared,
         image_adapter=c["wiring"] != "only-text",
         text_adapter=c["wiring"] != "only-image",
@@ -292,19 +296,32 @@ def run_sampled_twin(ref_mod, data, c: dict) -> None:
     with patched_protocols(init_params, permutation_source=perm) as fw_rec:
         results = runner(cfg, bundle, bank, log_dir=None)
 
+    # CL x SGD-0.1 is the measured fp32 knife edge (PARITY.md "reset MASK"
+    # note; found AT TOY SCALE by this fuzzer, seeds 37/42): the reference's
+    # min + t*(max-min) mask slices the bulk of the per-step |delta|
+    # distribution, a handful of comparisons flip on fp32 rounding between
+    # torch and XLA, and at lr 0.1 each flip moves a parameter visibly
+    # (measured here: val/Loss 1.3e-5, params 5e-5) while staying
+    # loss-neutral at the flipped step.  Tolerances widen to sit above the
+    # flip noise but far below any semantic-mismatch signal (the mutation
+    # meta-test's MAX-vs-MEAN mismatch measures 7.6e-3).
+    knife_edge = c["continual"] is not None and c["optim"] == "sgd"
+    loss_atol = 1e-4 if knife_edge else LOSS_ATOL
+    param_atol = 1e-3 if knife_edge else PARAM_ATOL
+    count_atol = 16.0 if knife_edge else 2.0
     for tag in ("train/Loss", "val/Loss"):
         assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag,
-                            atol=LOSS_ATOL)
+                            atol=loss_atol)
     for tag in METRIC_TAGS:
         assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag,
                             atol=METRIC_ATOL)
     if c["prompt_mode"] == "max":
         for tag in ("max-mean-comparison/pos", "max-mean-comparison/neg"):
             assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag,
-                                atol=1e-5)
+                                atol=1e-5 if not knife_edge else 1e-4)
     if c["continual"] is not None:
-        monitors = [("monitor-resets/resets", 2.0),
-                    ("monitor-resets/updates", 2.0),
+        monitors = [("monitor-resets/resets", count_atol),
+                    ("monitor-resets/updates", count_atol),
                     ("monitor-resets/percentage resets", 1e-4)]
         if c.get("threshold_scheduling"):
             monitors.append(("monitor-resets/threshold-scheduling", 1e-7))
@@ -312,7 +329,7 @@ def run_sampled_twin(ref_mod, data, c: dict) -> None:
             assert_stream_match(ref_rec.scalars, fw_rec.scalars, tag,
                                 atol=atol)
     final_ref = rt.reference_final_params(ref_trainer, shared)
-    assert max_param_diff(final_ref, results["trainer"].params) < PARAM_ATOL
+    assert max_param_diff(final_ref, results["trainer"].params) < param_atol
 
 
 @pytest.mark.parametrize("seed", FUZZ_SEEDS)
@@ -336,6 +353,7 @@ def test_sampler_covers_the_space():
     assert {d["prompt_mode"] for d in draws} == {"single", "mean", "max"}
     assert {d.get("continual") for d in draws} == {None, "myCL", "profCL"}
     assert {d["fused"] for d in draws} == {True, False}
+    assert any(d["fused_unit"] for d in draws)
     assert any(d["shuffle_seed"] is not None for d in draws)
     assert any(d["new_prompts"] for d in draws)
     assert any(d.get("more_labels") for d in draws)
