@@ -229,35 +229,31 @@ def run_data_incremental(
     try:
         with maybe_trace(trace_dir):
             for part in range(1 + skip, cfg.parts + 1):
+                # the unit's threshold schedule advances host-side ONCE here
+                # (the fp-accumulation order the resume replay above depends
+                # on); the fused path then rides it in as an (E,) operand
+                thresholds = []
+                for _ in range(cfg.epochs):
+                    count += 1
+                    threshold += cfg.adder  # DATA_INCREMENTAL.py:78
+                    if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                    thresholds.append(threshold)
                 if trainer.unit_fusible(parts[part - 1]):
-                    # one dispatch for the whole part: the threshold schedule
-                    # advances host-side exactly as below, then rides into
-                    # the unit program as an (E,) operand
-                    thresholds = []
-                    for _ in range(cfg.epochs):
-                        count += 1
-                        threshold += cfg.adder  # DATA_INCREMENTAL.py:78
-                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                        thresholds.append(threshold)
                     trainer.train_unit(
                         parts[part - 1], thresholds, part=part, actual_task=part,
                         use_prof=cfg.continual_learning == ContinualLearning.PROF_CL,
                     )
                 else:
-                    for epoch in range(1, cfg.epochs + 1):
-                        count += 1
-                        threshold += cfg.adder  # DATA_INCREMENTAL.py:78
-                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                    for epoch, thr in enumerate(thresholds, start=1):
                         if cfg.continual_learning == ContinualLearning.PROF_CL:
                             trainer.model_copy()
                         trainer.train(
-                            parts[part - 1], epoch, threshold=threshold,
+                            parts[part - 1], epoch, threshold=thr,
                             part=part, epochs=cfg.epochs, actual_task=part,
                         )
                         if cfg.continual_learning == ContinualLearning.PROF_CL:
-                            trainer.prof_incremental(epoch, cfg.epochs, part, threshold)
+                            trainer.prof_incremental(epoch, cfg.epochs, part, thr)
                 results[f"val_part{part}"] = trainer.validate(
                     data.val, part, cfg.parts, mode="data-inc", tasks_order=part
                 )
@@ -328,38 +324,36 @@ def run_class_incremental(
     try:
         with maybe_trace(trace_dir):
             for actual_task in range(1 + skip, n_tasks + 1):
+                # see run_data_incremental: one copy of the schedule per unit
+                thresholds = []
+                for _ in range(cfg.epochs):
+                    count += 1
+                    threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
+                    if cfg.threshold_scheduling and cfg.continual_learning is not None:
+                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
+                    thresholds.append(threshold)
+                use_prof = (cfg.continual_learning == ContinualLearning.PROF_CL
+                            and actual_task > 1)
                 if trainer.unit_fusible(tasks[actual_task - 1]):
-                    thresholds = []
-                    for _ in range(cfg.epochs):
-                        count += 1
-                        threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
-                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                        thresholds.append(threshold)
                     last_batch = trainer.train_unit(
                         tasks[actual_task - 1], thresholds,
                         actual_task=actual_task, last_batch=last_batch,
                         current_task=tasks_order[actual_task - 1],
                         more_labels=cfg.more_labels,
-                        use_prof=(cfg.continual_learning == ContinualLearning.PROF_CL
-                                  and actual_task > 1),
+                        use_prof=use_prof,
                     )
                 else:
-                    for epoch in range(1, cfg.epochs + 1):
-                        count += 1
-                        threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
-                        if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                            writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                        if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
+                    for epoch, thr in enumerate(thresholds, start=1):
+                        if use_prof:
                             trainer.model_copy()
                         last_batch = trainer.train_class_incremental(
                             tasks[actual_task - 1], epoch,
                             current_task=tasks_order[actual_task - 1],
-                            last_batch=last_batch, threshold=threshold,
+                            last_batch=last_batch, threshold=thr,
                             actual_task=actual_task, more_labels=cfg.more_labels,
                         )
-                        if cfg.continual_learning == ContinualLearning.PROF_CL and actual_task > 1:
-                            trainer.prof_incremental(epoch, cfg.epochs, actual_task, threshold)
+                        if use_prof:
+                            trainer.prof_incremental(epoch, cfg.epochs, actual_task, thr)
                 results[f"val_task{actual_task}"] = trainer.validate(
                     data.val, actual_task, cfg.epochs, mode=cfg.mode, tasks_order=tasks_order,
                     final_unit=n_tasks,

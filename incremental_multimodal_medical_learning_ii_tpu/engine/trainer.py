@@ -415,53 +415,46 @@ class Trainer:
             pass  # dataset not weakref-able: skip caching over risking stale hits
         return cached
 
-    def _train_fused(self, dataset, class_mask, threshold, use_my_cl, iteration_of) -> int:
-        """One-lax.scan epoch (engine/steps.py::build_fused_epoch); returns
-        the number of batches run. ``iteration_of(i)`` maps the 0-based
-        batch index to the regime's TB iteration number."""
-        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
-            annotate,
-        )
-
+    def _epoch_perm(self, n: int, n_pad: int):
+        """One epoch's row order, consuming the shared shuffle counters.
+        The bit-reproducible-resume and twin contracts depend on the
+        per-epoch and fused-unit paths consuming ``_epoch_counter`` /
+        ``_perm_counter`` / the injected permutation source in exactly the
+        same order, so this is the ONE place that does it."""
         cfg = self.cfg
-        d_embs, d_labels, d_valid = self._device_data(dataset)
         self._epoch_counter += 1
-        n, n_pad = len(dataset), int(d_embs.shape[0])
         if not cfg.shuffle_train:
-            perm = np.zeros(0, np.int32)  # compile-time-ignored operand
-        elif self.permutation_source is not None:
+            return np.zeros(0, np.int32)  # compile-time-ignored operand
+        if self.permutation_source is not None:
             real = self._injected_permutation(n)
-            perm = np.concatenate(
+            return np.concatenate(
                 [real.astype(np.int32), np.arange(n, n_pad, dtype=np.int32)]
             )
-        else:
-            from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
-                epoch_permutation,
-            )
+        from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
+            epoch_permutation,
+        )
 
-            self._perm_counter += 1
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter
-            )
-            # device-side: real rows permuted, padding at the tail — same
-            # batch composition as the per-batch path / the reference's
-            # DataLoader; no host round-trip for the order
-            perm = epoch_permutation(key, n, n_pad)
-        with annotate("fused-train-epoch"):
-            self.state, stacked = self._fused_epoch(
-                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
-                threshold, perm
-            )
-            fetched = jax.device_get(stacked)
+        self._perm_counter += 1
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter
+        )
+        # device-side: real rows permuted, padding at the tail — same
+        # batch composition as the per-batch path / the reference's
+        # DataLoader; no host round-trip for the order
+        return epoch_permutation(key, n, n_pad)
+
+    def _flush_epoch_metrics(self, fetched, class_mask, use_my_cl, iteration_of) -> None:
+        """Re-shape one epoch's stacked metrics (``{k: (n_batches,) array}``)
+        into the per-batch (iteration, dict) form and delegate to the ONE
+        logging implementation the per-batch path uses (_flush_train_logs:
+        train/Loss, post-step LR, gap pair).  ``iteration_of(i)`` maps the
+        0-based batch index to the regime's TB iteration number."""
         n_b = len(fetched["loss"])
         if n_b == 0:
             # empty unit (split_contiguous tail / class with no positives):
             # nothing trained, nothing to log — mirror the non-fused path's
             # last_metrics-is-None skip instead of indexing empty arrays
-            return 0
-        # re-shape the stacked metrics into the per-batch (iteration, dict)
-        # form and delegate to the ONE logging implementation the per-batch
-        # path uses (_flush_train_logs: train/Loss, post-step LR, gap pair)
+            return
         pending = []
         for i in range(n_b):
             metrics = {k: v[i] for k, v in fetched.items()}
@@ -473,7 +466,26 @@ class Trainer:
         )
         if use_my_cl and last_metrics is not None and "n_reset" in last_metrics:
             self._log_reset_counts(last_metrics, pending[-1][0])
-        return n_b
+
+    def _train_fused(self, dataset, class_mask, threshold, use_my_cl, iteration_of) -> int:
+        """One-lax.scan epoch (engine/steps.py::build_fused_epoch); returns
+        the number of batches run. ``iteration_of(i)`` maps the 0-based
+        batch index to the regime's TB iteration number."""
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
+        d_embs, d_labels, d_valid = self._device_data(dataset)
+        n, n_pad = len(dataset), int(d_embs.shape[0])
+        perm = self._epoch_perm(n, n_pad)
+        with annotate("fused-train-epoch"):
+            self.state, stacked = self._fused_epoch(
+                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
+                threshold, perm
+            )
+            fetched = jax.device_get(stacked)
+        self._flush_epoch_metrics(fetched, class_mask, use_my_cl, iteration_of)
+        return len(fetched["loss"])
 
     # ------------------------------------------------------------------
     # Fused unit: all E epochs of one incremental unit in ONE dispatch
@@ -512,15 +524,16 @@ class Trainer:
         for the class-incremental iteration threading."""
         import jax.numpy as jnp
 
-        from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
-            epoch_permutation,
-        )
         from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
             annotate,
         )
 
         cfg = self.cfg
         n_epochs = len(thresholds)
+        if n_epochs == 0:
+            # eval-only run (epochs=0): nothing to dispatch — match the
+            # per-epoch path, whose epoch loop simply doesn't execute
+            return last_batch
         use_my_cl = (
             cfg.continual_learning == ContinualLearning.MY_CL
             and actual_task is not None
@@ -536,26 +549,13 @@ class Trainer:
                 class_mask[current_task] = 1.0
         d_embs, d_labels, d_valid = self._device_data(dataset)
         n, n_pad = len(dataset), int(d_embs.shape[0])
-        # per-epoch orders, consuming the SAME counters/streams as E
-        # individual _train_fused calls (bit-reproducible resume relies on
-        # the counters; the twins rely on the injected-order consumption)
-        perms = []
-        for _ in range(n_epochs):
-            self._epoch_counter += 1
-            if not cfg.shuffle_train:
-                perms.append(jnp.zeros((0,), jnp.int32))
-            elif self.permutation_source is not None:
-                real = self._injected_permutation(n)
-                perms.append(jnp.asarray(np.concatenate(
-                    [real.astype(np.int32), np.arange(n, n_pad, dtype=np.int32)]
-                )))
-            else:
-                self._perm_counter += 1
-                key = jax.random.fold_in(
-                    jax.random.PRNGKey(cfg.seed + 1), self._epoch_counter
-                )
-                perms.append(epoch_permutation(key, n, n_pad))
-        d_perms = jnp.stack(perms)
+        # per-epoch orders via the ONE shared helper, consuming the SAME
+        # counters/streams as E individual _train_fused calls
+        # (bit-reproducible resume relies on the counters; the twins rely
+        # on the injected-order consumption)
+        d_perms = jnp.stack(
+            [jnp.asarray(self._epoch_perm(n, n_pad)) for _ in range(n_epochs)]
+        )
         # the threshold operand only feeds the myCL per-step reset and the
         # profCL epoch reset; zeros make both exact no-ops (|delta| < min
         # is false everywhere), matching the per-epoch path's
@@ -578,22 +578,14 @@ class Trainer:
         n_b = fetched["loss"].shape[1]
         epochs_for_base = cfg.epochs
         for e in range(n_epochs):
-            if n_b:
-                pending = []
-                for i in range(n_b):
-                    metrics = {k: v[e, i] for k, v in fetched.items()}
-                    metrics["_step"] = self._py_step
-                    self._py_step += 1
-                    if part is not None:
-                        iteration = (part - 1) * epochs_for_base * n_b + e * n_b + i + 1
-                    else:
-                        iteration = last_batch + e * n_b + i + 1
-                    pending.append((iteration, metrics))
-                last_metrics = self._flush_train_logs(
-                    pending, cfg, trained_classes=np.nonzero(class_mask)[0]
-                )
-                if use_my_cl and last_metrics is not None and "n_reset" in last_metrics:
-                    self._log_reset_counts(last_metrics, pending[-1][0])
+            if part is not None:
+                base = (part - 1) * epochs_for_base * n_b + e * n_b
+            else:
+                base = last_batch + e * n_b
+            self._flush_epoch_metrics(
+                {k: v[e] for k, v in fetched.items()}, class_mask, use_my_cl,
+                lambda i, base=base: base + i + 1,
+            )
             if use_prof:
                 # prof_incremental's stream position (Trainer.py:1589-1632)
                 step = ((actual_task or 1) - 1) * epochs_for_base + e + 1

@@ -316,6 +316,54 @@ def load_cxr_bert_snapshot(snapshot_dir):
 # ----------------------------------------------------------------------
 # Reference adapter checkpoints
 # ----------------------------------------------------------------------
+import contextlib
+
+
+@contextlib.contextmanager
+def reference_models_stub():
+    """Make the reference's pickled class paths (``models.myMLP`` /
+    ``models.myLinearModel``, recorded by its whole-module
+    ``torch.save(self.image_adapter, ...)``, Trainer.py:1643-1648)
+    importable for the duration of a ``torch.load`` — WITHOUT leaking a
+    stub into ``sys.modules``, where it would shadow any real ``models``
+    module imported later in the same process (e.g. the reference's own,
+    whose adapter instances must stay picklable by its save path).  A
+    pre-existing ``models`` module is left untouched and used as-is."""
+    import sys
+    import types
+
+    import torch.nn as nn
+
+    if "models" in sys.modules:
+        yield
+        return
+    stub = types.ModuleType("models")
+
+    class myMLP(nn.Module):  # noqa: N801 - pickled class name
+        def __init__(self):
+            super().__init__()
+            self.layer = nn.Sequential(nn.Linear(128, 256), nn.ReLU(), nn.Linear(256, 128))
+
+        def forward(self, x):  # models.py:12-14
+            return self.layer(x)
+
+    class myLinearModel(nn.Module):  # noqa: N801
+        def __init__(self):
+            super().__init__()
+            self.layer = nn.Sequential(nn.Linear(128, 128))
+
+        def forward(self, x):  # models.py:23-25
+            return self.layer(x)
+
+    stub.myMLP = myMLP
+    stub.myLinearModel = myLinearModel
+    sys.modules["models"] = stub
+    try:
+        yield
+    finally:
+        sys.modules.pop("models", None)
+
+
 def load_reference_adapter(path: str) -> Params:
     """Load a reference ``{image,text}_adapter.pt`` into adapter params.
 
@@ -329,36 +377,10 @@ def load_reference_adapter(path: str) -> Params:
     Returns ``{"dense1": {...}}`` (linear) or ``{"dense1", "dense2"}`` (mlp)
     in this framework's adapter layout.
     """
-    import sys
-    import types
-
     import torch
-    import torch.nn as nn
 
-    if "models" not in sys.modules:
-        stub = types.ModuleType("models")
-
-        class myMLP(nn.Module):  # noqa: N801 - pickled class name
-            def __init__(self):
-                super().__init__()
-                self.layer = nn.Sequential(nn.Linear(128, 256), nn.ReLU(), nn.Linear(256, 128))
-
-            def forward(self, x):  # models.py:12-14
-                return self.layer(x)
-
-        class myLinearModel(nn.Module):  # noqa: N801
-            def __init__(self):
-                super().__init__()
-                self.layer = nn.Sequential(nn.Linear(128, 128))
-
-            def forward(self, x):  # models.py:23-25
-                return self.layer(x)
-
-        stub.myMLP = myMLP
-        stub.myLinearModel = myLinearModel
-        sys.modules["models"] = stub
-
-    module = torch.load(path, map_location="cpu", weights_only=False)
+    with reference_models_stub():
+        module = torch.load(path, map_location="cpu", weights_only=False)
     sd = module.state_dict()
     params: Params = {"dense1": _linear(sd, "layer.0")}
     if "layer.2.weight" in sd:

@@ -59,16 +59,7 @@ EMB_DIM = 128
 # filenames containing backslashes — materialising files under those
 # literal names in a temp cwd lets runpy execute the scripts UNPATCHED.
 # ----------------------------------------------------------------------
-@contextlib.contextmanager
-def chdir(path):
-    import os
-
-    old = os.getcwd()
-    os.chdir(path)
-    try:
-        yield
-    finally:
-        os.chdir(old)
+chdir = contextlib.chdir  # stdlib since 3.11; alias keeps call sites short
 
 
 @contextlib.contextmanager

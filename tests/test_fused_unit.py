@@ -181,6 +181,17 @@ def test_fused_unit_class_incremental_profcl_task_guard():
     )
 
 
+def test_fused_unit_epochs_zero_eval_only():
+    """epochs=0 (an eval-only sweep over the units): the fused path must
+    handle the empty threshold schedule — previously ``jnp.stack([])``
+    crashed where the per-epoch path just skipped its epoch loop."""
+    _assert_identical(
+        dict(mode="data-inc", parts=2, epochs=0, batch_size=64,
+             eval_batch_size=64, lr=1e-3),
+        run_data_incremental,
+    )
+
+
 def test_fused_unit_flag_is_inert_for_joint():
     """Joint mode evaluates between epochs (ZERO_JOINT_BOUNDS.py:33-45),
     so the flag must not change anything there — it runs per-epoch."""

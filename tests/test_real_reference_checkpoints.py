@@ -47,13 +47,16 @@ MLP_SHARED = (
 
 
 def _torch_forward(path: Path, x: np.ndarray) -> np.ndarray:
-    """Ground truth: unpickle the reference module and run it with torch.
-    ``load_reference_adapter`` registers the ``models`` stub needed to
-    unpickle; calling it first keeps this helper independent of call order."""
+    """Ground truth: unpickle the reference module and run it with torch,
+    under the scoped ``models``-stub the framework loader also uses."""
     import torch
 
-    load_reference_adapter(str(path))  # ensures the models stub exists
-    module = torch.load(str(path), map_location="cpu", weights_only=False)
+    from incremental_multimodal_medical_learning_ii_tpu.models.convert import (
+        reference_models_stub,
+    )
+
+    with reference_models_stub():
+        module = torch.load(str(path), map_location="cpu", weights_only=False)
     module.eval()
     with torch.no_grad():
         return module(torch.tensor(x)).numpy()
