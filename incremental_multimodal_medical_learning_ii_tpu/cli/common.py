@@ -94,10 +94,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--fused-unit", action="store_true",
         help="fuse each incremental unit's epochs (a data-inc part / "
-        "class-inc task) into ONE dispatched XLA program — one device "
-        "round-trip per unit instead of per epoch (engine/steps.py::"
-        "build_fused_unit). Joint mode ignores it (the reference "
-        "evaluates between epochs).",
+        "class-inc task) PLUS its post-unit val/test evals into ONE "
+        "dispatched XLA program — one device round-trip per unit instead "
+        "of per epoch + per eval (engine/steps.py::build_fused_unit). "
+        "Joint mode fuses the WHOLE run with its per-epoch evals "
+        "(eval_mode='per_epoch') unless --plot-figures reference needs "
+        "live params between epochs.",
     )
     p.add_argument("--log-dir", default="runs")
     p.add_argument("--data-dir", help="dir with train/val/test .npz (or reference .pt) embedding datasets")
@@ -118,6 +120,16 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--mesh-devices", type=int, default=0, help="0 = all devices")
     p.add_argument("--tsne-plots", action="store_true", help="enable t-SNE figure hooks")
+    p.add_argument(
+        "--plot-figures", choices=["reference", "final", "off"],
+        default="reference",
+        help="TB figure cadence: 'reference' draws every figure every "
+        "epoch/task like the reference's Trainer (matplotlib per epoch is "
+        "the reference's real behavior but pure host cost); 'final' only "
+        "at the last epoch/task; 'off' skips figures. 'final'/'off' also "
+        "let --fused-unit fuse a joint run's epochs + evals into one "
+        "program (figures would otherwise need live params mid-run).",
+    )
     p.add_argument(
         "--trace-dir",
         help="capture a jax.profiler device trace of the training/eval loop "
@@ -151,6 +163,7 @@ def config_kwargs(args) -> dict:
         xrays_position=args.xrays_position,
         shuffle_train=not args.no_shuffle,
         fused_unit=args.fused_unit,
+        plot_figures=args.plot_figures,
     )
 
 

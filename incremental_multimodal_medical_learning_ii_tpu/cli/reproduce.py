@@ -77,7 +77,10 @@ def main(argv=None) -> None:
         "shared": False, "train_logit_pos": False, "pred_logit_diff": False,
         "new_prompts": False, "change_labels": False, "xrays_position": "all",
         "no_image_adapter": False, "no_text_adapter": False, "no_shuffle": False,
-    }  # --seed is NOT pinned: gate configs and the rehearsal RNG honor it
+        "plot_figures": "reference",
+    }  # --seed is NOT pinned: gate configs and the rehearsal RNG honor it;
+    # --fused-unit is honored too (class-inc unit fusion; under it the joint
+    # gate folds its whole run and moves figures to the final epoch)
     ignored = [k for k, v in defaults.items() if getattr(args, k) != v]
     if ignored:
         print(f"[warn] reproduce pins the reference's hyperparameters; "
@@ -179,6 +182,12 @@ def main(argv=None) -> None:
         cfg = ExperimentConfig(
             mode="joint", epochs=epochs, batch_size=batch, lr=1e-3,
             optim="adam", adapter="mlp", prompt_mode="max", seed=args.seed,
+            # honored: under --fused-unit the WHOLE joint run (all epochs +
+            # per-epoch val/test) is ONE dispatch; figures move to the final
+            # epoch so no mid-run live params are needed (the gate checks
+            # AUROC scalars, not figure cadence)
+            fused_unit=args.fused_unit,
+            plot_figures="final" if args.fused_unit else "reference",
         )
         res = run_zero_joint(cfg, bundle, bank_for(cfg), log_dir=args.log_dir,
                              mesh=mesh, trace_dir=args.trace_dir)

@@ -35,6 +35,7 @@ def main(argv=None) -> None:
     bundle = common.load_bundle(args)
     base = common.config_kwargs(args)
     base.pop("lr"), base.pop("optim"), base.pop("adapter"), base.pop("prompt_mode")
+    base.pop("plot_figures")  # the sweep always runs figure-free (below)
 
     results = []
     t0 = time.perf_counter()

@@ -180,9 +180,19 @@ def run_zero_joint(
     try:
         with maybe_trace(trace_dir):
             if cfg.epochs > 0:
+                # fused whole-run dispatch: all epochs + their per-epoch
+                # val/test evals in ONE program (the joint analogue of the
+                # incremental unit fusion); the epoch loop below then only
+                # replays TB logging and consumes the staged eval results
+                fuse_run = trainer.joint_run_fusible(data.train, (data.val, data.test))
+                if fuse_run:
+                    trainer.train_joint_run(data.train, threshold, (data.val, data.test))
                 for epoch in range(1, cfg.epochs + 1):
-                    trainer.train(data.train, epoch, threshold=threshold,
-                                  actual_task=epoch)
+                    if fuse_run:
+                        trainer.emit_joint_epoch(epoch)
+                    else:
+                        trainer.train(data.train, epoch, threshold=threshold,
+                                      actual_task=epoch)
                     results[f"val_ep{epoch}"] = trainer.validate(
                         data.val, epoch, cfg.epochs, mode="joint"
                     )
@@ -243,6 +253,7 @@ def run_data_incremental(
                     trainer.train_unit(
                         parts[part - 1], thresholds, part=part, actual_task=part,
                         use_prof=cfg.continual_learning == ContinualLearning.PROF_CL,
+                        eval_data=(data.val, data.test),
                     )
                 else:
                     for epoch, thr in enumerate(thresholds, start=1):
@@ -341,6 +352,7 @@ def run_class_incremental(
                         current_task=tasks_order[actual_task - 1],
                         more_labels=cfg.more_labels,
                         use_prof=use_prof,
+                        eval_data=(data.val, data.test),
                     )
                 else:
                     for epoch, thr in enumerate(thresholds, start=1):

@@ -16,7 +16,7 @@ and the bank are replicated, XLA inserts the gradient all-reduce over ICI).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -235,6 +235,8 @@ def build_fused_unit(
     tx: optax.GradientTransformation,
     cfg: ExperimentConfig,
     use_prof: bool = False,
+    eval_mode: Optional[str] = None,
+    on_mesh: bool = False,
 ) -> Callable:
     """A WHOLE incremental unit — all E epochs of one data-inc part or one
     class-inc task — as ONE jitted program: ``lax.scan`` over epochs around
@@ -250,16 +252,50 @@ def build_fused_unit(
     the profCL snapshot/reset pair (``model_copy`` + ``profIncremental``,
     CLASS_INCREMENTAL.py:73-88) runs between epoch scans on-device.
 
+    ``eval_mode`` additionally folds the val/test eval passes (the same
+    scan :func:`build_fused_eval` runs standalone) into the program, so the
+    per-unit ``validate``/``test`` dispatches (protocols call both after
+    every part/task, DATA_INCREMENTAL.py:80-86) ride the SAME dispatch and
+    readback:
+
+    * ``"final"``     — evaluate once, after the last epoch (how the
+      incremental protocols interleave train and eval);
+    * ``"per_epoch"`` — evaluate after EVERY epoch, outputs stacked with a
+      leading (E,) axis (how the joint driver interleaves them,
+      ZERO_JOINT_BOUNDS.py:33-45 — the whole joint run becomes one program).
+
     Returns ``unit(state, embs, labels, valid, bank, class_mask,
     thresholds (E,), perms (E, n_pad) or (E, 0)) -> (state, stacked)``
     where every metric in ``stacked`` has a leading (E, n_batches) shape;
     with ``use_prof`` the per-epoch reset counts are stacked under
-    ``prof_n_reset`` / ``prof_n_updated`` (E,).
+    ``prof_n_reset`` / ``prof_n_updated`` (E,).  With ``eval_mode`` the
+    signature gains ``(val_embs, val_labels, val_valid, test_embs,
+    test_labels, test_valid)`` operands (padded to whole eval batches) and
+    the return gains ``(val_out, test_out)`` where each is ``(losses,
+    scores, preds)`` as :func:`build_fused_eval` returns them.
     """
     core = _train_core(pair, tx, cfg)
     applications = 2 if cfg.shared else 1
+    if eval_mode not in (None, "final", "per_epoch"):
+        raise ValueError(f"unknown eval_mode {eval_mode!r}")
+    use_pallas = _eval_uses_pallas() and not on_mesh
 
-    def unit(state: TrainState, embs, labels, valid, bank, class_mask, thresholds, perms):
+    def _eval_both(params, bank, val_ops, test_ops):
+        return (
+            _fused_eval_pass(pair, cfg, use_pallas, params, *val_ops, bank),
+            _fused_eval_pass(pair, cfg, use_pallas, params, *test_ops, bank),
+        )
+
+    def unit(state: TrainState, embs, labels, valid, bank, class_mask, thresholds, perms,
+             *eval_ops):
+        if len(eval_ops) != (6 if eval_mode else 0):
+            raise TypeError(
+                f"eval_mode={eval_mode!r} expects "
+                f"{6 if eval_mode else 0} trailing eval operands "
+                f"(val embs/labels/valid, test embs/labels/valid); got {len(eval_ops)}"
+            )
+        val_ops, test_ops = (eval_ops[:3], eval_ops[3:]) if eval_mode else (None, None)
+
         def epoch_body(st, per_epoch):
             threshold, perm = per_epoch
             snapshot = st.params if use_prof else None
@@ -272,9 +308,17 @@ def build_fused_unit(
                 )
                 st = st._replace(params=params)
                 stacked = dict(stacked, prof_n_reset=n_reset, prof_n_updated=n_updated)
-            return st, stacked
+            out = stacked
+            if eval_mode == "per_epoch":
+                out = (stacked, _eval_both(st.params, bank, val_ops, test_ops))
+            return st, out
 
-        return jax.lax.scan(epoch_body, state, (thresholds, perms))
+        state, out = jax.lax.scan(epoch_body, state, (thresholds, perms))
+        if eval_mode is None:
+            return state, out
+        if eval_mode == "final":
+            return state, out, _eval_both(state.params, bank, val_ops, test_ops)
+        return state, out[0], out[1]
 
     return jax.jit(unit, donate_argnums=(0,))
 
@@ -332,39 +376,46 @@ def build_fused_eval(pair: AdapterPair, cfg: ExperimentConfig, on_mesh: bool = F
     use_pallas = _eval_uses_pallas() and not on_mesh
 
     def eval_pass(params, embs, labels, valid, bank):
-        if embs.shape[0] % cfg.eval_batch_size:
-            # the scan floor-divides: a non-multiple row count would silently
-            # drop the tail (callers pad via _device_data; enforce it)
-            raise ValueError(
-                f"{embs.shape[0]} rows not a multiple of eval batch "
-                f"{cfg.eval_batch_size}; pad the dataset first"
-            )
-        n_b = embs.shape[0] // cfg.eval_batch_size
-        # the text-adapted bank is loop-invariant: adapt ONCE per eval pass,
-        # not once per scan iteration (XLA does not hoist out of scan bodies)
-        adapted_bank = (
-            apply_text_adapter_to_bank(pair.apply_text, params, bank)
-            if pair.use_text else bank
-        )
-
-        def body(_, idx):
-            b_embs = jax.lax.dynamic_slice_in_dim(embs, idx * cfg.eval_batch_size, cfg.eval_batch_size)
-            b_labels = jax.lax.dynamic_slice_in_dim(labels, idx * cfg.eval_batch_size, cfg.eval_batch_size)
-            b_mask = jax.lax.dynamic_slice_in_dim(valid, idx * cfg.eval_batch_size, cfg.eval_batch_size)
-            image_embs = pair.apply_image(params, b_embs)
-            out = score_embeddings(
-                image_embs, adapted_bank, cfg.prompt_mode,
-                cfg.train_logit_diff, cfg.pred_logit_diff, use_pallas=use_pallas,
-            )
-            lbl = change_labels(b_labels) if cfg.change_labels else b_labels
-            loss = bce_with_logits(out.logits, lbl, b_mask[:, None] * jnp.ones((1, lbl.shape[1])))
-            return None, (loss, out.scores, out.preds)
-
-        _, (losses, scores, preds) = jax.lax.scan(body, None, jnp.arange(n_b))
-        c = scores.shape[-1]
-        return losses, scores.reshape(-1, c), preds.reshape(-1, c)
+        return _fused_eval_pass(pair, cfg, use_pallas, params, embs, labels, valid, bank)
 
     return jax.jit(eval_pass)
+
+
+def _fused_eval_pass(pair, cfg, use_pallas, params, embs, labels, valid, bank):
+    """The eval-scan body shared by :func:`build_fused_eval` (standalone
+    program) and :func:`build_fused_unit` (eval folded into the unit
+    dispatch): (losses (n_b,), scores (Npad,C), preds (Npad,C))."""
+    if embs.shape[0] % cfg.eval_batch_size:
+        # the scan floor-divides: a non-multiple row count would silently
+        # drop the tail (callers pad via _device_data; enforce it)
+        raise ValueError(
+            f"{embs.shape[0]} rows not a multiple of eval batch "
+            f"{cfg.eval_batch_size}; pad the dataset first"
+        )
+    n_b = embs.shape[0] // cfg.eval_batch_size
+    # the text-adapted bank is loop-invariant: adapt ONCE per eval pass,
+    # not once per scan iteration (XLA does not hoist out of scan bodies)
+    adapted_bank = (
+        apply_text_adapter_to_bank(pair.apply_text, params, bank)
+        if pair.use_text else bank
+    )
+
+    def body(_, idx):
+        b_embs = jax.lax.dynamic_slice_in_dim(embs, idx * cfg.eval_batch_size, cfg.eval_batch_size)
+        b_labels = jax.lax.dynamic_slice_in_dim(labels, idx * cfg.eval_batch_size, cfg.eval_batch_size)
+        b_mask = jax.lax.dynamic_slice_in_dim(valid, idx * cfg.eval_batch_size, cfg.eval_batch_size)
+        image_embs = pair.apply_image(params, b_embs)
+        out = score_embeddings(
+            image_embs, adapted_bank, cfg.prompt_mode,
+            cfg.train_logit_diff, cfg.pred_logit_diff, use_pallas=use_pallas,
+        )
+        lbl = change_labels(b_labels) if cfg.change_labels else b_labels
+        loss = bce_with_logits(out.logits, lbl, b_mask[:, None] * jnp.ones((1, lbl.shape[1])))
+        return None, (loss, out.scores, out.preds)
+
+    _, (losses, scores, preds) = jax.lax.scan(body, None, jnp.arange(n_b))
+    c = scores.shape[-1]
+    return losses, scores.reshape(-1, c), preds.reshape(-1, c)
 
 
 def build_embed_fn(pair: AdapterPair, cfg: ExperimentConfig) -> Callable:

@@ -148,8 +148,17 @@ class Trainer:
         self._epoch_counter = 0
         # fused-UNIT programs (all E epochs of an incremental unit in one
         # dispatch, engine/steps.py::build_fused_unit), built lazily per
-        # profCL-flag since the epoch-boundary reset changes the program
+        # (profCL-flag, eval-folded) since both change the program
         self._fused_unit_cache: dict = {}
+        # one-shot precomputed eval results from an eval-folded unit
+        # dispatch: [(id(dataset), (losses, scores, preds)), ...] in the
+        # order the protocol will consume them (validate then test).
+        # Invalidated whenever params can change outside the fold.
+        self._pending_eval: list = []
+        # fused joint-run staging (train_joint_run -> emit_joint_epoch)
+        self._joint_fetched = None
+        self._joint_evals = None
+        self._joint_eval_ids = None
 
     # ------------------------------------------------------------------
     # Host-side stream state (for bit-reproducible resume)
@@ -327,6 +336,7 @@ class Trainer:
         actual_task: Optional[int] = None,
     ) -> None:
         cfg = self.cfg
+        self._pending_eval = []  # params change below: folded evals go stale
         use_my_cl = (
             cfg.continual_learning == ContinualLearning.MY_CL
             and actual_task is not None
@@ -512,6 +522,7 @@ class Trainer:
         current_task: Optional[int] = None,
         more_labels: bool = False,
         use_prof: bool = False,
+        eval_data: Optional[tuple] = None,
     ) -> int:
         """All ``len(thresholds)`` epochs of one unit (a data-incremental
         part or a class-incremental task) as ONE on-device program
@@ -521,7 +532,17 @@ class Trainer:
         scan.  TB streams, counters, and RNG consumption are identical to
         ``epochs`` consecutive :meth:`train` / :meth:`train_class_incremental`
         calls (the twin suite pins this).  Returns ``last_batch + E * n_b``
-        for the class-incremental iteration threading."""
+        for the class-incremental iteration threading.
+
+        ``eval_data=(val_dataset, test_dataset)`` folds the post-unit eval
+        passes into the SAME program (``eval_mode="final"``) so the
+        protocol's ``validate``/``test`` calls (which both protocols make
+        after every unit, DATA_INCREMENTAL.py:80-86) consume the results
+        from :attr:`_pending_eval` instead of dispatching again — on a
+        tunneled link the two eval round-trips were the remaining
+        per-unit cost once training fused (docs/RUNBOOK.md rehearsal
+        table).  Results are bit-identical to the standalone fused eval
+        (pinned by tests/test_fused_unit.py)."""
         import jax.numpy as jnp
 
         from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
@@ -529,6 +550,7 @@ class Trainer:
         )
 
         cfg = self.cfg
+        self._pending_eval = []  # anything unconsumed is stale now
         n_epochs = len(thresholds)
         if n_epochs == 0:
             # eval-only run (epochs=0): nothing to dispatch — match the
@@ -563,16 +585,33 @@ class Trainer:
         eff = thresholds if (use_my_cl or use_prof) else [0.0] * n_epochs
         d_thresholds = jnp.asarray(np.asarray(eff, np.float32))
 
-        fused_unit = self._fused_unit_cache.get(use_prof)
-        if fused_unit is None:
-            fused_unit = build_fused_unit(self.pair, self.tx, cfg, use_prof=use_prof)
-            self._fused_unit_cache[use_prof] = fused_unit
+        fold_eval = (
+            eval_data is not None
+            and self._fused_eval is not None
+            and all(isinstance(d, EmbeddingDataset) for d in eval_data)
+        )
+        eval_ops = ()
+        if fold_eval:
+            val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
+            test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
+            eval_ops = (*val_ops, *test_ops)
+        fused_unit = self._get_fused_unit(use_prof, "final" if fold_eval else None)
         with annotate("fused-train-unit"):
-            self.state, stacked = fused_unit(
-                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
-                d_thresholds, d_perms,
-            )
-            fetched = jax.device_get(stacked)
+            if fold_eval:
+                self.state, stacked, evals = fused_unit(
+                    self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
+                    d_thresholds, d_perms, *eval_ops,
+                )
+                fetched, evals = jax.device_get((stacked, evals))
+                self._pending_eval = [
+                    (id(eval_data[0]), evals[0]), (id(eval_data[1]), evals[1])
+                ]
+            else:
+                self.state, stacked = fused_unit(
+                    self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
+                    d_thresholds, d_perms,
+                )
+                fetched = jax.device_get(stacked)
         prof_nr = fetched.pop("prof_n_reset", None)
         prof_nu = fetched.pop("prof_n_updated", None)
         n_b = fetched["loss"].shape[1]
@@ -594,6 +633,104 @@ class Trainer:
                 )
         return last_batch + n_epochs * n_b
 
+    def _get_fused_unit(self, use_prof: bool, eval_mode):
+        key = (use_prof, eval_mode)
+        fused_unit = self._fused_unit_cache.get(key)
+        if fused_unit is None:
+            fused_unit = build_fused_unit(
+                self.pair, self.tx, self.cfg, use_prof=use_prof,
+                eval_mode=eval_mode, on_mesh=self.mesh is not None,
+            )
+            self._fused_unit_cache[key] = fused_unit
+        return fused_unit
+
+    # ------------------------------------------------------------------
+    # Fused joint run: ALL epochs + per-epoch val/test in ONE dispatch
+    # ------------------------------------------------------------------
+    def joint_run_fusible(self, train_ds, eval_data) -> bool:
+        """Whether :meth:`train_joint_run` can fuse a whole joint run.
+        Besides the fused-unit preconditions, per-epoch figures must be off
+        (``plot_figures="reference"`` draws text-embedding/t-SNE figures
+        from LIVE params after every epoch, Trainer.py:1074-1554; under the
+        fold the live params are already the final ones — only the final
+        epoch's figures would be faithful, which "final"/"off" guarantee)."""
+        return (
+            self.unit_fusible(train_ds)
+            and self._fused_eval is not None
+            and all(isinstance(d, EmbeddingDataset) for d in eval_data)
+            and self.cfg.plot_figures != "reference"
+        )
+
+    def train_joint_run(self, dataset: EmbeddingDataset, threshold, eval_data) -> None:
+        """All ``cfg.epochs`` epochs of a joint run PLUS each epoch's val and
+        test eval passes as ONE XLA program (``eval_mode="per_epoch"`` —
+        the joint driver interleaves train and eval every epoch,
+        ZERO_JOINT_BOUNDS.py:33-45, so "fuse the unit" for joint means
+        fusing the whole run).  Dispatches and reads back everything here;
+        :meth:`emit_joint_epoch` then replays one epoch's TB logging and
+        stages that epoch's eval results for ``validate``/``test`` to
+        consume — streams are bit-identical to the per-epoch path
+        (tests/test_fused_unit.py).  myCL's epoch-1 guard (``actual_task``
+        = epoch, so no reset in epoch 1) rides in through a zero first
+        threshold, which makes the reset an exact no-op."""
+        import jax.numpy as jnp
+
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
+        cfg = self.cfg
+        self._pending_eval = []
+        n_epochs = cfg.epochs
+        use_my_cl = cfg.continual_learning == ContinualLearning.MY_CL
+        class_mask = np.ones(NUM_CLASSES, np.float32)
+        d_embs, d_labels, d_valid = self._device_data(dataset)
+        n, n_pad = len(dataset), int(d_embs.shape[0])
+        d_perms = jnp.stack(
+            [jnp.asarray(self._epoch_perm(n, n_pad)) for _ in range(n_epochs)]
+        )
+        # train() applies `threshold if use_my_cl else 0.0` with
+        # use_my_cl = (myCL and actual_task > 1), actual_task = epoch
+        eff = [
+            (threshold if (use_my_cl and ep > 1) else 0.0)
+            for ep in range(1, n_epochs + 1)
+        ]
+        d_thresholds = jnp.asarray(np.asarray(eff, np.float32))
+        val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
+        test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
+        fused = self._get_fused_unit(False, "per_epoch")
+        with annotate("fused-joint-run"):
+            self.state, stacked, evals = fused(
+                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
+                d_thresholds, d_perms, *val_ops, *test_ops,
+            )
+            fetched, evals = jax.device_get((stacked, evals))
+        self._joint_fetched = fetched
+        self._joint_evals = evals
+        self._joint_eval_ids = (id(eval_data[0]), id(eval_data[1]))
+
+    def emit_joint_epoch(self, epoch: int) -> None:
+        """Replay epoch ``epoch``'s TB logging from the fused joint run and
+        stage its eval results (consumed by the next ``validate``/``test``
+        pair).  Call in epoch order — the logging counters (_py_step,
+        _gap_counter) advance exactly as the per-epoch path's."""
+        e = epoch - 1
+        fetched = self._joint_fetched
+        n_b = fetched["loss"].shape[1]
+        use_my_cl = (
+            self.cfg.continual_learning == ContinualLearning.MY_CL and epoch > 1
+        )
+        class_mask = np.ones(NUM_CLASSES, np.float32)
+        self._flush_epoch_metrics(
+            {k: v[e] for k, v in fetched.items()}, class_mask, use_my_cl,
+            lambda i: e * n_b + i + 1,
+        )
+        val_out, test_out = self._joint_evals
+        self._pending_eval = [
+            (self._joint_eval_ids[0], tuple(x[e] for x in val_out)),
+            (self._joint_eval_ids[1], tuple(x[e] for x in test_out)),
+        ]
+
     # ------------------------------------------------------------------
     # Class-incremental  —  Trainer.py:608-756
     # ------------------------------------------------------------------
@@ -608,6 +745,7 @@ class Trainer:
         more_labels: bool = False,
     ) -> int:
         cfg = self.cfg
+        self._pending_eval = []  # params change below: folded evals go stale
         use_my_cl = (
             cfg.continual_learning == ContinualLearning.MY_CL
             and actual_task is not None
@@ -656,6 +794,7 @@ class Trainer:
     def prof_incremental(self, epoch: int, epochs: int, actual_task: int, threshold: float) -> None:
         if self._snapshot is None:
             raise RuntimeError("prof_incremental requires a prior model_copy()")
+        self._pending_eval = []  # the reset changes params
         params, n_reset, n_updated = self._epoch_reset(self.state.params, self._snapshot, threshold)
         self.state = self.state._replace(params=params)
         step = (actual_task - 1) * epochs + epoch
@@ -678,11 +817,25 @@ class Trainer:
     def _eval_pass_inner(self, dataset, epoch, log_loss_prefix, cfg, _jax):
 
         n_b = num_batches(len(dataset), cfg.eval_batch_size)
-        if self._fused_eval is not None and isinstance(dataset, EmbeddingDataset):
+        precomputed = None
+        if self._pending_eval:
+            if self._pending_eval[0][0] == id(dataset):
+                # eval-folded unit dispatch already ran this pass with the
+                # current (post-unit) params; consume its results one-shot
+                precomputed = self._pending_eval.pop(0)[1]
+            else:
+                # a different dataset than the fold targeted: the pending
+                # order no longer matches the protocol's — drop it all and
+                # recompute (correct either way, folding is only a
+                # dispatch-count optimization)
+                self._pending_eval = []
+        if precomputed is None and self._fused_eval is not None and isinstance(dataset, EmbeddingDataset):
             d_embs, d_labels, d_valid = self._device_data(dataset, cfg.eval_batch_size)
-            losses, scores, preds = _jax.device_get(
+            precomputed = _jax.device_get(
                 self._fused_eval(self.state.params, d_embs, d_labels, d_valid, self.bank)
             )
+        if precomputed is not None:
+            losses, scores, preds = precomputed
             if log_loss_prefix is not None:
                 for i, loss in enumerate(losses, start=1):
                     iteration = (epoch - 1) * n_b + i

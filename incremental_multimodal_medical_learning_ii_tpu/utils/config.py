@@ -127,12 +127,16 @@ class ExperimentConfig:
     # task) into ONE dispatched program — lax.scan over epochs around the
     # fused epoch, with the myCL threshold schedule, per-epoch shuffle
     # orders, and the profCL snapshot/reset as operands/on-device steps
-    # (engine/steps.py::build_fused_unit).  Collapses the per-epoch
-    # dispatch+readback round-trip (~30-750 ms each through a tunneled
-    # link) to one per unit.  Opt-in: the unit program is a NEW compile
-    # (minutes through a remote-compile terminal the first time), and
-    # joint mode cannot use it (the reference evaluates between epochs).
-    # Requires fused_epoch; ignored for native batch sources.
+    # (engine/steps.py::build_fused_unit).  The post-unit val/test eval
+    # passes fold into the same program (eval_mode="final"); joint mode
+    # fuses its WHOLE run with per-epoch evals (eval_mode="per_epoch" —
+    # the reference evaluates between epochs, ZERO_JOINT_BOUNDS.py:33-45)
+    # unless plot_figures="reference" needs live params mid-run.  Collapses
+    # every per-epoch / per-eval dispatch+readback round-trip (~30-750 ms
+    # each through a tunneled link) to one per unit.  Opt-in: the unit
+    # program is a NEW compile (minutes through a remote-compile terminal
+    # the first time).  Requires fused_epoch; ignored for native batch
+    # sources.
     fused_unit: bool = False
     # Reference trains with a reshuffling DataLoader (Trainer.py:238-240).
     # False iterates batches in dataset order — used by most twin-run parity

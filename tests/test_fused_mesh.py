@@ -46,3 +46,39 @@ def test_fused_epoch_mesh_matches_single():
     k2 = np.asarray(jax.device_get(t2.state.params["image"]["dense1"]["kernel"]))
     np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-5)
     assert m1["auroc_macro"] == pytest.approx(m2["auroc_macro"], abs=2e-3)
+
+
+@pytest.mark.slow
+def test_fused_unit_eval_fold_mesh_matches_single():
+    """The eval-folded unit program (train scan + val/test eval scans in one
+    dispatch) under an 8-device mesh: same results as single-device."""
+    cfg = joint_config(
+        mode="data-inc", parts=1, batch_size=64, eval_batch_size=64,
+        epochs=2, lr=1e-3, fused_unit=True, shuffle_train=False,
+    )
+    bank = build_prompt_bank(
+        synthetic_encode_fn(), create_prompts(CHEXPERT_COMPETITION_TASKS),
+        CHEXPERT_COMPETITION_TASKS,
+    )
+    train = synthetic_dataset(256, seed=1)
+    val = synthetic_dataset(128, seed=2)
+    test = synthetic_dataset(128, seed=3)
+
+    def run(mesh):
+        t = Trainer(cfg, bank, mesh=mesh)
+        assert t.unit_fusible(train)
+        t.train_unit(train, [0.0, 0.0], part=1, actual_task=1,
+                     eval_data=(val, test))
+        assert [i for i, _ in t._pending_eval] == [id(val), id(test)]
+        mv = t.validate(val, 1, 1)
+        mt = t.test(test, 1, 1)
+        assert not t._pending_eval  # both consumed one-shot
+        return t, mv, mt
+
+    t1, mv1, mt1 = run(None)
+    t2, mv2, mt2 = run(create_mesh(8))
+    k1 = np.asarray(jax.device_get(t1.state.params["image"]["dense1"]["kernel"]))
+    k2 = np.asarray(jax.device_get(t2.state.params["image"]["dense1"]["kernel"]))
+    np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-5)
+    assert mv1["auroc_macro"] == pytest.approx(mv2["auroc_macro"], abs=2e-3)
+    assert mt1["auroc_macro"] == pytest.approx(mt2["auroc_macro"], abs=2e-3)

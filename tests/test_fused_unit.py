@@ -192,9 +192,12 @@ def test_fused_unit_epochs_zero_eval_only():
     )
 
 
-def test_fused_unit_flag_is_inert_for_joint():
-    """Joint mode evaluates between epochs (ZERO_JOINT_BOUNDS.py:33-45),
-    so the flag must not change anything there — it runs per-epoch."""
+def test_fused_unit_joint_whole_run_interleaving():
+    """Joint mode evaluates between epochs (ZERO_JOINT_BOUNDS.py:33-45), so
+    its fusion is the WHOLE run: every epoch plus its val/test eval passes
+    in one program (eval_mode='per_epoch').  The replayed TB logging must
+    preserve even the GLOBAL scalar interleaving (train epoch e, then val e,
+    then test e), not just per-tag streams."""
     rec_a, tr_a = _run(run_zero_joint,
                        dict(mode="joint", epochs=2, batch_size=64,
                             eval_batch_size=64, lr=1e-3, fused_unit=False))
@@ -202,3 +205,36 @@ def test_fused_unit_flag_is_inert_for_joint():
                        dict(mode="joint", epochs=2, batch_size=64,
                             eval_batch_size=64, lr=1e-3, fused_unit=True))
     assert rec_a.scalars == rec_b.scalars
+    pa, pb = jax.device_get((tr_a.params, tr_b.params))
+    for la, lb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
+def test_fused_unit_joint_mycl_shuffled():
+    """Joint + myCL: the reference passes actual_task=epoch, so epoch 1
+    must train WITHOUT the reset (the fold encodes that as a zero first
+    threshold — an exact no-op) while epochs 2+ reset and log
+    monitor-resets/* per epoch."""
+    _assert_identical(
+        dict(mode="joint", epochs=3, batch_size=64, eval_batch_size=64,
+             lr=1e-3, continual_learning="myCL", threshold=0.01,
+             shuffle_train=True),
+        run_zero_joint,
+    )
+
+
+def test_fused_unit_joint_reference_figures_stay_per_epoch():
+    """plot_figures='reference' draws text/t-SNE figures from LIVE params
+    after every epoch — under the whole-run fold the live params would
+    already be final, so the fold must disable itself there."""
+    cfg = ExperimentConfig(mode="joint", epochs=2, batch_size=64,
+                           eval_batch_size=64, lr=1e-3, fused_unit=True,
+                           plot_figures="reference")
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import (
+        Trainer,
+    )
+
+    bundle = _bundle()
+    trainer = Trainer(cfg, _bank(), _Recorder())
+    assert not trainer.joint_run_fusible(bundle.train, (bundle.val, bundle.test))
