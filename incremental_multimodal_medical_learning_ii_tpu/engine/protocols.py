@@ -185,6 +185,15 @@ def run_zero_joint(
                 # incremental unit fusion); the epoch loop below then only
                 # replays TB logging and consumes the staged eval results
                 fuse_run = trainer.joint_run_fusible(data.train, (data.val, data.test))
+                if cfg.fused_unit and not fuse_run:
+                    # loud, like reproduce's ignored-flag warning: the user
+                    # opted into fusion for a reason (link latency) and
+                    # should not attribute per-epoch RTTs to link health
+                    print("[warn] --fused-unit: joint whole-run fusion "
+                          "disabled (plot_figures='reference' needs live "
+                          "params between epochs, or the data is not an "
+                          "HBM-residentable EmbeddingDataset); running "
+                          "per-epoch")
                 if fuse_run:
                     trainer.train_joint_run(data.train, threshold, (data.val, data.test))
                 for epoch in range(1, cfg.epochs + 1):

@@ -151,14 +151,16 @@ class Trainer:
         # (profCL-flag, eval-folded) since both change the program
         self._fused_unit_cache: dict = {}
         # one-shot precomputed eval results from an eval-folded unit
-        # dispatch: [(id(dataset), (losses, scores, preds)), ...] in the
-        # order the protocol will consume them (validate then test).
-        # Invalidated whenever params can change outside the fold.
+        # dispatch: [(dataset, (losses, scores, preds)), ...] in the
+        # order the protocol will consume them (validate then test),
+        # matched by object identity.  Invalidated whenever params can
+        # change outside the fold.
         self._pending_eval: list = []
-        # fused joint-run staging (train_joint_run -> emit_joint_epoch)
+        # fused joint-run staging (train_joint_run -> emit_joint_epoch;
+        # released after the final epoch's emit)
         self._joint_fetched = None
         self._joint_evals = None
-        self._joint_eval_ids = None
+        self._joint_eval_data = None
 
     # ------------------------------------------------------------------
     # Host-side stream state (for bit-reproducible resume)
@@ -543,12 +545,6 @@ class Trainer:
         per-unit cost once training fused (docs/RUNBOOK.md rehearsal
         table).  Results are bit-identical to the standalone fused eval
         (pinned by tests/test_fused_unit.py)."""
-        import jax.numpy as jnp
-
-        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
-            annotate,
-        )
-
         cfg = self.cfg
         self._pending_eval = []  # anything unconsumed is stale now
         n_epochs = len(thresholds)
@@ -569,49 +565,27 @@ class Trainer:
                 class_mask[: current_task + 1] = 1.0
             else:
                 class_mask[current_task] = 1.0
-        d_embs, d_labels, d_valid = self._device_data(dataset)
-        n, n_pad = len(dataset), int(d_embs.shape[0])
-        # per-epoch orders via the ONE shared helper, consuming the SAME
-        # counters/streams as E individual _train_fused calls
-        # (bit-reproducible resume relies on the counters; the twins rely
-        # on the injected-order consumption)
-        d_perms = jnp.stack(
-            [jnp.asarray(self._epoch_perm(n, n_pad)) for _ in range(n_epochs)]
-        )
         # the threshold operand only feeds the myCL per-step reset and the
         # profCL epoch reset; zeros make both exact no-ops (|delta| < min
         # is false everywhere), matching the per-epoch path's
         # `threshold if use_my_cl else 0.0`
-        eff = thresholds if (use_my_cl or use_prof) else [0.0] * n_epochs
-        d_thresholds = jnp.asarray(np.asarray(eff, np.float32))
-
+        eff = list(thresholds) if (use_my_cl or use_prof) else [0.0] * n_epochs
         fold_eval = (
             eval_data is not None
             and self._fused_eval is not None
             and all(isinstance(d, EmbeddingDataset) for d in eval_data)
         )
-        eval_ops = ()
+        fetched, evals = self._dispatch_fused_unit(
+            dataset, eff, use_prof, "final" if fold_eval else None,
+            eval_data if fold_eval else None, class_mask, "fused-train-unit",
+        )
         if fold_eval:
-            val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
-            test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
-            eval_ops = (*val_ops, *test_ops)
-        fused_unit = self._get_fused_unit(use_prof, "final" if fold_eval else None)
-        with annotate("fused-train-unit"):
-            if fold_eval:
-                self.state, stacked, evals = fused_unit(
-                    self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
-                    d_thresholds, d_perms, *eval_ops,
-                )
-                fetched, evals = jax.device_get((stacked, evals))
-                self._pending_eval = [
-                    (id(eval_data[0]), evals[0]), (id(eval_data[1]), evals[1])
-                ]
-            else:
-                self.state, stacked = fused_unit(
-                    self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
-                    d_thresholds, d_perms,
-                )
-                fetched = jax.device_get(stacked)
+            # stage by dataset OBJECT (strong ref): consumed by the very
+            # next validate/test or dropped at the next train entry, so no
+            # leak — and id()-reuse after a GC'd dataset can never match
+            self._pending_eval = [
+                (eval_data[0], evals[0]), (eval_data[1], evals[1])
+            ]
         prof_nr = fetched.pop("prof_n_reset", None)
         prof_nu = fetched.pop("prof_n_updated", None)
         n_b = fetched["loss"].shape[1]
@@ -644,6 +618,52 @@ class Trainer:
             self._fused_unit_cache[key] = fused_unit
         return fused_unit
 
+    def _dispatch_fused_unit(
+        self, dataset, eff_thresholds, use_prof, eval_mode, eval_data,
+        class_mask, tag,
+    ):
+        """Assemble one fused-unit program's operands and dispatch it:
+        device upload, the (E, n_pad) per-epoch orders, the (E,) threshold
+        array, and (with ``eval_mode``) the folded val/test operands.
+        Returns host-fetched ``(train_metrics, evals_or_None)``.  This is
+        the ONE place the per-epoch orders are drawn (via
+        :meth:`_epoch_perm`, consuming the SAME counters/streams as E
+        individual ``_train_fused`` calls) — bit-reproducible resume and
+        the twin suite depend on that consumption order, so unit and
+        joint-run fusion must share it."""
+        import jax.numpy as jnp
+
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
+        cfg = self.cfg
+        n_epochs = len(eff_thresholds)
+        d_embs, d_labels, d_valid = self._device_data(dataset)
+        n, n_pad = len(dataset), int(d_embs.shape[0])
+        d_perms = jnp.stack(
+            [jnp.asarray(self._epoch_perm(n, n_pad)) for _ in range(n_epochs)]
+        )
+        d_thresholds = jnp.asarray(np.asarray(eff_thresholds, np.float32))
+        eval_ops = ()
+        if eval_mode is not None:
+            val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
+            test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
+            eval_ops = (*val_ops, *test_ops)
+        fused = self._get_fused_unit(use_prof, eval_mode)
+        with annotate(tag):
+            if eval_mode is not None:
+                self.state, stacked, evals = fused(
+                    self.state, d_embs, d_labels, d_valid, self.bank,
+                    class_mask, d_thresholds, d_perms, *eval_ops,
+                )
+                return jax.device_get((stacked, evals))
+            self.state, stacked = fused(
+                self.state, d_embs, d_labels, d_valid, self.bank,
+                class_mask, d_thresholds, d_perms,
+            )
+            return jax.device_get(stacked), None
+
     # ------------------------------------------------------------------
     # Fused joint run: ALL epochs + per-epoch val/test in ONE dispatch
     # ------------------------------------------------------------------
@@ -673,41 +693,22 @@ class Trainer:
         (tests/test_fused_unit.py).  myCL's epoch-1 guard (``actual_task``
         = epoch, so no reset in epoch 1) rides in through a zero first
         threshold, which makes the reset an exact no-op."""
-        import jax.numpy as jnp
-
-        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
-            annotate,
-        )
-
         cfg = self.cfg
         self._pending_eval = []
-        n_epochs = cfg.epochs
         use_my_cl = cfg.continual_learning == ContinualLearning.MY_CL
-        class_mask = np.ones(NUM_CLASSES, np.float32)
-        d_embs, d_labels, d_valid = self._device_data(dataset)
-        n, n_pad = len(dataset), int(d_embs.shape[0])
-        d_perms = jnp.stack(
-            [jnp.asarray(self._epoch_perm(n, n_pad)) for _ in range(n_epochs)]
-        )
         # train() applies `threshold if use_my_cl else 0.0` with
         # use_my_cl = (myCL and actual_task > 1), actual_task = epoch
         eff = [
             (threshold if (use_my_cl and ep > 1) else 0.0)
-            for ep in range(1, n_epochs + 1)
+            for ep in range(1, cfg.epochs + 1)
         ]
-        d_thresholds = jnp.asarray(np.asarray(eff, np.float32))
-        val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
-        test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
-        fused = self._get_fused_unit(False, "per_epoch")
-        with annotate("fused-joint-run"):
-            self.state, stacked, evals = fused(
-                self.state, d_embs, d_labels, d_valid, self.bank, class_mask,
-                d_thresholds, d_perms, *val_ops, *test_ops,
-            )
-            fetched, evals = jax.device_get((stacked, evals))
+        fetched, evals = self._dispatch_fused_unit(
+            dataset, eff, False, "per_epoch", eval_data,
+            np.ones(NUM_CLASSES, np.float32), "fused-joint-run",
+        )
         self._joint_fetched = fetched
         self._joint_evals = evals
-        self._joint_eval_ids = (id(eval_data[0]), id(eval_data[1]))
+        self._joint_eval_data = eval_data  # strong refs, see _pending_eval
 
     def emit_joint_epoch(self, epoch: int) -> None:
         """Replay epoch ``epoch``'s TB logging from the fused joint run and
@@ -727,9 +728,16 @@ class Trainer:
         )
         val_out, test_out = self._joint_evals
         self._pending_eval = [
-            (self._joint_eval_ids[0], tuple(x[e] for x in val_out)),
-            (self._joint_eval_ids[1], tuple(x[e] for x in test_out)),
+            (self._joint_eval_data[0], tuple(x[e] for x in val_out)),
+            (self._joint_eval_data[1], tuple(x[e] for x in test_out)),
         ]
+        if epoch == self.cfg.epochs:
+            # final epoch replayed: drop the run's staging (the stacked
+            # train metrics and (E, Npad, C) eval arrays would otherwise
+            # stay pinned for the Trainer's lifetime — ~tens of MB at
+            # reference scale).  The per-epoch slices staged above are
+            # views; they keep their bases alive until consumed.
+            self._joint_fetched = self._joint_evals = self._joint_eval_data = None
 
     # ------------------------------------------------------------------
     # Class-incremental  —  Trainer.py:608-756
@@ -819,7 +827,7 @@ class Trainer:
         n_b = num_batches(len(dataset), cfg.eval_batch_size)
         precomputed = None
         if self._pending_eval:
-            if self._pending_eval[0][0] == id(dataset):
+            if self._pending_eval[0][0] is dataset:
                 # eval-folded unit dispatch already ran this pass with the
                 # current (post-unit) params; consume its results one-shot
                 precomputed = self._pending_eval.pop(0)[1]

@@ -69,7 +69,7 @@ def test_fused_unit_eval_fold_mesh_matches_single():
         assert t.unit_fusible(train)
         t.train_unit(train, [0.0, 0.0], part=1, actual_task=1,
                      eval_data=(val, test))
-        assert [i for i, _ in t._pending_eval] == [id(val), id(test)]
+        assert t._pending_eval[0][0] is val and t._pending_eval[1][0] is test
         mv = t.validate(val, 1, 1)
         mt = t.test(test, 1, 1)
         assert not t._pending_eval  # both consumed one-shot

@@ -224,6 +224,37 @@ def test_fused_unit_joint_mycl_shuffled():
     )
 
 
+def test_fused_unit_stale_pending_eval_dropped():
+    """Folded eval results are staged per dataset OBJECT and consumed
+    one-shot; evaluating a DIFFERENT dataset first must drop the stage and
+    recompute (correct either way — folding is only a dispatch
+    optimization), and the staged targets must still evaluate correctly
+    afterwards via the standalone path."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import (
+        Trainer,
+    )
+
+    cfg = ExperimentConfig(mode="data-inc", parts=1, epochs=1, batch_size=64,
+                           eval_batch_size=64, lr=1e-3, fused_unit=True,
+                           shuffle_train=False, plot_figures="off")
+    b = _bundle()
+    other = b.train  # not what the fold targeted
+    trainer = Trainer(cfg, _bank(), _Recorder())
+    trainer.train_unit(b.train, [0.0], part=1, actual_task=1,
+                       eval_data=(b.val, b.test))
+    assert trainer._pending_eval[0][0] is b.val
+    m_other = trainer.validate(other, 1, 1)  # mismatch: stage dropped
+    assert not trainer._pending_eval
+    m_val = trainer.validate(b.val, 1, 1)  # recomputed standalone
+    # cross-check the recomputed result against a fresh fold's staged one
+    trainer2 = Trainer(cfg, _bank(), _Recorder())
+    trainer2.train_unit(b.train, [0.0], part=1, actual_task=1,
+                        eval_data=(b.val, b.test))
+    m_val2 = trainer2.validate(b.val, 1, 1)
+    assert m_val["auroc_macro"] == m_val2["auroc_macro"]
+    assert np.isfinite(m_other["auroc_macro"])
+
+
 def test_fused_unit_joint_reference_figures_stay_per_epoch():
     """plot_figures='reference' draws text/t-SNE figures from LIVE params
     after every epoch — under the whole-run fold the live params would
