@@ -92,7 +92,9 @@ _env_seeds = os.environ.get("TWIN_FUZZ_SEEDS")
 FUZZ_SEEDS = (
     [int(s) for s in _env_seeds.split(",") if s.strip()]
     if _env_seeds
-    else [101, 202, 303, 404]
+    # 303 draws the joint whole-run fold (unshuffled); 15 draws it shuffled
+    # (double adapter, Adam, 2 epochs) — the injected-permutation fold path
+    else [15, 101, 202, 303, 404]
 )
 
 
@@ -162,8 +164,11 @@ def sample_config(seed: int) -> dict:
         c["adder"] = round(rng.uniform(0.0, 0.002), 6)
         c["threshold_scheduling"] = rng.random() < 0.5
     # drawn LAST so adding this knob kept every earlier field's draw stable
-    # for a given seed (incremental units only; joint evals between epochs)
-    c["fused_unit"] = c["regime"] != "joint" and rng.random() < 0.4
+    # for a given seed.  For incremental regimes this fuses each unit (all
+    # E epochs + the folded post-unit evals in one dispatch); for joint it
+    # fuses the WHOLE run (train_joint_run: E epochs + E val/test evals,
+    # figures off in every fuzz draw so joint_run_fusible holds).
+    c["fused_unit"] = rng.random() < 0.4
     return c
 
 
@@ -353,7 +358,9 @@ def test_sampler_covers_the_space():
     assert {d["prompt_mode"] for d in draws} == {"single", "mean", "max"}
     assert {d.get("continual") for d in draws} == {None, "myCL", "profCL"}
     assert {d["fused"] for d in draws} == {True, False}
-    assert any(d["fused_unit"] for d in draws)
+    assert any(d["fused_unit"] and d["regime"] != "joint" for d in draws)
+    # the joint whole-run fold (train_joint_run) must get sampling pressure
+    assert any(d["fused_unit"] and d["regime"] == "joint" for d in draws)
     assert any(d["shuffle_seed"] is not None for d in draws)
     assert any(d["new_prompts"] for d in draws)
     assert any(d.get("more_labels") for d in draws)
