@@ -245,34 +245,66 @@ def run_data_incremental(
     count = skip * cfg.epochs
     for _ in range(count):  # replay, not multiply: keeps fp accumulation
         threshold += cfg.adder  # order identical to an uninterrupted run
+    remaining = list(range(1 + skip, cfg.parts + 1))
+    # the whole remaining threshold schedule advances host-side ONCE here,
+    # in the same sequential fp-accumulation order the per-unit loop used
+    # (the resume replay above depends on it); the scheduling scalars are
+    # still logged inside the unit loop at their original stream position
+    schedule = []
+    for _ in remaining:
+        unit_thr = []
+        for _ in range(cfg.epochs):
+            threshold += cfg.adder  # DATA_INCREMENTAL.py:78
+            unit_thr.append(threshold)
+        schedule.append(unit_thr)
+    use_prof = cfg.continual_learning == ContinualLearning.PROF_CL
     try:
         with maybe_trace(trace_dir):
-            for part in range(1 + skip, cfg.parts + 1):
-                # the unit's threshold schedule advances host-side ONCE here
-                # (the fp-accumulation order the resume replay above depends
-                # on); the fused path then rides it in as an (E,) operand
-                thresholds = []
-                for _ in range(cfg.epochs):
+            units = [parts[p - 1] for p in remaining]
+            fold = trainer.incremental_run_fusible(units, (data.val, data.test))
+            if cfg.fused_unit and not fold and units:
+                # like run_zero_joint's warn: the user opted into fusion for
+                # link-latency reasons and should know the run still pays
+                # one dispatch per unit
+                print("[info] --fused-unit: whole-run fold unavailable "
+                      "(non-uniform unit shapes, a mesh, eval/train data "
+                      "not HBM-residentable, or epochs=0); dispatching "
+                      "per unit")
+            if fold:
+                # the WHOLE remaining run (every part's epochs + its
+                # post-part val/test evals) as one dispatch; the loop below
+                # only replays TB logging and consumes the staged results
+                trainer.train_incremental_run(
+                    units, schedule,
+                    use_my_cl_units=[
+                        cfg.continual_learning == ContinualLearning.MY_CL and p > 1
+                        for p in remaining
+                    ],
+                    use_prof_units=[use_prof] * len(units),
+                    eval_data=(data.val, data.test),
+                )
+            for i, part in enumerate(remaining):
+                for thr in schedule[i]:
                     count += 1
-                    threshold += cfg.adder  # DATA_INCREMENTAL.py:78
                     if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                    thresholds.append(threshold)
-                if trainer.unit_fusible(parts[part - 1]):
+                        writer.add_scalar("monitor-resets/threshold-scheduling", thr, count)
+                if fold:
+                    trainer.emit_incremental_unit(i, part=part, actual_task=part)
+                elif trainer.unit_fusible(parts[part - 1]):
                     trainer.train_unit(
-                        parts[part - 1], thresholds, part=part, actual_task=part,
-                        use_prof=cfg.continual_learning == ContinualLearning.PROF_CL,
+                        parts[part - 1], schedule[i], part=part, actual_task=part,
+                        use_prof=use_prof,
                         eval_data=(data.val, data.test),
                     )
                 else:
-                    for epoch, thr in enumerate(thresholds, start=1):
-                        if cfg.continual_learning == ContinualLearning.PROF_CL:
+                    for epoch, thr in enumerate(schedule[i], start=1):
+                        if use_prof:
                             trainer.model_copy()
                         trainer.train(
                             parts[part - 1], epoch, threshold=thr,
                             part=part, epochs=cfg.epochs, actual_task=part,
                         )
-                        if cfg.continual_learning == ContinualLearning.PROF_CL:
+                        if use_prof:
                             trainer.prof_incremental(epoch, cfg.epochs, part, thr)
                 results[f"val_part{part}"] = trainer.validate(
                     data.val, part, cfg.parts, mode="data-inc", tasks_order=part
@@ -341,22 +373,53 @@ def run_class_incremental(
     count = skip * cfg.epochs
     for _ in range(count):  # replay, not multiply: keeps fp accumulation
         threshold += cfg.adder  # order identical to an uninterrupted run
+    remaining = list(range(1 + skip, n_tasks + 1))
+    # see run_data_incremental: the whole remaining schedule, same fp order
+    schedule = []
+    for _ in remaining:
+        unit_thr = []
+        for _ in range(cfg.epochs):
+            threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
+            unit_thr.append(threshold)
+        schedule.append(unit_thr)
     try:
         with maybe_trace(trace_dir):
-            for actual_task in range(1 + skip, n_tasks + 1):
-                # see run_data_incremental: one copy of the schedule per unit
-                thresholds = []
-                for _ in range(cfg.epochs):
+            units = [tasks[t - 1] for t in remaining]
+            fold = trainer.incremental_run_fusible(units, (data.val, data.test))
+            if cfg.fused_unit and not fold and units:
+                print("[info] --fused-unit: whole-run fold unavailable "
+                      "(non-uniform unit shapes, a mesh, eval/train data "
+                      "not HBM-residentable, or epochs=0); dispatching "
+                      "per unit")
+            if fold:
+                trainer.train_incremental_run(
+                    units, schedule,
+                    use_my_cl_units=[
+                        cfg.continual_learning == ContinualLearning.MY_CL and t > 1
+                        for t in remaining
+                    ],
+                    use_prof_units=[
+                        cfg.continual_learning == ContinualLearning.PROF_CL and t > 1
+                        for t in remaining
+                    ],
+                    current_tasks=[tasks_order[t - 1] for t in remaining],
+                    more_labels=cfg.more_labels,
+                    eval_data=(data.val, data.test),
+                )
+            for i, actual_task in enumerate(remaining):
+                for thr in schedule[i]:
                     count += 1
-                    threshold += cfg.adder  # CLASS_INCREMENTAL.py:70
                     if cfg.threshold_scheduling and cfg.continual_learning is not None:
-                        writer.add_scalar("monitor-resets/threshold-scheduling", threshold, count)
-                    thresholds.append(threshold)
+                        writer.add_scalar("monitor-resets/threshold-scheduling", thr, count)
                 use_prof = (cfg.continual_learning == ContinualLearning.PROF_CL
                             and actual_task > 1)
-                if trainer.unit_fusible(tasks[actual_task - 1]):
+                if fold:
+                    last_batch = trainer.emit_incremental_unit(
+                        i, actual_task=actual_task, last_batch=last_batch
+                    )
+                elif trainer.unit_fusible(tasks[actual_task - 1]):
                     last_batch = trainer.train_unit(
-                        tasks[actual_task - 1], thresholds,
+                        tasks[actual_task - 1], schedule[i],
                         actual_task=actual_task, last_batch=last_batch,
                         current_task=tasks_order[actual_task - 1],
                         more_labels=cfg.more_labels,
@@ -364,7 +427,7 @@ def run_class_incremental(
                         eval_data=(data.val, data.test),
                     )
                 else:
-                    for epoch, thr in enumerate(thresholds, start=1):
+                    for epoch, thr in enumerate(schedule[i], start=1):
                         if use_prof:
                             trainer.model_copy()
                         last_batch = trainer.train_class_incremental(

@@ -323,6 +323,91 @@ def build_fused_unit(
     return jax.jit(unit, donate_argnums=(0,))
 
 
+def build_fused_run(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+    use_prof: bool = False,
+    on_mesh: bool = False,
+) -> Callable:
+    """A WHOLE incremental run — every part of a data-incremental run
+    (``DATA_INCREMENTAL.py:44-97``) or every task of a class-incremental one
+    (``CLASS_INCREMENTAL.py:32-97``), each unit's epochs AND its post-unit
+    val/test eval passes — as ONE jitted program: ``lax.scan`` over units
+    around the fused-unit epoch scan.
+
+    :func:`build_fused_unit` collapsed a unit to one dispatch; an
+    incremental run still pays one dispatch+readback round-trip per unit
+    (20 for the reference's data-incremental shape).  Here the per-unit
+    slabs ride in stacked as ``(U, n_pad, D)`` operands — the units of a
+    contiguous split pad to the same shape, which is also the scan's
+    requirement — and the whole run costs ONE round-trip.  Per-unit driver
+    state that the protocols need between units comes back as stacked scan
+    outputs: the train metric streams ``(U, E, n_batches)``, the folded
+    val/test eval results ``(U, ...)``, and the post-unit ``TrainState``
+    (params, opt state, step) so unit-boundary checkpoints
+    (engine/protocols.py::_save_unit) and live-params figures see each
+    unit's own state, not the final one.
+
+    Per-unit variation is data, not program: the class masks ``(U, C)``
+    (class-incremental current-task / MORE_LABELS masks), the myCL/profCL
+    threshold schedule ``(U, E)`` (zeros where a unit's reset is guarded
+    off — an exact no-op, the same trick the unit fold uses for
+    ``actual_task == 1``), and the per-epoch shuffle orders ``(U, E,
+    n_pad)``.  ``use_prof`` compiles the profCL epoch reset in for every
+    unit; a guarded unit (class-inc task 1, CLASS_INCREMENTAL.py:73-88)
+    neutralises it with zero thresholds.
+
+    Returns ``run(state, embs (U,n_pad,D), labels (U,n_pad,C), valid
+    (U,n_pad), bank, class_masks (U,C), thresholds (U,E), perms (U,E,n_pad)
+    or (U,E,0), val_embs, val_labels, val_valid, test_embs, test_labels,
+    test_valid) -> (state, stacked, (val_out, test_out), unit_states)``
+    where ``stacked`` metrics lead with (U, E, n_batches), each eval output
+    leads with (U,), and ``unit_states`` is a TrainState of (U, ...)-stacked
+    leaves.
+    """
+    core = _train_core(pair, tx, cfg)
+    applications = 2 if cfg.shared else 1
+    use_pallas = _eval_uses_pallas() and not on_mesh
+
+    def run(state: TrainState, embs, labels, valid, bank, class_masks,
+            thresholds, perms, val_embs, val_labels, val_valid,
+            test_embs, test_labels, test_valid):
+        def unit_body(st, per_unit):
+            u_embs, u_labels, u_valid, u_cmask, u_thr, u_perms = per_unit
+
+            def epoch_body(st2, per_epoch):
+                threshold, perm = per_epoch
+                snapshot = st2.params if use_prof else None
+                st2, stacked = _epoch_scan(
+                    core, cfg, st2, u_embs, u_labels, u_valid, bank, u_cmask,
+                    threshold, perm,
+                )
+                if use_prof:
+                    params, n_reset, n_updated = weight_reset(
+                        st2.params, snapshot, threshold, applications=applications
+                    )
+                    st2 = st2._replace(params=params)
+                    stacked = dict(stacked, prof_n_reset=n_reset, prof_n_updated=n_updated)
+                return st2, stacked
+
+            st, stacked = jax.lax.scan(epoch_body, st, (u_thr, u_perms))
+            evals = (
+                _fused_eval_pass(pair, cfg, use_pallas, st.params,
+                                 val_embs, val_labels, val_valid, bank),
+                _fused_eval_pass(pair, cfg, use_pallas, st.params,
+                                 test_embs, test_labels, test_valid, bank),
+            )
+            return st, (stacked, evals, st)
+
+        state, (stacked, evals, unit_states) = jax.lax.scan(
+            unit_body, state, (embs, labels, valid, class_masks, thresholds, perms)
+        )
+        return state, stacked, evals, unit_states
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def epoch_permutation(key, n_real: int, n_pad: int) -> jnp.ndarray:
     """Device-side epoch row order: permute the ``n_real`` real rows, keep

@@ -45,6 +45,7 @@ from incremental_multimodal_medical_learning_ii_tpu.engine.steps import (
     build_eval_step,
     build_fused_epoch,
     build_fused_eval,
+    build_fused_run,
     build_fused_unit,
     build_train_step,
     init_train_state,
@@ -67,6 +68,20 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
     ExperimentConfig,
     NUM_CLASSES,
 )
+
+
+def _unit_class_mask(current_task: Optional[int], more_labels: bool) -> np.ndarray:
+    """The (C,) class mask one incremental unit trains: all classes
+    (joint/data-inc), labels[:, :task+1] (MORE_LABELS, Trainer.py:701) or
+    labels[:, task] (class-incremental, Trainer.py:625)."""
+    if current_task is None:
+        return np.ones(NUM_CLASSES, np.float32)
+    mask = np.zeros(NUM_CLASSES, np.float32)
+    if more_labels:
+        mask[: current_task + 1] = 1.0
+    else:
+        mask[current_task] = 1.0
+    return mask
 
 
 class Trainer:
@@ -161,6 +176,10 @@ class Trainer:
         self._joint_fetched = None
         self._joint_evals = None
         self._joint_eval_data = None
+        # fused incremental-run staging (train_incremental_run ->
+        # emit_incremental_unit; released after the last unit's emit)
+        self._fused_run_cache: dict = {}
+        self._run_staging = None
 
     # ------------------------------------------------------------------
     # Host-side stream state (for bit-reproducible resume)
@@ -257,6 +276,13 @@ class Trainer:
             )
         return order
 
+    def _invalidate_folds(self) -> None:
+        """Params are about to change outside a fold: staged eval results
+        and any staged fused-run state are stale now (emitting a stale unit
+        would silently REVERT self.state to the fold's slice)."""
+        self._pending_eval = []
+        self._run_staging = None
+
     def _run_train_batch(self, embs, labels, mask, class_mask, threshold):
         embs, labels, mask = self._place((embs, labels, mask))
         self.state, metrics = self._train_step(
@@ -338,7 +364,7 @@ class Trainer:
         actual_task: Optional[int] = None,
     ) -> None:
         cfg = self.cfg
-        self._pending_eval = []  # params change below: folded evals go stale
+        self._invalidate_folds()  # params change below: staged folds go stale
         use_my_cl = (
             cfg.continual_learning == ContinualLearning.MY_CL
             and actual_task is not None
@@ -546,7 +572,7 @@ class Trainer:
         table).  Results are bit-identical to the standalone fused eval
         (pinned by tests/test_fused_unit.py)."""
         cfg = self.cfg
-        self._pending_eval = []  # anything unconsumed is stale now
+        self._invalidate_folds()  # anything unconsumed is stale now
         n_epochs = len(thresholds)
         if n_epochs == 0:
             # eval-only run (epochs=0): nothing to dispatch — match the
@@ -557,14 +583,7 @@ class Trainer:
             and actual_task is not None
             and actual_task > 1
         )
-        if current_task is None:
-            class_mask = np.ones(NUM_CLASSES, np.float32)
-        else:
-            class_mask = np.zeros(NUM_CLASSES, np.float32)
-            if more_labels:
-                class_mask[: current_task + 1] = 1.0
-            else:
-                class_mask[current_task] = 1.0
+        class_mask = _unit_class_mask(current_task, more_labels)
         # the threshold operand only feeds the myCL per-step reset and the
         # profCL epoch reset; zeros make both exact no-ops (|delta| < min
         # is false everywhere), matching the per-epoch path's
@@ -740,6 +759,211 @@ class Trainer:
             self._joint_fetched = self._joint_evals = self._joint_eval_data = None
 
     # ------------------------------------------------------------------
+    # Fused incremental run: ALL units + their post-unit evals, ONE dispatch
+    # ------------------------------------------------------------------
+    def incremental_run_fusible(self, units, eval_data) -> bool:
+        """Whether :meth:`train_incremental_run` can fold a whole
+        incremental run into one dispatch.  Besides the fused-unit
+        preconditions, every unit must pad to the SAME (n_batches, n_pad)
+        slab — the scan over units needs uniform shapes.  ``split_contiguous``
+        units (data-incremental parts, class-pos-neg tasks) always do;
+        by-label class splits usually don't and fall back to per-unit
+        dispatches (still fused, just one round-trip per unit).  Mesh runs
+        stay per-unit too: the fold is a link-latency optimization and the
+        stacked (U, n_pad, D) slabs don't fit the row-sharding layout
+        ``_device_data`` uses."""
+        if not (
+            self.cfg.fused_unit
+            and self.cfg.epochs > 0
+            and self._fused_epoch is not None
+            and self._fused_eval is not None
+            and self.mesh is None
+            and len(units) > 0
+            and all(isinstance(u, EmbeddingDataset) and len(u) > 0 for u in units)
+            and eval_data is not None
+            and all(isinstance(d, EmbeddingDataset) for d in eval_data)
+        ):
+            return False
+        bs = self.cfg.batch_size
+        return len({num_batches(len(u), bs) for u in units}) == 1
+
+    def _get_fused_run(self, use_prof: bool):
+        fused = self._fused_run_cache.get(use_prof)
+        if fused is None:
+            fused = build_fused_run(
+                self.pair, self.tx, self.cfg, use_prof=use_prof,
+                on_mesh=self.mesh is not None,
+            )
+            self._fused_run_cache[use_prof] = fused
+        return fused
+
+    def train_incremental_run(
+        self,
+        units: Sequence[EmbeddingDataset],
+        schedules: Sequence[Sequence[float]],
+        *,
+        use_my_cl_units: Sequence[bool],
+        use_prof_units: Sequence[bool],
+        current_tasks: Optional[Sequence[Optional[int]]] = None,
+        more_labels: bool = False,
+        eval_data: tuple,
+    ) -> None:
+        """ALL remaining units of an incremental run — each unit's epochs
+        AND its post-unit val/test evals — as ONE on-device program
+        (engine/steps.py::build_fused_run).  Dispatches and reads back the
+        metric streams and eval results here; :meth:`emit_incremental_unit`
+        then replays one unit's TB logging, stages its eval results, and
+        restores that unit's own post-unit ``TrainState`` — so unit-boundary
+        checkpoints, live-params figures, and bit-reproducible resume are
+        identical to per-unit dispatches (tests/test_fused_run.py pins the
+        streams, params, and per-unit states bitwise).
+
+        ``schedules`` is the per-unit myCL/profCL threshold schedule (the
+        protocols advance ``threshold += adder`` once per epoch,
+        DATA_INCREMENTAL.py:78 / CLASS_INCREMENTAL.py:70); units whose
+        resets are guarded off (``use_my_cl_units[i]`` and
+        ``use_prof_units[i]`` both false) ride in as zeros — an exact
+        no-op.  ``current_tasks[i]`` is the class-incremental trained class
+        (None = all classes)."""
+        import jax.numpy as jnp
+
+        from incremental_multimodal_medical_learning_ii_tpu.utils.profiling import (
+            annotate,
+        )
+
+        cfg = self.cfg
+        self._invalidate_folds()
+        n_units = len(units)
+        n_epochs = len(schedules[0])
+        if current_tasks is None:
+            current_tasks = [None] * n_units
+        bs = cfg.batch_size
+        n_b = num_batches(len(units[0]), bs)
+        n_pad = n_b * bs
+        dim = units[0].embeddings.shape[1]
+        n_cls = units[0].labels.shape[1]
+        embs = np.zeros((n_units, n_pad, dim), np.float32)
+        labels = np.zeros((n_units, n_pad, n_cls), np.float32)
+        valid = np.zeros((n_units, n_pad), np.float32)
+        for i, u in enumerate(units):
+            n = len(u)
+            embs[i, :n] = u.embeddings
+            labels[i, :n] = u.labels
+            valid[i, :n] = 1.0
+        class_masks = np.stack(
+            [_unit_class_mask(ct, more_labels) for ct in current_tasks]
+        )
+        eff = np.asarray(
+            [
+                list(s) if (mc or up) else [0.0] * n_epochs
+                for s, mc, up in zip(schedules, use_my_cl_units, use_prof_units)
+            ],
+            np.float32,
+        )
+        # the per-epoch orders consume the SAME counters/streams in the
+        # SAME unit-major order as per-unit dispatches would; the pre-fold
+        # counter values are kept so emit_incremental_unit can rewind the
+        # aux state to each unit boundary (unit-level resume replays the
+        # remaining units' perms from there)
+        counters0 = (self._epoch_counter, self._perm_counter)
+        d_perms = jnp.stack(
+            [
+                jnp.stack(
+                    [jnp.asarray(self._epoch_perm(len(u), n_pad)) for _ in range(n_epochs)]
+                )
+                for u in units
+            ]
+        )
+        val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
+        test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
+        use_prof = any(use_prof_units)
+        fused = self._get_fused_run(use_prof)
+        with annotate("fused-incremental-run"):
+            self.state, stacked, evals, unit_states = fused(
+                self.state, jnp.asarray(embs), jnp.asarray(labels),
+                jnp.asarray(valid), self.bank, jnp.asarray(class_masks),
+                jnp.asarray(eff), d_perms, *val_ops, *test_ops,
+            )
+            fetched, evals = jax.device_get((stacked, evals))
+        self._run_staging = {
+            "fetched": fetched,            # {k: (U, E, n_b)} host arrays
+            "evals": evals,                # ((U,...) val, (U,...) test), host
+            "eval_data": eval_data,        # strong refs, see _pending_eval
+            "unit_states": unit_states,    # DEVICE TrainState, (U,...) leaves
+            "class_masks": class_masks,
+            "use_my_cl": list(use_my_cl_units),
+            "use_prof": list(use_prof_units),
+            "counters0": counters0,
+            "n_units": n_units,
+        }
+
+    def emit_incremental_unit(
+        self,
+        idx: int,
+        *,
+        part: Optional[int] = None,
+        actual_task: Optional[int] = None,
+        last_batch: int = 0,
+    ) -> int:
+        """Replay unit ``idx``'s TB logging from the fused run, stage its
+        eval results for the next ``validate``/``test`` pair, and set
+        ``self.state`` to the post-unit state (device-side slice of the
+        stacked scan output) so per-unit checkpoints and 'reference'-cadence
+        figures see the unit's own params.  Call in unit order.  Returns the
+        class-incremental ``last_batch`` threading value, like
+        :meth:`train_unit`."""
+        staging = self._run_staging
+        if staging is None:
+            raise RuntimeError(
+                "emit_incremental_unit without a staged train_incremental_run"
+            )
+        fetched = {k: v[idx] for k, v in staging["fetched"].items()}
+        prof_nr = fetched.pop("prof_n_reset", None)
+        prof_nu = fetched.pop("prof_n_updated", None)
+        class_mask = staging["class_masks"][idx]
+        use_my_cl = staging["use_my_cl"][idx]
+        n_epochs, n_b = fetched["loss"].shape[:2]
+        epochs_for_base = self.cfg.epochs
+        for e in range(n_epochs):
+            if part is not None:
+                base = (part - 1) * epochs_for_base * n_b + e * n_b
+            else:
+                base = last_batch + e * n_b
+            self._flush_epoch_metrics(
+                {k: v[e] for k, v in fetched.items()}, class_mask, use_my_cl,
+                lambda i, base=base: base + i + 1,
+            )
+            if staging["use_prof"][idx]:
+                # prof_incremental's stream position (Trainer.py:1589-1632)
+                step = ((actual_task or 1) - 1) * epochs_for_base + e + 1
+                self._log_reset_counts(
+                    {"n_reset": prof_nr[e], "n_updated": prof_nu[e]}, step
+                )
+        val_out, test_out = staging["evals"]
+        self._pending_eval = [
+            (staging["eval_data"][0], tuple(x[idx] for x in val_out)),
+            (staging["eval_data"][1], tuple(x[idx] for x in test_out)),
+        ]
+        self.state = jax.tree_util.tree_map(
+            lambda x: x[idx], staging["unit_states"]
+        )
+        # rewind the shuffle counters to this unit's boundary: aux_state()
+        # saved at unit k must equal the per-unit path's (all U units' perms
+        # were drawn upfront), so a unit-level resume replays the remaining
+        # units' permutation stream bit-identically
+        c_epoch, c_perm = staging["counters0"]
+        self._epoch_counter = c_epoch + (idx + 1) * n_epochs
+        if self.cfg.shuffle_train:
+            self._perm_counter = c_perm + (idx + 1) * n_epochs
+        if idx + 1 == staging["n_units"]:
+            # last unit emitted: release the staged run (the stacked train
+            # metrics, eval arrays, and device unit states would otherwise
+            # stay pinned for the Trainer's lifetime); self.state keeps the
+            # final unit's slice — the same values as the scan's final carry
+            self._run_staging = None
+        return last_batch + n_epochs * n_b
+
+    # ------------------------------------------------------------------
     # Class-incremental  —  Trainer.py:608-756
     # ------------------------------------------------------------------
     def train_class_incremental(
@@ -753,7 +977,7 @@ class Trainer:
         more_labels: bool = False,
     ) -> int:
         cfg = self.cfg
-        self._pending_eval = []  # params change below: folded evals go stale
+        self._invalidate_folds()  # params change below: staged folds go stale
         use_my_cl = (
             cfg.continual_learning == ContinualLearning.MY_CL
             and actual_task is not None
@@ -802,7 +1026,7 @@ class Trainer:
     def prof_incremental(self, epoch: int, epochs: int, actual_task: int, threshold: float) -> None:
         if self._snapshot is None:
             raise RuntimeError("prof_incremental requires a prior model_copy()")
-        self._pending_eval = []  # the reset changes params
+        self._invalidate_folds()  # the reset changes params
         params, n_reset, n_updated = self._epoch_reset(self.state.params, self._snapshot, threshold)
         self.state = self.state._replace(params=params)
         step = (actual_task - 1) * epochs + epoch

@@ -39,6 +39,21 @@ from incremental_multimodal_medical_learning_ii_tpu.utils.config import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _pin_per_unit_dispatches(monkeypatch):
+    """These tests pin the PER-UNIT fold against the per-epoch path; the
+    whole-run fold (engine/steps.py::build_fused_run, tested in
+    test_fused_run.py) would otherwise supersede it for uniform units and
+    leave train_unit untested on exactly the regimes it serves."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import (
+        Trainer,
+    )
+
+    monkeypatch.setattr(
+        Trainer, "incremental_run_fusible", lambda self, units, eval_data: False
+    )
+
+
 def _bundle(n_train=400, n_eval=192, seed=7):
     rng = np.random.default_rng(seed)
     dirs = rng.normal(size=(5, 128)).astype(np.float32)
