@@ -183,9 +183,11 @@ def main(argv=None) -> None:
             mode="joint", epochs=epochs, batch_size=batch, lr=1e-3,
             optim="adam", adapter="mlp", prompt_mode="max", seed=args.seed,
             # honored: under --fused-unit the WHOLE joint run (all epochs +
-            # per-epoch val/test) is ONE dispatch; figures move to the final
-            # epoch so no mid-run live params are needed (the gate checks
-            # AUROC scalars, not figure cadence)
+            # per-epoch val/test) is ONE dispatch.  The fold stages each
+            # epoch's own TrainState so even "reference"-cadence figures
+            # would be exact; final-only is kept as a SPEED choice (the gate
+            # checks AUROC scalars, and ~10 matplotlib figures per epoch
+            # are host-bound minutes on a 1-vCPU box)
             fused_unit=args.fused_unit,
             plot_figures="final" if args.fused_unit else "reference",
         )

@@ -190,10 +190,8 @@ def run_zero_joint(
                     # opted into fusion for a reason (link latency) and
                     # should not attribute per-epoch RTTs to link health
                     print("[warn] --fused-unit: joint whole-run fusion "
-                          "disabled (plot_figures='reference' needs live "
-                          "params between epochs, or the data is not an "
-                          "HBM-residentable EmbeddingDataset); running "
-                          "per-epoch")
+                          "disabled (the data is not an HBM-residentable "
+                          "EmbeddingDataset); running per-epoch")
                 if fuse_run:
                     trainer.train_joint_run(data.train, threshold, (data.val, data.test))
                 for epoch in range(1, cfg.epochs + 1):

@@ -262,7 +262,11 @@ def build_fused_unit(
       incremental protocols interleave train and eval);
     * ``"per_epoch"`` — evaluate after EVERY epoch, outputs stacked with a
       leading (E,) axis (how the joint driver interleaves them,
-      ZERO_JOINT_BOUNDS.py:33-45 — the whole joint run becomes one program).
+      ZERO_JOINT_BOUNDS.py:33-45 — the whole joint run becomes one
+      program), plus the post-epoch TrainStates stacked the same way (so
+      the driver's live-params figures — text-embedding/t-SNE after every
+      epoch, Trainer.py:1074-1554 — can draw from each epoch's own params
+      under the fold).
 
     Returns ``unit(state, embs, labels, valid, bank, class_mask,
     thresholds (E,), perms (E, n_pad) or (E, 0)) -> (state, stacked)``
@@ -310,7 +314,7 @@ def build_fused_unit(
                 stacked = dict(stacked, prof_n_reset=n_reset, prof_n_updated=n_updated)
             out = stacked
             if eval_mode == "per_epoch":
-                out = (stacked, _eval_both(st.params, bank, val_ops, test_ops))
+                out = (stacked, _eval_both(st.params, bank, val_ops, test_ops), st)
             return st, out
 
         state, out = jax.lax.scan(epoch_body, state, (thresholds, perms))
@@ -318,7 +322,7 @@ def build_fused_unit(
             return state, out
         if eval_mode == "final":
             return state, out, _eval_both(state.params, bank, val_ops, test_ops)
-        return state, out[0], out[1]
+        return state, out[0], out[1], out[2]
 
     return jax.jit(unit, donate_argnums=(0,))
 

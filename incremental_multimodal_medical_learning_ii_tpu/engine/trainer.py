@@ -176,6 +176,7 @@ class Trainer:
         self._joint_fetched = None
         self._joint_evals = None
         self._joint_eval_data = None
+        self._joint_states = None
         # fused incremental-run staging (train_incremental_run ->
         # emit_incremental_unit; released after the last unit's emit)
         self._fused_run_cache: dict = {}
@@ -594,7 +595,7 @@ class Trainer:
             and self._fused_eval is not None
             and all(isinstance(d, EmbeddingDataset) for d in eval_data)
         )
-        fetched, evals = self._dispatch_fused_unit(
+        fetched, evals, _ = self._dispatch_fused_unit(
             dataset, eff, use_prof, "final" if fold_eval else None,
             eval_data if fold_eval else None, class_mask, "fused-train-unit",
         )
@@ -671,33 +672,40 @@ class Trainer:
             eval_ops = (*val_ops, *test_ops)
         fused = self._get_fused_unit(use_prof, eval_mode)
         with annotate(tag):
+            if eval_mode == "per_epoch":
+                self.state, stacked, evals, epoch_states = fused(
+                    self.state, d_embs, d_labels, d_valid, self.bank,
+                    class_mask, d_thresholds, d_perms, *eval_ops,
+                )
+                # epoch_states stay on device (sliced lazily per emit)
+                return (*jax.device_get((stacked, evals)), epoch_states)
             if eval_mode is not None:
                 self.state, stacked, evals = fused(
                     self.state, d_embs, d_labels, d_valid, self.bank,
                     class_mask, d_thresholds, d_perms, *eval_ops,
                 )
-                return jax.device_get((stacked, evals))
+                return (*jax.device_get((stacked, evals)), None)
             self.state, stacked = fused(
                 self.state, d_embs, d_labels, d_valid, self.bank,
                 class_mask, d_thresholds, d_perms,
             )
-            return jax.device_get(stacked), None
+            return jax.device_get(stacked), None, None
 
     # ------------------------------------------------------------------
     # Fused joint run: ALL epochs + per-epoch val/test in ONE dispatch
     # ------------------------------------------------------------------
     def joint_run_fusible(self, train_ds, eval_data) -> bool:
         """Whether :meth:`train_joint_run` can fuse a whole joint run.
-        Besides the fused-unit preconditions, per-epoch figures must be off
-        (``plot_figures="reference"`` draws text-embedding/t-SNE figures
-        from LIVE params after every epoch, Trainer.py:1074-1554; under the
-        fold the live params are already the final ones — only the final
-        epoch's figures would be faithful, which "final"/"off" guarantee)."""
+        ``plot_figures="reference"`` (text-embedding/t-SNE figures from
+        LIVE params after every epoch, Trainer.py:1074-1554) is fine: the
+        fold stacks each epoch's post-epoch TrainState and
+        :meth:`emit_joint_epoch` restores it, so the figures draw from the
+        epoch's own params — same mechanism as the incremental whole-run
+        fold's per-unit states."""
         return (
             self.unit_fusible(train_ds)
             and self._fused_eval is not None
             and all(isinstance(d, EmbeddingDataset) for d in eval_data)
-            and self.cfg.plot_figures != "reference"
         )
 
     def train_joint_run(self, dataset: EmbeddingDataset, threshold, eval_data) -> None:
@@ -721,13 +729,14 @@ class Trainer:
             (threshold if (use_my_cl and ep > 1) else 0.0)
             for ep in range(1, cfg.epochs + 1)
         ]
-        fetched, evals = self._dispatch_fused_unit(
+        fetched, evals, epoch_states = self._dispatch_fused_unit(
             dataset, eff, False, "per_epoch", eval_data,
             np.ones(NUM_CLASSES, np.float32), "fused-joint-run",
         )
         self._joint_fetched = fetched
         self._joint_evals = evals
         self._joint_eval_data = eval_data  # strong refs, see _pending_eval
+        self._joint_states = epoch_states  # DEVICE TrainState, (E,...) leaves
 
     def emit_joint_epoch(self, epoch: int) -> None:
         """Replay epoch ``epoch``'s TB logging from the fused joint run and
@@ -750,13 +759,20 @@ class Trainer:
             (self._joint_eval_data[0], tuple(x[e] for x in val_out)),
             (self._joint_eval_data[1], tuple(x[e] for x in test_out)),
         ]
+        # restore THIS epoch's post-epoch state (device-side slice): the
+        # driver's live-params figures (plot_figures="reference") and any
+        # mid-run checkpointing see the epoch's own params, exactly as the
+        # per-epoch path would; the final epoch's slice equals the scan's
+        # final carry
+        self.state = jax.tree_util.tree_map(lambda x: x[e], self._joint_states)
         if epoch == self.cfg.epochs:
             # final epoch replayed: drop the run's staging (the stacked
             # train metrics and (E, Npad, C) eval arrays would otherwise
             # stay pinned for the Trainer's lifetime — ~tens of MB at
             # reference scale).  The per-epoch slices staged above are
             # views; they keep their bases alive until consumed.
-            self._joint_fetched = self._joint_evals = self._joint_eval_data = None
+            self._joint_fetched = self._joint_evals = None
+            self._joint_eval_data = self._joint_states = None
 
     # ------------------------------------------------------------------
     # Fused incremental run: ALL units + their post-unit evals, ONE dispatch

@@ -130,13 +130,13 @@ class ExperimentConfig:
     # (engine/steps.py::build_fused_unit).  The post-unit val/test eval
     # passes fold into the same program (eval_mode="final"); joint mode
     # fuses its WHOLE run with per-epoch evals (eval_mode="per_epoch" —
-    # the reference evaluates between epochs, ZERO_JOINT_BOUNDS.py:33-45)
-    # unless plot_figures="reference" needs live params mid-run; the
-    # incremental protocols fold their WHOLE run too when every unit pads
-    # to the same slab (split_contiguous parts/tasks always do —
-    # engine/steps.py::build_fused_run scans over units and returns each
-    # unit's own metric streams, eval results, and post-unit TrainState,
-    # so unit checkpoints and live-params figures stay exact).  Collapses
+    # the reference evaluates between epochs, ZERO_JOINT_BOUNDS.py:33-45);
+    # the incremental protocols fold their WHOLE run too when every unit
+    # pads to the same slab (split_contiguous parts/tasks always do —
+    # engine/steps.py::build_fused_run scans over units).  Both whole-run
+    # folds return each epoch's/unit's own metric streams, eval results,
+    # and post-epoch/unit TrainState as stacked outputs, so checkpoints
+    # and plot_figures="reference" live-params figures stay exact.  Collapses
     # every per-epoch / per-eval dispatch+readback round-trip (~30-750 ms
     # each through a tunneled link) to one per unit.  Opt-in: the unit
     # program is a NEW compile (minutes through a remote-compile terminal

@@ -270,17 +270,74 @@ def test_fused_unit_stale_pending_eval_dropped():
     assert np.isfinite(m_other["auroc_macro"])
 
 
-def test_fused_unit_joint_reference_figures_stay_per_epoch():
+def test_fused_unit_joint_reference_figures_fold_exact():
     """plot_figures='reference' draws text/t-SNE figures from LIVE params
-    after every epoch — under the whole-run fold the live params would
-    already be final, so the fold must disable itself there."""
-    cfg = ExperimentConfig(mode="joint", epochs=2, batch_size=64,
-                           eval_batch_size=64, lr=1e-3, fused_unit=True,
-                           plot_figures="reference")
+    after every epoch.  The joint fold stacks each epoch's post-epoch
+    TrainState and emit_joint_epoch restores it, so the fold stays ON and
+    the figure cadence AND each epoch's figure-source params match the
+    per-epoch path exactly."""
+    import jax as _jax
+
+    from incremental_multimodal_medical_learning_ii_tpu.engine.protocols import (
+        DataBundle as _DB,
+        run_zero_joint as _rzj,
+    )
+
+    class FigRecorder(_Recorder):
+        def __init__(self):
+            super().__init__()
+            self.figures = []
+
+        def add_figure(self, tag, figure, step=0):
+            self.figures.append((tag, int(step)))
+            super().add_figure(tag, figure, step)
+
     from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import (
         Trainer,
     )
 
     bundle = _bundle()
-    trainer = Trainer(cfg, _bank(), _Recorder())
-    assert not trainer.joint_run_fusible(bundle.train, (bundle.val, bundle.test))
+    cfg = ExperimentConfig(mode="joint", epochs=2, batch_size=64,
+                           eval_batch_size=64, lr=1e-3, fused_unit=True,
+                           plot_figures="reference")
+    assert Trainer(cfg, _bank(), FigRecorder()).joint_run_fusible(
+        bundle.train, (bundle.val, bundle.test)
+    )
+
+    # epoch-1 figure params must be epoch 1's, not the final ones: capture
+    # the params each text-embedding figure draws from on both paths
+    captured = {}
+
+    def run_with(fused, key):
+        rec = FigRecorder()
+        import incremental_multimodal_medical_learning_ii_tpu.engine.protocols as protocols
+
+        orig_writer = protocols._make_writer
+        orig_plot = Trainer._plot_text_embedding_figures
+
+        def spy(self, epoch):
+            captured.setdefault(key, []).append(
+                _jax.device_get(self.state.params)
+            )
+            return orig_plot(self, epoch)
+
+        protocols._make_writer = lambda cfg, log_dir: rec
+        Trainer._plot_text_embedding_figures = spy
+        try:
+            c = ExperimentConfig(mode="joint", epochs=2, batch_size=64,
+                                 eval_batch_size=64, lr=1e-3,
+                                 fused_unit=fused, plot_figures="reference")
+            _rzj(c, bundle, _bank(), log_dir=None)
+        finally:
+            protocols._make_writer = orig_writer
+            Trainer._plot_text_embedding_figures = orig_plot
+        return rec
+
+    rec_a = run_with(False, "per_epoch")
+    rec_b = run_with(True, "fused")
+    assert rec_a.figures == rec_b.figures
+    assert rec_a.scalars == rec_b.scalars
+    assert len(captured["per_epoch"]) == len(captured["fused"]) == 2
+    for pa, pb in zip(captured["per_epoch"], captured["fused"]):
+        for la, lb in zip(_jax.tree_util.tree_leaves(pa), _jax.tree_util.tree_leaves(pb)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
