@@ -1,10 +1,13 @@
-.PHONY: test test-fast bench bench-all native clean smoke dryrun reproduce
+.PHONY: test test-fast test-scale bench bench-all native clean smoke dryrun reproduce
 
-test:
+test:        # default tier: everything but the -m scale twins (pyproject addopts)
 	python -m pytest tests/ -q
 
 test-fast:
 	python -m pytest tests/ -q -m fast
+
+test-scale:  # reference-scale (191k-row) twins; several minutes each
+	python -m pytest tests/ -q -m scale
 
 bench:
 	python bench.py

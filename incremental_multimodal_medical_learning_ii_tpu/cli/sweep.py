@@ -25,6 +25,13 @@ def main(argv=None) -> None:
     p.add_argument("--optims", nargs="+", default=["adam", "sgd"])
     p.add_argument("--adapters", nargs="+", default=["mlp", "dense"])
     p.add_argument("--prompt-modes", nargs="+", default=["mean", "max"])
+    p.add_argument("--vmap", action="store_true",
+                   help="train every learning rate of a (optim, adapter, "
+                   "prompt-mode) group as ONE vmapped dispatch (lr is a "
+                   "dynamic optax hyperparam, so the group shares one "
+                   "executable; engine/sweep.py) — K x E dispatches "
+                   "collapse to one per group.  Results equal the "
+                   "sequential path (tests/test_sweep_vmap.py)")
     args = p.parse_args(argv)
     common.enable_compile_cache()
 
@@ -44,25 +51,61 @@ def main(argv=None) -> None:
     # share a bank); building per config would re-encode the prompts
     # through CXR-BERT once per grid point
     banks: dict = {}
-    with maybe_trace(args.trace_dir):  # one trace spanning the whole grid
-        for lr, optim, adapter, pm in itertools.product(
-            args.lrs, args.optims, args.adapters, args.prompt_modes
-        ):
+
+    def bank_of(cfg):
+        if cfg.single_prompt not in banks:
+            banks[cfg.single_prompt] = common.build_bank(args, cfg)
+        return banks[cfg.single_prompt]
+
+    def report(auroc, lr, optim, adapter, pm):
+        results.append((float(auroc), lr, optim, adapter, pm))
+        print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
+              f"val-AUROC-macro={auroc:.4f}")
+
+    def sequential(lrs, optim, adapter, pm):
+        for lr in lrs:
             cfg = ExperimentConfig(
-                mode="joint", lr=lr, optim=optim, adapter=adapter, prompt_mode=pm,
-                plot_figures="off", **base,
+                mode="joint", lr=lr, optim=optim, adapter=adapter,
+                prompt_mode=pm, plot_figures="off", **base,
             )
-            bank_key = cfg.single_prompt
-            if bank_key not in banks:
-                banks[bank_key] = common.build_bank(args, cfg)
-            bank = banks[bank_key]
-            trainer = Trainer(cfg, bank)
+            trainer = Trainer(cfg, bank_of(cfg))
             for epoch in range(1, cfg.epochs + 1):
                 trainer.train(bundle.train, epoch)
-            auroc = trainer.quick_auroc(bundle.val).mean()
-            results.append((float(auroc), lr, optim, adapter, pm))
-            print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
-                  f"val-AUROC-macro={auroc:.4f}")
+            report(trainer.quick_auroc(bundle.val).mean(), lr, optim, adapter, pm)
+
+    with maybe_trace(args.trace_dir):  # one trace spanning the whole grid
+        for optim, adapter, pm in itertools.product(
+            args.optims, args.adapters, args.prompt_modes
+        ):
+            if not args.vmap:
+                sequential(args.lrs, optim, adapter, pm)
+                continue
+            from incremental_multimodal_medical_learning_ii_tpu.engine.sweep import (
+                run_vmapped_sweep,
+            )
+
+            cfgs = [
+                ExperimentConfig(
+                    mode="joint", lr=lr, optim=optim, adapter=adapter,
+                    prompt_mode=pm, plot_figures="off", **base,
+                )
+                for lr in args.lrs
+            ]
+            try:
+                aurocs = run_vmapped_sweep(
+                    cfgs, bundle.train, bundle.val, bank_of(cfgs[0])
+                )
+            except ValueError as e:
+                # non-vmappable knob (lr schedule, no trainable adapter):
+                # fall back LOUDLY so the dispatch count is never silently
+                # K x E when the user asked for 1
+                print(f"[warn] --vmap unavailable for opt={optim} "
+                      f"adapter={adapter} prompts={pm} ({e}); running "
+                      f"sequentially")
+                sequential(args.lrs, optim, adapter, pm)
+                continue
+            for lr, vec in zip(args.lrs, aurocs):
+                report(vec.mean(), lr, optim, adapter, pm)
     import math
 
     # quick_auroc is NaN for a class with single-polarity labels; NaN

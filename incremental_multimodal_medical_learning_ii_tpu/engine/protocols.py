@@ -190,8 +190,9 @@ def run_zero_joint(
                     # opted into fusion for a reason (link latency) and
                     # should not attribute per-epoch RTTs to link health
                     print("[warn] --fused-unit: joint whole-run fusion "
-                          "disabled (the data is not an HBM-residentable "
-                          "EmbeddingDataset); running per-epoch")
+                          "disabled (train or val/test data is not an "
+                          "HBM-residentable EmbeddingDataset, or the fused "
+                          "eval machinery is off); running per-epoch")
                 if fuse_run:
                     trainer.train_joint_run(data.train, threshold, (data.val, data.test))
                 for epoch in range(1, cfg.epochs + 1):
@@ -265,8 +266,8 @@ def run_data_incremental(
                 # link-latency reasons and should know the run still pays
                 # one dispatch per unit
                 print("[info] --fused-unit: whole-run fold unavailable "
-                      "(non-uniform unit shapes, a mesh, eval/train data "
-                      "not HBM-residentable, or epochs=0); dispatching "
+                      "(an empty unit, eval/train data not "
+                      "HBM-residentable, or epochs=0); dispatching "
                       "per unit")
             if fold:
                 # the WHOLE remaining run (every part's epochs + its
@@ -386,8 +387,8 @@ def run_class_incremental(
             fold = trainer.incremental_run_fusible(units, (data.val, data.test))
             if cfg.fused_unit and not fold and units:
                 print("[info] --fused-unit: whole-run fold unavailable "
-                      "(non-uniform unit shapes, a mesh, eval/train data "
-                      "not HBM-residentable, or epochs=0); dispatching "
+                      "(an empty unit, eval/train data not "
+                      "HBM-residentable, or epochs=0); dispatching "
                       "per unit")
             if fold:
                 trainer.train_incremental_run(

@@ -112,11 +112,27 @@ def _eval_uses_pallas() -> bool:
         return False
 
 
-def _train_core(pair: AdapterPair, tx: optax.GradientTransformation, cfg: ExperimentConfig) -> Callable:
+def _train_core(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+    guard_empty: bool = False,
+) -> Callable:
     """The one training-step body shared by the per-batch jitted step and
     the fused-epoch scan: forward, masked BCE, backward, optax update,
     optional myCL reset, monitor metrics.  ``core(state, embs, labels,
-    elem_mask, class_mask, bank, threshold) -> (state, metrics)``."""
+    elem_mask, class_mask, bank, threshold) -> (state, metrics)``.
+
+    ``guard_empty`` makes a FULLY-masked batch (``sum(elem_mask) == 0``) a
+    true no-op on the carried state: params, optimizer state (Adam
+    moments / step count), and the step counter keep their previous values
+    bitwise.  A zero-grad step is NOT a no-op by itself — Adam still
+    decays its moments and emits a nonzero update from stale momentum —
+    so the whole-run fold uses this to pad UNEVEN units (the by-label
+    class-pos splits, reference Trainer.py:1187-1212) to a uniform batch
+    count with fully-masked batches.  For a real batch the select is the
+    identity, so guarded and unguarded programs emit bitwise-identical
+    streams (tests/test_fused_run.py pins this)."""
     use_cl = cfg.continual_learning is not None and cfg.continual_learning.value == "myCL"
     # SHARED mode: the reference resets the aliased module twice
     # (Trainer.py:1558-1587); reproduce the double application.
@@ -160,7 +176,16 @@ def _train_core(pair: AdapterPair, tx: optax.GradientTransformation, cfg: Experi
             else:
                 metrics["max_mean_gap_pos"] = jnp.sum(gap_pos * class_mask) / denom_c
                 metrics["max_mean_gap_neg"] = jnp.sum(gap_neg * class_mask) / denom_c
-        return TrainState(params, opt_state, state.step + 1), metrics
+        out_state = TrainState(params, opt_state, state.step + 1)
+        if guard_empty:
+            # padded-batch step guard: keep the ENTIRE previous state when
+            # the batch had no real rows (metrics of such a batch are
+            # trimmed host-side before logging)
+            keep = jnp.sum(elem_mask) > 0
+            out_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep, new, old), out_state, state
+            )
+        return out_state, metrics
 
     return core
 
@@ -343,9 +368,11 @@ def build_fused_run(
     :func:`build_fused_unit` collapsed a unit to one dispatch; an
     incremental run still pays one dispatch+readback round-trip per unit
     (20 for the reference's data-incremental shape).  Here the per-unit
-    slabs ride in stacked as ``(U, n_pad, D)`` operands — the units of a
-    contiguous split pad to the same shape, which is also the scan's
-    requirement — and the whole run costs ONE round-trip.  Per-unit driver
+    slabs ride in stacked as ``(U, n_pad, D)`` operands — every unit padded
+    to the LARGEST unit's batch count (contiguous splits are already
+    uniform; by-label class-pos splits pad with fully-masked batches,
+    which the ``guard_empty`` step guard makes exact state no-ops) — and
+    the whole run costs ONE round-trip.  Per-unit driver
     state that the protocols need between units comes back as stacked scan
     outputs: the train metric streams ``(U, E, n_batches)``, the folded
     val/test eval results ``(U, ...)``, and the post-unit ``TrainState``
@@ -370,7 +397,7 @@ def build_fused_run(
     leads with (U,), and ``unit_states`` is a TrainState of (U, ...)-stacked
     leaves.
     """
-    core = _train_core(pair, tx, cfg)
+    core = _train_core(pair, tx, cfg, guard_empty=True)
     applications = 2 if cfg.shared else 1
     use_pallas = _eval_uses_pallas() and not on_mesh
 
@@ -410,6 +437,64 @@ def build_fused_run(
         return state, stacked, evals, unit_states
 
     return jax.jit(run, donate_argnums=(0,))
+
+
+def build_vmapped_sweep(
+    pair: AdapterPair,
+    tx: optax.GradientTransformation,
+    cfg: ExperimentConfig,
+) -> Callable:
+    """K whole joint-training runs (same program, different learning rates)
+    + their val scoring as ONE vmapped dispatch — the sweep CLI's ``--vmap``
+    engine (``cli/sweep.py``).
+
+    The learning rate is a *dynamic* optax hyperparameter (it lives in the
+    opt state, :func:`make_optimizer`), so K configs differing only in lr
+    share one XLA executable; vmapping over the stacked ``TrainState``
+    trains them all concurrently — K tiny (128-d) adapter problems batch
+    into matmuls that actually feed the MXU, and a K-point sweep costs one
+    dispatch+readback instead of K x E.  Nothing in the reference
+    constrains this (its drivers hard-code one config per process,
+    ``ZERO_JOINT_BOUNDS.py:16-31``).
+
+    Returns ``sweep(states, embs, labels, valid, bank, perms, val_embs,
+    val_labels, val_valid) -> (states, (K, C) per-class val AUROC)`` where
+    ``states`` has (K, ...)-stacked leaves, train data is padded to whole
+    batches (replicated across K), and ``perms`` is the (E, n_pad) epoch
+    order stack every config consumes (same seed -> same orders, exactly
+    like K sequential Trainers).  Eval scores come from the same
+    :func:`_fused_eval_pass` + ``auroc_device`` the sequential path's
+    ``quick_auroc`` uses (the jnp scorer: pallas_call does not vmap).
+    """
+    from incremental_multimodal_medical_learning_ii_tpu.evaluation.metrics import (
+        auroc_device,
+    )
+
+    core = _train_core(pair, tx, cfg)
+    if cfg.continual_learning is not None:
+        raise ValueError("--vmap sweeps train without CL resets "
+                         "(the joint sweep grid never sets them)")
+
+    def one(state, embs, labels, valid, bank, perms, val_embs, val_labels, val_valid):
+        class_mask = jnp.ones(labels.shape[1], jnp.float32)
+
+        def epoch_body(st, perm):
+            st, _ = _epoch_scan(
+                core, cfg, st, embs, labels, valid, bank, class_mask,
+                jnp.zeros(()), perm,
+            )
+            return st, None
+
+        state, _ = jax.lax.scan(epoch_body, state, perms)
+        _, scores, _ = _fused_eval_pass(
+            pair, cfg, False, state.params, val_embs, val_labels, val_valid, bank
+        )
+        return state, auroc_device(scores, val_labels, val_valid)
+
+    return jax.jit(
+        jax.vmap(one, in_axes=(0, None, None, None, None, None, None, None, None)),
+        donate_argnums=(0,),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -280,9 +280,11 @@ class Trainer:
     def _invalidate_folds(self) -> None:
         """Params are about to change outside a fold: staged eval results
         and any staged fused-run state are stale now (emitting a stale unit
-        would silently REVERT self.state to the fold's slice)."""
+        or epoch would silently REVERT self.state to the fold's slice)."""
         self._pending_eval = []
         self._run_staging = None
+        self._joint_fetched = self._joint_evals = None
+        self._joint_eval_data = self._joint_states = None
 
     def _run_train_batch(self, embs, labels, mask, class_mask, threshold):
         embs, labels, mask = self._place((embs, labels, mask))
@@ -745,6 +747,14 @@ class Trainer:
         _gap_counter) advance exactly as the per-epoch path's."""
         e = epoch - 1
         fetched = self._joint_fetched
+        if fetched is None:
+            # staging was invalidated (a param-changing call interleaved
+            # since train_joint_run) or never created: emitting would replay
+            # stale logging and revert self.state to a stale epoch slice
+            raise RuntimeError(
+                "emit_joint_epoch without a staged train_joint_run (the "
+                "staging is dropped whenever params change outside the fold)"
+            )
         n_b = fetched["loss"].shape[1]
         use_my_cl = (
             self.cfg.continual_learning == ContinualLearning.MY_CL and epoch > 1
@@ -779,29 +789,28 @@ class Trainer:
     # ------------------------------------------------------------------
     def incremental_run_fusible(self, units, eval_data) -> bool:
         """Whether :meth:`train_incremental_run` can fold a whole
-        incremental run into one dispatch.  Besides the fused-unit
-        preconditions, every unit must pad to the SAME (n_batches, n_pad)
-        slab — the scan over units needs uniform shapes.  ``split_contiguous``
-        units (data-incremental parts, class-pos-neg tasks) always do;
-        by-label class splits usually don't and fall back to per-unit
-        dispatches (still fused, just one round-trip per unit).  Mesh runs
-        stay per-unit too: the fold is a link-latency optimization and the
-        stacked (U, n_pad, D) slabs don't fit the row-sharding layout
-        ``_device_data`` uses."""
-        if not (
+        incremental run into one dispatch.  Units of UNEVEN length fold
+        too: each pads to the largest unit's (n_batches, n_pad) slab with
+        fully-masked batches, which the fused-run program's step guard
+        (engine/steps.py::_train_core ``guard_empty``) makes exact state
+        no-ops — so ``split_contiguous`` parts (already uniform) and the
+        by-label class-pos splits (reference Trainer.py:1187-1212) both
+        ride the scan.  Mesh runs fold too: the stacked (U, n_pad, D)
+        slabs shard on their row axis (parallel/mesh.py::
+        stacked_batch_sharding) and GSPMD inserts the gradient all-reduce
+        inside the scan — verified bitwise vs the per-unit mesh path
+        (tests/test_fused_run.py) and asserted in the compiled SPMD
+        (``__graft_entry__.dryrun_multichip``)."""
+        return (
             self.cfg.fused_unit
             and self.cfg.epochs > 0
             and self._fused_epoch is not None
             and self._fused_eval is not None
-            and self.mesh is None
             and len(units) > 0
             and all(isinstance(u, EmbeddingDataset) and len(u) > 0 for u in units)
             and eval_data is not None
             and all(isinstance(d, EmbeddingDataset) for d in eval_data)
-        ):
-            return False
-        bs = self.cfg.batch_size
-        return len({num_batches(len(u), bs) for u in units}) == 1
+        )
 
     def _get_fused_run(self, use_prof: bool):
         fused = self._fused_run_cache.get(use_prof)
@@ -854,7 +863,11 @@ class Trainer:
         if current_tasks is None:
             current_tasks = [None] * n_units
         bs = cfg.batch_size
-        n_b = num_batches(len(units[0]), bs)
+        # uneven units pad to the LARGEST unit's slab; their trailing
+        # fully-masked batches are exact no-ops (the program's step guard)
+        # and their metric columns are trimmed off at emit time
+        n_bs = [num_batches(len(u), bs) for u in units]
+        n_b = max(n_bs)
         n_pad = n_b * bs
         dim = units[0].embeddings.shape[1]
         n_cls = units[0].labels.shape[1]
@@ -892,13 +905,32 @@ class Trainer:
         )
         val_ops = self._device_data(eval_data[0], cfg.eval_batch_size)
         test_ops = self._device_data(eval_data[1], cfg.eval_batch_size)
+        if self.mesh is not None:
+            # fold x data-parallel: shard the stacked slabs on their ROW
+            # axis (axis 1 of (U, n_pad, ...)) so each device trains its
+            # row shard and GSPMD inserts the gradient all-reduce — same
+            # layout rule as _device_data's per-dataset row sharding, with
+            # the same replicate fallback for non-divisible row counts
+            if n_pad % self._pad_multiple == 0:
+                place = lambda x: jax.device_put(  # noqa: E731
+                    x, mesh_lib.stacked_batch_sharding(self.mesh, x.ndim)
+                )
+            else:
+                place = lambda x: jax.device_put(  # noqa: E731
+                    x, mesh_lib.replicated(self.mesh)
+                )
+            d_embs, d_labels, d_valid = place(embs), place(labels), place(valid)
+        else:
+            d_embs, d_labels, d_valid = (
+                jnp.asarray(embs), jnp.asarray(labels), jnp.asarray(valid)
+            )
         use_prof = any(use_prof_units)
         fused = self._get_fused_run(use_prof)
         with annotate("fused-incremental-run"):
             self.state, stacked, evals, unit_states = fused(
-                self.state, jnp.asarray(embs), jnp.asarray(labels),
-                jnp.asarray(valid), self.bank, jnp.asarray(class_masks),
-                jnp.asarray(eff), d_perms, *val_ops, *test_ops,
+                self.state, d_embs, d_labels, d_valid, self.bank,
+                jnp.asarray(class_masks), jnp.asarray(eff), d_perms,
+                *val_ops, *test_ops,
             )
             fetched, evals = jax.device_get((stacked, evals))
         self._run_staging = {
@@ -911,6 +943,7 @@ class Trainer:
             "use_prof": list(use_prof_units),
             "counters0": counters0,
             "n_units": n_units,
+            "n_bs": n_bs,  # per-unit REAL batch counts (emit trims to these)
         }
 
     def emit_incremental_unit(
@@ -936,9 +969,13 @@ class Trainer:
         fetched = {k: v[idx] for k, v in staging["fetched"].items()}
         prof_nr = fetched.pop("prof_n_reset", None)
         prof_nu = fetched.pop("prof_n_updated", None)
+        # trim the padded batch columns (uneven units pad to the largest
+        # unit's n_batches; their metrics are from step-guarded no-ops)
+        n_b = staging["n_bs"][idx]
+        fetched = {k: v[:, :n_b] for k, v in fetched.items()}
         class_mask = staging["class_masks"][idx]
         use_my_cl = staging["use_my_cl"][idx]
-        n_epochs, n_b = fetched["loss"].shape[:2]
+        n_epochs = fetched["loss"].shape[0]
         epochs_for_base = self.cfg.epochs
         for e in range(n_epochs):
             if part is not None:

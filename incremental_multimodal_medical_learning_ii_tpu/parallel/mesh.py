@@ -41,6 +41,13 @@ def batch_sharding(mesh: Mesh, ndim: int = 2, axis_name: str = DATA_AXIS) -> Nam
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard axis 1 — the row axis of the whole-run fold's (U, n_pad, ...)
+    stacked unit slabs (engine/trainer.py::train_incremental_run) — and
+    replicate the unit axis and everything trailing."""
+    return NamedSharding(mesh, P(None, axis_name, *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

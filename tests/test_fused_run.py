@@ -131,12 +131,13 @@ def test_fused_run_per_unit_checkpoint_states(monkeypatch):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
-def test_fused_run_uneven_units_fall_back(monkeypatch):
-    """Units whose padded batch counts differ (here a 129-row set split
-    into 65+64-row parts at batch 64 — and in general the by-label
-    class-pos splitter, Trainer.py:353-354) can't ride the uniform-slab
-    scan; the run must fall back to per-unit dispatches (still fused) and
-    stay stream-identical to the per-epoch path."""
+def test_fused_run_uneven_units_fold(monkeypatch):
+    """Units whose padded batch counts DIFFER (here a 129-row set split
+    into 65+64-row parts at batch 64: a 2-batch and a 1-batch unit) fold
+    too: the shorter unit pads to the longer one's slab with fully-masked
+    batches, which the program's step guard makes exact state no-ops — an
+    Adam step on a zero-grad batch would otherwise still decay the moments
+    and advance the count, so stream equality here proves the guard."""
     from incremental_multimodal_medical_learning_ii_tpu.data.store import (
         synthetic_dataset,
     )
@@ -162,18 +163,40 @@ def test_fused_run_uneven_units_fall_back(monkeypatch):
             cfg = ExperimentConfig(
                 mode="data-inc", parts=2, epochs=2, batch_size=64,
                 eval_batch_size=64, lr=1e-3, fused_unit=fused,
-                shuffle_train=False, plot_figures="off",
+                shuffle_train=True, plot_figures="off",
             )
             results = run_data_incremental(cfg, bundle, _bank(), log_dir=None)
         finally:
             protocols._make_writer = orig
         return rec, results["trainer"]
 
-    rec_a, _ = run(False)
-    rec_b, trainer = run(True)
-    assert calls == []  # 2-batch + 1-batch units: the whole-run fold must decline
-    assert trainer._run_staging is None
+    rec_a, tr_a = run(False)
+    rec_b, tr_b = run(True)
+    assert calls == [1]  # the fold must ENGAGE on the uneven units
+    assert tr_b._run_staging is None  # released after the last emit
     assert rec_a.scalars == rec_b.scalars
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(jax.device_get(tr_a.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tr_b.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
+def test_fused_run_by_label_class_pos_folds(monkeypatch):
+    """The by-label class-pos splitter (reference Trainer.py:1187-1212)
+    produces units of different sizes; the whole class-incremental run
+    must still fold into ONE dispatch with streams and final params equal
+    to the per-epoch path — including the padded batches' no-op on Adam
+    state, the myCL task>1 guard, and per-unit class masks."""
+    calls = _count_folds(monkeypatch)
+    _assert_identical(
+        dict(mode="class-pos", epochs=2, batch_size=64,
+             eval_batch_size=64, lr=1e-3, continual_learning="myCL",
+             threshold=0.01, adder=0.001, shuffle_train=True),
+        run_class_incremental,
+    )
+    assert calls == [1]
 
 
 def test_fused_run_reference_figures_stay_exact():
@@ -216,6 +239,51 @@ def test_fused_run_reference_figures_stay_exact():
     assert rec_a.scalars == rec_b.scalars
 
 
+@pytest.mark.slow
+def test_fused_run_mesh_matches_per_unit_mesh(monkeypatch):
+    """Fold x data-parallel: under an 8-device mesh the whole-run fold
+    shards the stacked (U, n_pad, D) slabs on their row axis and GSPMD
+    inserts the gradient all-reduce inside the unit scan.  Both mesh paths
+    partition each unit's rows identically, so the fold must equal the
+    per-unit mesh path bitwise (streams and final params)."""
+    from incremental_multimodal_medical_learning_ii_tpu.parallel.mesh import (
+        create_mesh,
+    )
+
+    kwargs = dict(mode="data-inc", parts=3, epochs=2, batch_size=64,
+                  eval_batch_size=64, lr=1e-3, continual_learning="myCL",
+                  threshold=0.01, adder=0.001, shuffle_train=True)
+
+    def run(fold_on):
+        if not fold_on:
+            monkeypatch.setattr(
+                Trainer, "incremental_run_fusible",
+                lambda self, units, eval_data: False,
+            )
+        rec = _Recorder()
+        orig = protocols._make_writer
+        protocols._make_writer = lambda cfg, log_dir: rec
+        try:
+            cfg = ExperimentConfig(plot_figures="off", fused_unit=True, **kwargs)
+            results = run_data_incremental(
+                cfg, _bundle(), _bank(), log_dir=None, mesh=create_mesh(8)
+            )
+        finally:
+            protocols._make_writer = orig
+            if not fold_on:
+                monkeypatch.undo()
+        return rec, results["trainer"]
+
+    rec_a, tr_a = run(False)  # per-unit dispatches, mesh
+    rec_b, tr_b = run(True)   # whole-run fold, mesh
+    assert rec_a.scalars == rec_b.scalars
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(jax.device_get(tr_a.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tr_b.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_fused_run_emit_without_staging_raises():
     cfg = ExperimentConfig(mode="data-inc", parts=2, epochs=1, batch_size=64,
                            eval_batch_size=64, lr=1e-3, fused_unit=True,
@@ -226,8 +294,8 @@ def test_fused_run_emit_without_staging_raises():
 
 
 def test_fused_run_fusible_preconditions():
-    """Uniform batch counts are required (the scan over units needs equal
-    slab shapes); epochs=0 and non-EmbeddingDataset units fall back."""
+    """Uneven batch counts fold (padded + step-guarded); empty unit lists,
+    missing eval data, epochs=0, and empty units fall back."""
     bundle = _bundle()
     cfg = ExperimentConfig(mode="data-inc", parts=2, epochs=1, batch_size=64,
                            eval_batch_size=64, lr=1e-3, fused_unit=True,
@@ -241,9 +309,13 @@ def test_fused_run_fusible_preconditions():
     parts = split_contiguous(bundle.train, 2)
     ev = (bundle.val, bundle.test)
     assert trainer.incremental_run_fusible(parts, ev)
-    # unequal batch counts: 64 rows (1 batch) vs 200 (4 batches)
+    # unequal batch counts: 64 rows (1 batch) vs 200 (4 batches) — folds now
     uneven = [synthetic_dataset(64, seed=5), synthetic_dataset(200, seed=6)]
-    assert not trainer.incremental_run_fusible(uneven, ev)
+    assert trainer.incremental_run_fusible(uneven, ev)
+    # an EMPTY unit stays on the fallback path (nothing to train there;
+    # the reference crashes outright on empty parts)
+    empty = [synthetic_dataset(64, seed=5), bundle.train.subset([])]
+    assert not trainer.incremental_run_fusible(empty, ev)
     assert not trainer.incremental_run_fusible([], ev)
     assert not trainer.incremental_run_fusible(parts, None)
     cfg0 = ExperimentConfig(mode="data-inc", parts=2, epochs=0, batch_size=64,

@@ -822,6 +822,7 @@ def test_twin_class_incremental_figure_contents(ref_mod, data):
         assert m.shape == {"COS": (10, 10)}.get(k, (5, 5))
 
 
+@pytest.mark.scale
 def test_twin_joint_reference_scale(ref_mod):
     """The joint twin at the BASELINE.md operating point: 191,027 train
     rows (splitTrainingEmbedding.py:23-24), batch 6144, 10 epochs, Adam
@@ -984,6 +985,7 @@ def test_twin_zero_shot_single_prompt(ref_mod, data):
 
 
 @pytest.mark.slow
+@pytest.mark.scale
 def test_twin_class_incremental_reference_scale(ref_mod):
     """The class-incremental twin at ITS BASELINE.md operating point:
     191,027 rows split 5 ways, batch 6144, 10 epochs/task, SGD lr 0.1,
@@ -1036,6 +1038,7 @@ def test_twin_class_incremental_reference_scale(ref_mod):
 
 
 @pytest.mark.slow
+@pytest.mark.scale
 def test_twin_data_incremental_reference_scale(ref_mod):
     """The data-incremental twin at ITS BASELINE.md operating point:
     191,027 rows in 20 contiguous parts, batch 6144, 10 epochs/part, Adam
