@@ -26,12 +26,17 @@ def main(argv=None) -> None:
     p.add_argument("--adapters", nargs="+", default=["mlp", "dense"])
     p.add_argument("--prompt-modes", nargs="+", default=["mean", "max"])
     p.add_argument("--vmap", action="store_true",
-                   help="train every learning rate of a (optim, adapter, "
+                   help="train every lr x seed block of a (optim, adapter, "
                    "prompt-mode) group as ONE vmapped dispatch (lr is a "
-                   "dynamic optax hyperparam, so the group shares one "
-                   "executable; engine/sweep.py) — K x E dispatches "
+                   "dynamic optax hyperparam and seeds stack their init/"
+                   "shuffle streams; engine/sweep.py) — K x E dispatches "
                    "collapse to one per group.  Results equal the "
                    "sequential path (tests/test_sweep_vmap.py)")
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="extra grid axis over adapter-init/shuffle seeds "
+                   "(error bars over training randomness).  The prompt "
+                   "bank stays built from --seed so the task itself is "
+                   "fixed across the axis")
     args = p.parse_args(argv)
     common.enable_compile_cache()
 
@@ -43,6 +48,8 @@ def main(argv=None) -> None:
     base = common.config_kwargs(args)
     base.pop("lr"), base.pop("optim"), base.pop("adapter"), base.pop("prompt_mode")
     base.pop("plot_figures")  # the sweep always runs figure-free (below)
+    bank_seed = base.pop("seed")  # prompts/bank pinned to --seed (see --seeds)
+    seeds = args.seeds or [bank_seed]
 
     results = []
     t0 = time.perf_counter()
@@ -53,44 +60,52 @@ def main(argv=None) -> None:
     banks: dict = {}
 
     def bank_of(cfg):
+        # built at --seed regardless of the swept config seed: the bank IS
+        # the task (prompt sampling + synthetic encoder); --seeds varies the
+        # training randomness, not the problem
         if cfg.single_prompt not in banks:
-            banks[cfg.single_prompt] = common.build_bank(args, cfg)
+            import dataclasses
+
+            banks[cfg.single_prompt] = common.build_bank(
+                args, dataclasses.replace(cfg, seed=bank_seed)
+            )
         return banks[cfg.single_prompt]
 
-    def report(auroc, lr, optim, adapter, pm):
-        results.append((float(auroc), lr, optim, adapter, pm))
-        print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5} "
-              f"val-AUROC-macro={auroc:.4f}")
+    def report(auroc, lr, optim, adapter, pm, seed):
+        results.append((float(auroc), lr, optim, adapter, pm, seed))
+        tag = f" seed={seed}" if len(seeds) > 1 else ""
+        print(f"lr={lr:<8} opt={optim:<5} adapter={adapter:<6} prompts={pm:<5}"
+              f"{tag} val-AUROC-macro={auroc:.4f}")
 
-    def sequential(lrs, optim, adapter, pm):
-        for lr in lrs:
-            cfg = ExperimentConfig(
+    def grid_cfgs(optim, adapter, pm):
+        return [
+            ExperimentConfig(
                 mode="joint", lr=lr, optim=optim, adapter=adapter,
-                prompt_mode=pm, plot_figures="off", **base,
+                prompt_mode=pm, plot_figures="off", seed=seed, **base,
             )
+            for seed in seeds for lr in args.lrs
+        ]
+
+    def sequential(optim, adapter, pm):
+        for cfg in grid_cfgs(optim, adapter, pm):
             trainer = Trainer(cfg, bank_of(cfg))
             for epoch in range(1, cfg.epochs + 1):
                 trainer.train(bundle.train, epoch)
-            report(trainer.quick_auroc(bundle.val).mean(), lr, optim, adapter, pm)
+            report(trainer.quick_auroc(bundle.val).mean(), cfg.lr, optim,
+                   adapter, pm, cfg.seed)
 
     with maybe_trace(args.trace_dir):  # one trace spanning the whole grid
         for optim, adapter, pm in itertools.product(
             args.optims, args.adapters, args.prompt_modes
         ):
             if not args.vmap:
-                sequential(args.lrs, optim, adapter, pm)
+                sequential(optim, adapter, pm)
                 continue
             from incremental_multimodal_medical_learning_ii_tpu.engine.sweep import (
                 run_vmapped_sweep,
             )
 
-            cfgs = [
-                ExperimentConfig(
-                    mode="joint", lr=lr, optim=optim, adapter=adapter,
-                    prompt_mode=pm, plot_figures="off", **base,
-                )
-                for lr in args.lrs
-            ]
+            cfgs = grid_cfgs(optim, adapter, pm)
             try:
                 aurocs = run_vmapped_sweep(
                     cfgs, bundle.train, bundle.val, bank_of(cfgs[0])
@@ -102,10 +117,10 @@ def main(argv=None) -> None:
                 print(f"[warn] --vmap unavailable for opt={optim} "
                       f"adapter={adapter} prompts={pm} ({e}); running "
                       f"sequentially")
-                sequential(args.lrs, optim, adapter, pm)
+                sequential(optim, adapter, pm)
                 continue
-            for lr, vec in zip(args.lrs, aurocs):
-                report(vec.mean(), lr, optim, adapter, pm)
+            for cfg, vec in zip(cfgs, aurocs):
+                report(vec.mean(), cfg.lr, optim, adapter, pm, cfg.seed)
     import math
 
     # quick_auroc is NaN for a class with single-polarity labels; NaN
@@ -120,8 +135,9 @@ def main(argv=None) -> None:
     if not ranked:
         raise SystemExit("every config's AUROC was undefined on this val split")
     best = ranked[0]
+    seed_tag = f" seed={best[5]}" if len(seeds) > 1 else ""
     print(f"best: AUROC {best[0]:.4f} @ lr={best[1]} opt={best[2]} "
-          f"adapter={best[3]} prompts={best[4]}")
+          f"adapter={best[3]} prompts={best[4]}{seed_tag}")
 
 
 if __name__ == "__main__":

@@ -460,9 +460,9 @@ def build_vmapped_sweep(
     Returns ``sweep(states, embs, labels, valid, bank, perms, val_embs,
     val_labels, val_valid) -> (states, (K, C) per-class val AUROC)`` where
     ``states`` has (K, ...)-stacked leaves, train data is padded to whole
-    batches (replicated across K), and ``perms`` is the (E, n_pad) epoch
-    order stack every config consumes (same seed -> same orders, exactly
-    like K sequential Trainers).  Eval scores come from the same
+    batches (replicated across K), and ``perms`` is the (K, E, n_pad)
+    per-config epoch orders — seed sweeps give each config its own stream,
+    exactly like K sequential Trainers.  Eval scores come from the same
     :func:`_fused_eval_pass` + ``auroc_device`` the sequential path's
     ``quick_auroc`` uses (the jnp scorer: pallas_call does not vmap).
     """
@@ -492,7 +492,7 @@ def build_vmapped_sweep(
         return state, auroc_device(scores, val_labels, val_valid)
 
     return jax.jit(
-        jax.vmap(one, in_axes=(0, None, None, None, None, None, None, None, None)),
+        jax.vmap(one, in_axes=(0, None, None, None, None, 0, None, None, None)),
         donate_argnums=(0,),
     )
 

@@ -75,10 +75,10 @@ def run_vmapped_sweep(
     """
     cfg0 = cfgs[0]
     for c in cfgs[1:]:
-        if dataclasses.replace(c, lr=cfg0.lr) != cfg0:
+        if dataclasses.replace(c, lr=cfg0.lr, seed=cfg0.seed) != cfg0:
             raise ValueError(
-                "vmapped sweep points must differ only in lr (adapter/optim/"
-                "prompt knobs change the compiled program — group them)"
+                "vmapped sweep points must differ only in lr/seed (adapter/"
+                "optim/prompt knobs change the compiled program — group them)"
             )
     if cfg0.lr_schedule is not None:
         raise ValueError(
@@ -91,9 +91,9 @@ def run_vmapped_sweep(
     )
     if not cfg0.trains_anything:
         raise ValueError("nothing to sweep: the config trains no adapter")
-    params = pair.init(jax.random.PRNGKey(cfg0.seed))
     states, tx = [], None
     for c in cfgs:
+        params = pair.init(jax.random.PRNGKey(c.seed))
         st, tx = init_train_state(pair, params, c)  # lr lands in opt_state
         states.append(st)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
@@ -101,15 +101,20 @@ def run_vmapped_sweep(
     t_embs, t_labels, t_valid = _pad_whole_batches(train, cfg0.batch_size)
     v_embs, v_labels, v_valid = _pad_whole_batches(val, cfg0.eval_batch_size)
     if cfg0.shuffle_train:
+        # per-config epoch orders: the same fold_in(PRNGKey(seed+1), epoch)
+        # stream a fresh Trainer at that seed would draw (K, E, n_pad)
         perms = jnp.stack([
-            epoch_permutation(
-                jax.random.fold_in(jax.random.PRNGKey(cfg0.seed + 1), e),
-                len(train), int(t_embs.shape[0]),
-            )
-            for e in range(1, cfg0.epochs + 1)
+            jnp.stack([
+                epoch_permutation(
+                    jax.random.fold_in(jax.random.PRNGKey(c.seed + 1), e),
+                    len(train), int(t_embs.shape[0]),
+                )
+                for e in range(1, cfg0.epochs + 1)
+            ])
+            for c in cfgs
         ])
     else:
-        perms = jnp.zeros((cfg0.epochs, 0), jnp.int32)
+        perms = jnp.zeros((len(cfgs), cfg0.epochs, 0), jnp.int32)
 
     sweep = build_vmapped_sweep(pair, tx, cfg0)
     _, aurocs = sweep(

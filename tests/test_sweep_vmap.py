@@ -72,6 +72,38 @@ def test_vmap_sweep_equals_sequential_eight_configs():
                                        err_msg=f"{optim} lr={cfg.lr}")
 
 
+@pytest.mark.slow
+def test_vmap_sweep_seed_axis_equals_sequential():
+    """Seeds stack their OWN init params and epoch-permutation streams
+    (in_axes=0 perms): each (lr, seed) point must match a fresh sequential
+    Trainer at that seed."""
+    train = synthetic_dataset(260, seed=1)
+    val = synthetic_dataset(130, seed=2)
+    bank = _bank()
+    # lrs capped at 3e-3 like the test above: at 1e-2 the K-stacked batched
+    # dots' fp reassociation (~8e-5 on params) flips AUROC ranks near ties
+    # (measured 5.8e-4 on one class; K=1 vmapped matches sequential exactly)
+    pts = [(lr, seed) for seed in (27, 99) for lr in (1e-3, 3e-3)]
+    cfgs = [
+        ExperimentConfig(mode="joint", lr=lr, seed=seed, epochs=2,
+                         batch_size=64, eval_batch_size=64,
+                         plot_figures="off")
+        for lr, seed in pts
+    ]
+    vm = run_vmapped_sweep(cfgs, train, val, bank)
+    # the two seeds' trajectories must actually differ (a shared-perm bug
+    # would make them equal at equal lr)
+    assert not np.allclose(vm[0], vm[2], atol=1e-4)
+    for cfg, vec in zip(cfgs, vm):
+        t = Trainer(cfg, bank)
+        for e in range(1, cfg.epochs + 1):
+            t.train(train, e)
+        np.testing.assert_allclose(
+            vec, np.asarray(t.quick_auroc(val)), rtol=0, atol=1e-5,
+            err_msg=f"lr={cfg.lr} seed={cfg.seed}",
+        )
+
+
 def test_vmap_sweep_rejects_mixed_programs():
     """Points differing in anything but lr need different executables; the
     helper must refuse (the CLI groups by those knobs and falls back loudly
@@ -81,7 +113,7 @@ def test_vmap_sweep_rejects_mixed_programs():
     base = ExperimentConfig(mode="joint", lr=1e-3, epochs=1, batch_size=64,
                             eval_batch_size=64, plot_figures="off")
     mixed = [base, dataclasses.replace(base, lr=1e-4, optim="sgd")]
-    with pytest.raises(ValueError, match="differ only in lr"):
+    with pytest.raises(ValueError, match="differ only in lr/seed"):
         run_vmapped_sweep(mixed, train, val, _bank())
     sched = [dataclasses.replace(base, lr_schedule="exponential")]
     with pytest.raises(ValueError, match="constant lr"):
