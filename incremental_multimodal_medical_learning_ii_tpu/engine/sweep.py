@@ -68,7 +68,10 @@ def run_vmapped_sweep(
     tests/test_sweep_vmap.py (within fp reassociation of the batched dots:
     <=1e-6 at test scale, <=2e-4 measured at CLI scale; batching changes
     summation order, nothing else).  Measured CLI A/B (CPU, 16 points,
-    8192 rows x 3 epochs): sequential 24.9 s vs --vmap 4.7 s = 5.3x; on a
+    8192 rows x 3 epochs): sequential 24.9 s vs --vmap 4.7 s = 5.3x; on
+    the real tunneled TPU an 8-point group (4 lrs x 2 seeds, 3 epochs)
+    measured 50.2-51.8 s sequential vs 18.5-29.5 s vmapped, identical
+    AUROCs to 4 decimals (2026-08-19, slow-sync link phase); on a
     tunneled TPU the win is the dispatch count (K x E + K -> 1 per group).
     Raises ValueError for point sets a single program cannot serve
     (callers fall back to the sequential loop, loudly).
