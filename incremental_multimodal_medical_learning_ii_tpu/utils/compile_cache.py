@@ -2,11 +2,23 @@
 
 TPU compiles of the fused-epoch scan can take minutes on a remote-compile
 terminal; caching them on disk makes every run after the first start in
-milliseconds.  Call :func:`enable` early (the CLIs and bench do)."""
+milliseconds.  Call :func:`enable` early (the CLIs and bench do).
+
+Entries live under a per-host-CPU subdirectory (:func:`host_fingerprint`).
+XLA:CPU persists AOT executables specialised to the *compiling* machine's
+CPU features and will load them on a different machine anyway (logging
+"could lead to execution errors such as SIGILL") — measured on 2026-08-19,
+when this host was migrated between sessions and cache hits from the old
+machine SIGABRT'd the process mid-``device_get``.  Fingerprinting the
+directory makes a migrated host start a fresh, safe cache while the old
+machine's entries stay reusable if it ever comes back.
+"""
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from pathlib import Path
 
 _DEFAULT = os.environ.get(
@@ -14,10 +26,28 @@ _DEFAULT = os.environ.get(
 )
 
 
+def host_fingerprint() -> str:
+    """A stable id of this host's CPU instruction-set surface: the sorted
+    /proc/cpuinfo feature flags (plus the machine arch), hashed.  Two
+    machines that agree on this can safely execute each other's XLA:CPU
+    AOT results; nothing else about the host matters for that."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        flags = platform.processor()
+    digest = hashlib.sha256(f"{platform.machine()}|{flags}".encode()).hexdigest()
+    return f"host-{digest[:12]}"
+
+
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
-    path = Path(cache_dir or _DEFAULT)
+    path = Path(cache_dir or _DEFAULT) / host_fingerprint()
     try:
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))

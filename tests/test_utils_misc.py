@@ -9,15 +9,27 @@ import pytest
 def test_compile_cache_enable(tmp_path, monkeypatch):
     import jax
 
-    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import enable
+    from incremental_multimodal_medical_learning_ii_tpu.utils.compile_cache import (
+        enable,
+        host_fingerprint,
+    )
 
+    # entries land under a per-host-CPU subdirectory: XLA:CPU AOT results
+    # are specialised to the compiling machine's instruction set and LOAD
+    # on a mismatched host anyway — a migrated host hitting the old
+    # machine's entries SIGABRT'd mid-run (2026-08-19).  The fingerprint
+    # keeps each machine's entries separate and reusable.
+    fp = host_fingerprint()
+    assert fp == host_fingerprint()  # stable within a host
+    assert fp.startswith("host-") and len(fp) == len("host-") + 12
     cache_dir = tmp_path / "xla_cache"
     enable(str(cache_dir))
-    assert cache_dir.is_dir()
-    assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+    expected = cache_dir / fp
+    assert expected.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(expected)
     # idempotent and re-targetable
     enable(str(cache_dir))
-    assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+    assert jax.config.jax_compilation_cache_dir == str(expected)
 
 
 def test_load_image_dispatch_and_gating(tmp_path, rng):
