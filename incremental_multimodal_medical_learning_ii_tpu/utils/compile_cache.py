@@ -4,14 +4,20 @@ TPU compiles of the fused-epoch scan can take minutes on a remote-compile
 terminal; caching them on disk makes every run after the first start in
 milliseconds.  Call :func:`enable` early (the CLIs and bench do).
 
-Entries live under a per-host-CPU subdirectory (:func:`host_fingerprint`).
-XLA:CPU persists AOT executables specialised to the *compiling* machine's
-CPU features and will load them on a different machine anyway (logging
-"could lead to execution errors such as SIGILL") — measured on 2026-08-19,
-when this host was migrated between sessions and cache hits from the old
-machine SIGABRT'd the process mid-``device_get``.  Fingerprinting the
-directory makes a migrated host start a fresh, safe cache while the old
-machine's entries stay reusable if it ever comes back.
+Persistence is for ACCELERATOR backends only.  XLA:CPU serialises
+AOT-compiled machine code, and executing a deserialised entry can abort
+the process outright — measured on 2026-08-19 on this host: a migrated
+VM first hit the old machine's entries (XLA loads them regardless,
+logging "could lead to execution errors such as SIGILL") and SIGABRT'd;
+then, even with same-machine entries, the fused-run SPMD program
+reproducibly passed on the cache miss and aborted on the next hit.  CPU
+compiles are local and cheap; the minutes-long compiles this cache exists
+for all go through the remote TPU terminal.  :func:`enable` therefore
+no-ops on the CPU backend.
+
+Entries additionally live under a per-host-CPU subdirectory
+(:func:`host_fingerprint`) so that if a host migration changes the
+instruction set, each machine keeps its own entry set.
 """
 
 from __future__ import annotations
@@ -47,6 +53,20 @@ def host_fingerprint() -> str:
 def enable(cache_dir: str | None = None) -> None:
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:  # no backend at all: nothing to cache for
+        return
+    if backend == "cpu":
+        # XLA:CPU persists AOT-compiled machine code, and EXECUTING a
+        # deserialized entry can abort the process — reproduced on this
+        # host 2026-08-19: the fused-run SPMD program passes on a cache
+        # miss (compile + write) and SIGABRTs mid-device_get on the very
+        # next hit, even with the entry written by the same machine/build.
+        # This cache exists for the remote-compile TPU terminal (minutes
+        # per fresh compile); CPU compiles are local and cheap — skip
+        # persistence rather than risk the process.
+        return
     path = Path(cache_dir or _DEFAULT) / host_fingerprint()
     try:
         path.mkdir(parents=True, exist_ok=True)

@@ -14,11 +14,20 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
         host_fingerprint,
     )
 
-    # entries land under a per-host-CPU subdirectory: XLA:CPU AOT results
-    # are specialised to the compiling machine's instruction set and LOAD
-    # on a mismatched host anyway — a migrated host hitting the old
-    # machine's entries SIGABRT'd mid-run (2026-08-19).  The fingerprint
-    # keeps each machine's entries separate and reusable.
+    # On the CPU backend enable() must NO-OP: executing a deserialised
+    # XLA:CPU AOT cache entry aborts the process (reproduced 2026-08-19 —
+    # the fused-run SPMD program passed on the cache miss and SIGABRT'd
+    # on the next hit, same machine and build).  The suite runs on the
+    # CPU backend, so this exercises the real guard.
+    before = jax.config.jax_compilation_cache_dir
+    enable(str(tmp_path / "cpu_cache"))
+    assert jax.config.jax_compilation_cache_dir == before
+    assert not (tmp_path / "cpu_cache").exists()
+
+    # On an accelerator backend entries land under a per-host-CPU
+    # subdirectory, so a migrated host never executes another machine's
+    # AOT results.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     fp = host_fingerprint()
     assert fp == host_fingerprint()  # stable within a host
     assert fp.startswith("host-") and len(fp) == len("host-") + 12
@@ -30,6 +39,9 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     # idempotent and re-targetable
     enable(str(cache_dir))
     assert jax.config.jax_compilation_cache_dir == str(expected)
+    # restore for the rest of the suite (the CPU guard makes this a no-op
+    # everywhere else, but be explicit)
+    jax.config.update("jax_compilation_cache_dir", before)
 
 
 def test_load_image_dispatch_and_gating(tmp_path, rng):
