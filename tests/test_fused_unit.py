@@ -341,3 +341,33 @@ def test_fused_unit_joint_reference_figures_fold_exact():
     for pa, pb in zip(captured["per_epoch"], captured["fused"]):
         for la, lb in zip(_jax.tree_util.tree_leaves(pa), _jax.tree_util.tree_leaves(pb)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_joint_staging_invalidated_by_param_change():
+    """A param-changing call between ``train_joint_run`` and
+    ``emit_joint_epoch`` drops the joint staging
+    (Trainer._invalidate_folds), and a later emit RAISES instead of
+    silently replaying stale logging and reverting ``self.state`` to the
+    fold's stale epoch slice."""
+    from incremental_multimodal_medical_learning_ii_tpu.engine.trainer import (
+        Trainer,
+    )
+
+    cfg = ExperimentConfig(mode="joint", epochs=2, batch_size=64,
+                           eval_batch_size=64, lr=1e-3, fused_unit=True,
+                           shuffle_train=False, plot_figures="off")
+    b = _bundle()
+    trainer = Trainer(cfg, _bank(), _Recorder())
+    assert trainer.joint_run_fusible(b.train, (b.val, b.test))
+    trainer.train_joint_run(b.train, 0.0, (b.val, b.test))
+    trainer.emit_joint_epoch(1)  # the in-order emit works
+
+    trainer.train(b.train, epoch=1)  # params change OUTSIDE the fold
+    trained = jax.device_get(trainer.state.params)
+    with pytest.raises(RuntimeError, match="staged train_joint_run"):
+        trainer.emit_joint_epoch(2)
+    # ... and the refused emit must not have touched params
+    after = jax.device_get(trainer.state.params)
+    for la, lb in zip(jax.tree_util.tree_leaves(trained),
+                      jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
