@@ -97,15 +97,21 @@ def test_auroc_device_degenerate_class_is_nan(rng):
 def test_auroc_device_randomized_sweep_vs_sklearn(rng):
     """Distribution-level evidence for the rank-statistic AUROC: 40 random
     trials sweeping tie density (2..64 score levels), class imbalance, and
-    padded-tail length, each against sklearn."""
+    padded-tail length, each against sklearn.  All trials share ONE device
+    shape (the validity mask expresses the logical length): auroc_device
+    is jitted per shape, and 40 distinct lengths would compile 40 programs
+    (~60 s of pure re-trace on this 1-vCPU host, measured)."""
+    n_pad = 512
     for trial in range(40):
         n = int(rng.integers(16, 400))
         levels = int(rng.integers(2, 64))
         p_pos = float(rng.uniform(0.05, 0.95))
-        y_true = (rng.random((n, 1)) < p_pos).astype(np.float32)
-        y_score = np.round(rng.random((n, 1)) * levels) / levels
+        y_true = np.zeros((n_pad, 1), np.float32)
+        y_true[:n] = (rng.random((n, 1)) < p_pos).astype(np.float32)
+        y_score = np.zeros((n_pad, 1), np.float32)
+        y_score[:n] = np.round(rng.random((n, 1)) * levels) / levels
         valid = int(rng.integers(8, n + 1))
-        mask = np.zeros(n, np.float32)
+        mask = np.zeros(n_pad, np.float32)
         mask[:valid] = 1.0
         got = float(
             auroc_device(jnp.asarray(y_score), jnp.asarray(y_true), jnp.asarray(mask))[0]
