@@ -12,7 +12,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import remap_to_uint8
+# This module is the decode-worker import surface (engine/extract.py::
+# manifest_image_iterator pickles these loaders into a process pool): it
+# must stay jax-free — remap_to_uint8 lives in ops/preprocess, which
+# imports jax at module level, so it is imported lazily below.
 
 
 def load_image(path: str | Path, percentiles: Optional[Tuple[float, float]] = None) -> np.ndarray:
@@ -47,6 +50,10 @@ def load_image(path: str | Path, percentiles: Optional[Tuple[float, float]] = No
         image = pydicom.dcmread(path).pixel_array
     else:
         raise ValueError(f"Image type not supported, filename was: {path}")
+
+    from incremental_multimodal_medical_learning_ii_tpu.ops.preprocess import (
+        remap_to_uint8,
+    )
 
     image = remap_to_uint8(np.asarray(image), percentiles)
     if image.ndim == 3:  # RGB(A) -> luma grayscale (PIL 'L' convention)

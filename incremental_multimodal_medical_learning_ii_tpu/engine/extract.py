@@ -457,10 +457,19 @@ def manifest_image_iterator(
     if workers:
         # the pool runs whatever loader was given (it must be picklable —
         # a module-level function, not a lambda); silently decoding
-        # serially would starve the chip without warning
+        # serially would starve the chip without warning.
+        # NEVER fork here: the caller has JAX initialized (multithreaded),
+        # and a forked child inherits its locks mid-state — the documented
+        # deadlock. forkserver/spawn start workers from a clean process;
+        # the loader's module (data/images.py) is deliberately jax-free,
+        # so each worker imports only numpy/PIL once.
         import multiprocessing
 
-        with multiprocessing.Pool(workers) as pool:
+        methods = multiprocessing.get_all_start_methods()
+        ctx = multiprocessing.get_context(
+            "forkserver" if "forkserver" in methods else "spawn"
+        )
+        with ctx.Pool(workers) as pool:
             for idx, img in enumerate(pool.imap(loader, paths, chunksize=8)):
                 yield img, labels[idx]
         return
