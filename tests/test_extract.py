@@ -241,6 +241,62 @@ def test_manifest_iteration(tmp_path, rng):
     np.testing.assert_array_equal(tail[0][1], items[2][1])
 
 
+def test_decode_pool_never_forks(tmp_path, rng, monkeypatch):
+    """The decode pool must use a fresh-process start method (forkserver or
+    spawn): a fork()ed child inherits the parent's JAX thread locks mid-state
+    — the documented multiprocessing-after-jax deadlock."""
+    import multiprocessing
+    from PIL import Image
+    import pandas as pd
+
+    Image.fromarray((rng.random((20, 15)) * 255).astype(np.uint8), "L").save(
+        tmp_path / "img.png"
+    )
+    pd.DataFrame([{"Path": "img.png", "Atelectasis": 1, "Cardiomegaly": 0,
+                   "Consolidation": 0, "Edema": 0, "Pleural Effusion": 0}]).to_csv(
+        tmp_path / "labels.csv", index=False)
+    manifest = ChexpertManifest.from_csv(tmp_path / "labels.csv",
+                                         img_dir=str(tmp_path) + "/")
+
+    seen = []
+    real_get_context = multiprocessing.get_context
+
+    def recording_get_context(method=None):
+        seen.append(method)
+        return real_get_context(method)
+
+    monkeypatch.setattr(multiprocessing, "get_context", recording_get_context)
+    items = list(manifest_image_iterator(manifest, workers=1))
+    assert len(items) == 1
+    assert seen and all(m in ("forkserver", "spawn") for m in seen), seen
+
+
+def test_decode_worker_import_surface_is_jax_free():
+    """data/images.py is what decode workers import (forkserver/spawn pay it
+    per server/worker): its import chain must stay numpy/PIL-only. Run with
+    -S so the host's sitecustomize (which pre-imports jax everywhere) does
+    not mask a regression; site-packages is re-added manually."""
+    import pathlib
+    import subprocess
+    import sys
+    import sysconfig
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    code = (
+        "import sys, site; "
+        f"site.addsitedir({sysconfig.get_paths()['purelib']!r}); "
+        f"sys.path.insert(0, {str(repo)!r}); "
+        "import incremental_multimodal_medical_learning_ii_tpu.data.images; "
+        "leaked = [m for m in sys.modules if m == 'jax' or m.startswith('jax.') or m == 'jaxlib']; "
+        "assert not leaked, leaked; "
+        "print('jax-free')"
+    )
+    out = subprocess.run([sys.executable, "-S", "-c", code],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "jax-free" in out.stdout
+
+
 class _FlakyResult:
     """Wraps a device array; np.asarray raises N times before succeeding —
     simulates the tunnel's transient readback failures."""
